@@ -1,0 +1,65 @@
+"""Unit tests for the scalar function library against independent Python
+models (SURVEY.md §2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream4flow_spark.functions.net import (
+    cidr_range,
+    ip4_to_long,
+    ip_coalesce,
+    ip_in_cidr,
+    ms_to_iso,
+    protocol_name,
+    tcp_flags_struct,
+)
+
+
+def test_protocol_name(spark):
+    df = spark.createDataFrame([(6,), (17,), (1,), (None,)], "p int")
+    got = [r[0] for r in df.select(protocol_name(F.col("p"))).collect()]
+    assert got == ["tcp", "udp", "other", "other"]
+
+
+def test_ip_coalesce(spark):
+    df = spark.createDataFrame(
+        [("1.2.3.4", None), (None, "fd00::1"), (None, None)], "v4 string, v6 string"
+    )
+    got = [r[0] for r in df.select(ip_coalesce(F.col("v4"), F.col("v6"))).collect()]
+    assert got == ["1.2.3.4", "fd00::1", None]
+
+
+def test_tcp_flags_struct(spark):
+    # 2 = SYN only; 18 = SYN+ACK; 255 = all
+    df = spark.createDataFrame([(2,), (18,), (255,)], "f int")
+    rows = df.select(tcp_flags_struct(F.col("f")).alias("s")).collect()
+    assert rows[0].s.asDict() == {
+        "FIN": 0, "SYN": 1, "RST": 0, "PSH": 0, "ACK": 0, "URG": 0, "ECE": 0, "CWR": 0,
+    }
+    assert rows[1].s.SYN == 1 and rows[1].s.ACK == 1 and rows[1].s.FIN == 0
+    assert all(v == 1 for v in rows[2].s.asDict().values())
+
+
+def test_ip4_to_long_and_cidr(spark):
+    df = spark.createDataFrame(
+        [("10.0.1.2",), ("203.0.113.9",), ("fd00::1",), (None,)], "ip string"
+    )
+    longs = [r[0] for r in df.select(ip4_to_long(F.col("ip"))).collect()]
+    assert longs[0] == (10 << 24) + (1 << 8) + 2
+    assert longs[1] == (203 << 24) + (113 << 8) + 9
+
+    assert cidr_range("10.0.0.0/16") == ((10 << 24), (10 << 24) + 65535)
+
+    inside = [
+        r[0] for r in df.select(
+            F.coalesce(ip_in_cidr(F.col("ip"), "10.0.0.0/16"), F.lit(False))
+        ).collect()
+    ]
+    assert inside == [True, False, False, False]
+
+
+def test_ms_to_iso(spark):
+    df = spark.createDataFrame([(1704067200000,)], "ms long")
+    got = df.select(ms_to_iso(F.col("ms"))).collect()[0][0]
+    assert got == "2024-01-01T00:00:00.000Z"
