@@ -1,0 +1,62 @@
+"""host_daily_profile — 24×1-hour temporal profile per host per day.
+
+Spark-first re-expression of reference
+``applications/statistics/hosts_profiling/spark/host_daily_profile.py``:
+the reference cascaded three DStream windows (hourly agg :205, daily
+collection :232, once-per-day emit gate :255 — W4) and tracked the hour
+slot with a GLOBAL mutable counter (:73-92, W6), merging sparse 24-slot
+arrays with a conflict sentinel of -1 (:108-133, A16). With event time
+none of that machinery is needed: the slot IS ``hour(ts)``, the day is
+``date_trunc``, and the pivot is a conditional-sum over 24 hour columns —
+two shuffles total (hourly agg, then daily pivot), both keyed by host.
+
+Missing hours are 0 (the reference emitted sparse arrays; documented
+deviation for determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream4flow_spark import schema as S
+from stream4flow_spark.functions.net import ip_coalesce, ip_in_cidr
+
+
+def host_daily_profile(
+    flows: DataFrame,
+    local_cidr: str = "10.0.0.0/16",
+) -> DataFrame:
+    """Output: day_ms, src_ip, h0..h23 (flows per hour slot, BIGINT)."""
+    src = ip_coalesce(F.col(S.SRC_IP4), F.col(S.SRC_IP6))
+    hourly = (
+        flows.filter(ip_in_cidr(F.col(S.SRC_IP4), local_cidr))
+        .select(
+            F.timestamp_millis(F.col(S.T_START)).alias("ts"),
+            src.alias("src_ip"),
+        )
+        # A1 hourly totals (reference :213-215)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.hour(F.col("ts")).alias("hour"),
+            "src_ip",
+        )
+        .agg(F.count("*").alias("flows"))
+    )
+    # A16 pivot hour → 24 slots (conditional sums compile to one aggregate;
+    # missing slots are 0)
+    slot_aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("hour") == h, F.col("flows"))), F.lit(0)
+        ).alias(f"h{h}")
+        for h in range(24)
+    ]
+    return (
+        hourly.groupBy("day", "src_ip")
+        .agg(*slot_aggs)
+        .select(
+            F.unix_millis(F.col("day")).alias("day_ms"),
+            "src_ip",
+            *[f"h{h}" for h in range(24)],
+        )
+    )

@@ -149,7 +149,14 @@ def duckdb_flows_cte() -> str:
 
 
 def oracle_query(body: str) -> str:
-    """Wrap an oracle SELECT that references the ``flows`` CTE."""
+    """Wrap an oracle query that references the ``flows`` CTE.
+
+    ``body`` may itself start with ``WITH more_ctes AS (...) SELECT ...`` —
+    its CTE list is merged into the flows CTE list.
+    """
+    body = body.strip()
+    if body[:4].upper() == "WITH":
+        return f"WITH {duckdb_flows_cte()}, {body[4:].lstrip()}"
     return f"WITH {duckdb_flows_cte()} {body}"
 
 
