@@ -278,3 +278,261 @@ _H_SLOTS = ",\n               ".join(
 )
 def q_host_daily_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_daily_profile(flows_df(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Detection tier. Detection thresholds are tuned to the derived-flows data
+# so the gate queries produce non-empty results at sf≥0.01 (each app's
+# reference-default thresholds stay the function defaults; scenario-shaped
+# threshold behavior is unit-tested against hand-built fixtures).
+# --------------------------------------------------------------------------
+
+from stream4flow_spark.apps.detection_ddos import detection_ddos  # noqa: E402
+from stream4flow_spark.apps.dns_external_resolvers import dns_external_resolvers  # noqa: E402
+from stream4flow_spark.apps.dns_open_resolvers import dns_open_resolvers  # noqa: E402
+from stream4flow_spark.apps.ports_scan import ports_scan  # noqa: E402
+from stream4flow_spark.apps.reflect_ddos import reflect_ddos  # noqa: E402
+from stream4flow_spark.apps.ssh_auth_simple import ssh_auth_simple  # noqa: E402
+
+_COAL_SRC = "COALESCE(ipfix_sourceIPv4Address, ipfix_sourceIPv6Address)"
+_COAL_DST = "COALESCE(ipfix_destinationIPv4Address, ipfix_destinationIPv6Address)"
+
+
+@register(
+    "ssh_auth_simple",
+    covers="F2 C2 C18 A12 F10 W2",
+    oracle=oracle_query(
+        f"""
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS window_start_ms,
+                   {_COAL_SRC} AS src_ip,
+                   {_COAL_DST} AS dst_ip,
+                   CAST(COUNT(*) AS BIGINT) AS flows,
+                   CAST(SUM(ipfix_packetDeltaCount) AS DOUBLE) / COUNT(*) AS avg_packet_count,
+                   CAST(SUM(ipfix_flowEndMilliseconds - ipfix_flowStartMilliseconds) AS BIGINT) AS duration_ms
+            FROM flows
+            WHERE ipfix_protocolIdentifier = 6 AND ipfix_destinationTransportPort = 22
+              AND ipfix_sourceTransportPort > 1024
+              AND ipfix_packetDeltaCount > 1 AND ipfix_packetDeltaCount < 200
+              AND ipfix_octetDeltaCount > 40 AND ipfix_octetDeltaCount < 30000
+              AND (ipfix_flowEndMilliseconds - ipfix_flowStartMilliseconds) < 12000
+            GROUP BY 2, 3
+        ) WHERE flows >= 2
+        """
+    ),
+)
+def q_ssh_auth_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ssh_auth_simple(
+        flows_df(spark, sf_dir),
+        window_duration=None,
+        min_flows=2,
+        packets_band=(1, 200),
+        bytes_band=(40, 30000),
+    )
+
+
+@register(
+    "ports_scan",
+    covers="F3 A14 A15 F10 J6 ST1",
+    oracle=oracle_query(
+        f"""
+        WITH pscan AS (
+            SELECT {_COAL_SRC} AS src_ip,
+                   {_COAL_DST} AS dst_ip,
+                   CAST(ipfix_destinationTransportPort AS STRING) AS dst_port,
+                   ipfix_flowEndMilliseconds - ipfix_flowStartMilliseconds AS duration_ms
+            FROM flows
+            WHERE ipfix_protocolIdentifier = 6 AND (ipfix_tcpControlBits & 31) = 2
+              AND ipfix_destinationIPv4Address IS NOT NULL
+        ),
+        horizontal AS (
+            SELECT CAST(0 AS BIGINT) AS window_start_ms, 'horizontal' AS scan_type,
+                   src_ip, dst_port AS key,
+                   CAST(COUNT(*) AS BIGINT) AS flows,
+                   CAST(COUNT(DISTINCT dst_ip) AS BIGINT) AS targets,
+                   array_to_string(list_sort(array_agg(DISTINCT dst_ip)), ',') AS targets_list,
+                   CAST(SUM(duration_ms) AS BIGINT) AS duration_ms
+            FROM pscan GROUP BY src_ip, dst_port
+        ),
+        vertical AS (
+            SELECT CAST(0 AS BIGINT) AS window_start_ms, 'vertical' AS scan_type,
+                   src_ip, dst_ip AS key,
+                   CAST(COUNT(*) AS BIGINT) AS flows,
+                   CAST(COUNT(DISTINCT dst_port) AS BIGINT) AS targets,
+                   array_to_string(list_sort(array_agg(DISTINCT dst_port)), ',') AS targets_list,
+                   CAST(SUM(duration_ms) AS BIGINT) AS duration_ms
+            FROM pscan GROUP BY src_ip, dst_ip
+        )
+        SELECT * FROM horizontal WHERE targets >= 3
+        UNION ALL
+        SELECT * FROM vertical WHERE targets >= 3
+        """
+    ),
+)
+def q_ports_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ports_scan(flows_df(spark, sf_dir), window_duration=None, min_targets=3)
+
+
+@register(
+    "detection_ddos",
+    covers="F6 A13 J3 W3 F10",
+    oracle=oracle_query(
+        f"""
+        WITH w AS (
+            SELECT {_win(_T)} AS window_start_ms,
+                   {_COAL_DST} AS dst_ip,
+                   CAST(SUM(ipfix_packetDeltaCount) AS BIGINT) AS packets,
+                   array_to_string(list_sort(array_agg(DISTINCT {_COAL_SRC})), ',') AS attackers,
+                   CAST(COUNT(DISTINCT {_COAL_SRC}) AS BIGINT) AS attacker_count
+            FROM flows
+            WHERE ipfix_packetDeltaCount IS NOT NULL
+              AND ipfix_destinationIPv4Address IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT dst_ip, CAST(SUM(packets) AS DOUBLE) / COUNT(*) AS baseline
+            FROM w GROUP BY 1
+        )
+        SELECT w.window_start_ms, w.dst_ip, w.packets, b.baseline,
+               CAST(w.packets AS DOUBLE) / b.baseline AS ratio,
+               w.attackers, w.attacker_count
+        FROM w JOIN b USING (dst_ip)
+        WHERE CAST(w.packets AS DOUBLE) / b.baseline > 2.0 AND w.packets >= 300
+        """
+    ),
+)
+def q_detection_ddos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return detection_ddos(
+        flows_df(spark, sf_dir),
+        window_duration="1 hour",
+        min_ratio=2.0,
+        min_packets=300,
+    )
+
+
+_DNS_SERVERS = ["10.0.3.96", "10.0.2.47", "10.0.0.61"]
+_SERVERS_SQL = "('" + "', '".join(_DNS_SERVERS) + "')"
+
+
+@register(
+    "reflect_ddos",
+    covers="F2 F7 A1 J6 F10",
+    oracle=oracle_query(
+        f"""
+        WITH u AS (
+            SELECT ipfix_destinationIPv4Address AS dns_ip,
+                   ipfix_sourceIPv4Address AS client_ip,
+                   ipfix_octetDeltaCount AS query_bytes,
+                   CAST(0 AS BIGINT) AS reply_bytes, CAST(0 AS BIGINT) AS replies
+            FROM flows
+            WHERE ipfix_protocolIdentifier = 17
+              AND (ipfix_destinationTransportPort = 53 OR ipfix_sourceTransportPort = 53)
+              AND ipfix_destinationIPv4Address IN {_SERVERS_SQL}
+            UNION ALL
+            SELECT ipfix_sourceIPv4Address, ipfix_destinationIPv4Address,
+                   CAST(0 AS BIGINT), ipfix_octetDeltaCount, CAST(1 AS BIGINT)
+            FROM flows
+            WHERE ipfix_protocolIdentifier = 17
+              AND (ipfix_destinationTransportPort = 53 OR ipfix_sourceTransportPort = 53)
+              AND ipfix_sourceIPv4Address IN {_SERVERS_SQL}
+        ),
+        agg AS (
+            SELECT CAST(0 AS BIGINT) AS window_start_ms, dns_ip, client_ip,
+                   CAST(SUM(query_bytes) AS BIGINT) AS data_received,
+                   CAST(SUM(reply_bytes) AS BIGINT) AS data_sent,
+                   CAST(SUM(replies) AS BIGINT) AS outgoing_connections
+            FROM u GROUP BY dns_ip, client_ip
+        )
+        SELECT *, CAST(data_sent AS DOUBLE) / data_received AS amplification
+        FROM agg
+        WHERE data_received > 0 AND outgoing_connections >= 1
+          AND CAST(data_sent AS DOUBLE) / data_received > 0.5
+        """
+    ),
+)
+def q_reflect_ddos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reflect_ddos(
+        flows_df(spark, sf_dir),
+        dns_servers=_DNS_SERVERS,
+        window_duration=None,
+        min_ratio=0.5,
+        min_replies=1,
+    )
+
+
+# hex pair -> int, oracle-side (DuckDB lacks conv(); strpos arithmetic)
+def _hex2int(expr: str) -> str:
+    h = "'0123456789abcdef'"
+    return (
+        f"((strpos({h}, substr({expr}, 1, 1)) - 1) * 16"
+        f" + strpos({h}, substr({expr}, 2, 1)) - 1)"
+    )
+
+
+_DECODED_V4 = (
+    f"'10.0.' || CAST({_hex2int('substr(ipfix_DNSRData, 5, 2)')} AS STRING)"
+    f" || '.' || CAST({_hex2int('substr(ipfix_DNSRData, 7, 2)')} AS STRING)"
+)
+
+
+@register(
+    "dns_open_resolvers",
+    covers="F4 F5 C7 C8 A15 W1",
+    oracle=oracle_query(
+        f"""
+        SELECT {_win(_T)} AS window_start_ms,
+               ipfix_destinationIPv4Address AS resolver_ip,
+               CAST(COUNT(*) AS BIGINT) AS flows,
+               MIN({_DECODED_V4}) AS resolved_data,
+               MIN(ipfix_DNSCrrName) AS resolved_query
+        FROM flows
+        WHERE ipfix_DNSFlagsCodes IS NOT NULL
+          AND (ipfix_DNSFlagsCodes >> 15) & 1 = 1
+          AND ipfix_DNSCrrType = 1 AND ipfix_DNSRData IS NOT NULL
+          AND ipfix_destinationIPv4Address IS NOT NULL
+          AND NOT (ipfix_destinationIPv4Address LIKE '10.0.%')
+          AND NOT regexp_matches(ipfix_DNSCrrName, '\\.local\\.example$')
+        GROUP BY 1, 2
+        """
+    ),
+)
+def q_dns_open_resolvers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dns_open_resolvers(
+        flows_df(spark, sf_dir),
+        window_duration="1 hour",
+        domain_whitelist_regex=r"\.local\.example$",
+    )
+
+
+@register(
+    "dns_external_resolvers",
+    covers="J4 A15 F5 ST1",
+    oracle=oracle_query(
+        f"""
+        WITH a AS (
+            SELECT DISTINCT ipfix_sourceIPv4Address AS client_ip,
+                   ipfix_destinationIPv4Address AS resolver_ip,
+                   {_DECODED_V4} AS resolved_ip,
+                   ipfix_flowStartMilliseconds AS answer_ms
+            FROM flows
+            WHERE ipfix_DNSFlagsCodes IS NOT NULL
+              AND (ipfix_DNSFlagsCodes >> 15) & 1 = 1
+              AND ipfix_DNSCrrType = 1 AND ipfix_DNSRData IS NOT NULL
+              AND ipfix_sourceIPv4Address IS NOT NULL
+              AND ipfix_destinationIPv4Address IS NOT NULL
+              AND NOT (ipfix_destinationIPv4Address LIKE '10.0.%')
+        )
+        SELECT a.client_ip, a.resolver_ip, CAST(COUNT(*) AS BIGINT) AS pairs
+        FROM a JOIN flows f
+          ON f.ipfix_protocolIdentifier = 6
+         AND f.ipfix_sourceIPv4Address = a.client_ip
+         AND f.ipfix_destinationIPv4Address = a.resolved_ip
+         AND ABS(f.ipfix_flowStartMilliseconds - a.answer_ms) <= 604800000
+        GROUP BY 1, 2
+        """
+    ),
+)
+def q_dns_external_resolvers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dns_external_resolvers(
+        flows_df(spark, sf_dir), proximity_ms=604_800_000
+    )

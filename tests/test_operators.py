@@ -1,0 +1,64 @@
+"""Unit tests for the operator library against hand-computed goldens."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream4flow_spark.operators.interval_join import interval_join
+from stream4flow_spark.operators.suppression import suppress_reports
+from stream4flow_spark.operators.topk import top_k_per_key
+
+
+def test_interval_join_matches_brute_force(spark):
+    left = spark.createDataFrame(
+        [("k1", 1000), ("k1", 9500), ("k2", 5000), ("k3", 100)],
+        "k string, lt long",
+    )
+    right = spark.createDataFrame(
+        [("k1", 1500), ("k1", 4200), ("k1", 9400), ("k2", 10_000), ("k4", 1000)],
+        "k string, rt long",
+    )
+    got = sorted(
+        (r.k, r.lt, r.rt)
+        for r in interval_join(left, right, ["k"], "lt", "rt", 2000).collect()
+    )
+    # brute force: same-key pairs with |lt-rt| <= 2000
+    lrows = [("k1", 1000), ("k1", 9500), ("k2", 5000), ("k3", 100)]
+    rrows = [("k1", 1500), ("k1", 4200), ("k1", 9400), ("k2", 10_000), ("k4", 1000)]
+    want = sorted(
+        (lk, lt, rt)
+        for lk, lt in lrows
+        for rk, rt in rrows
+        if lk == rk and abs(lt - rt) <= 2000
+    )
+    assert got == want
+    assert ("k1", 1000, 1500) in got and ("k1", 9500, 9400) in got
+
+
+def test_suppress_reports_chain(spark):
+    # key A: alerts at t=0,50,120,130,260 with window 100
+    #   report t=0 (sum=1); t=50 suppressed; t=120 report (sum 50+120 flows=2)
+    #   t=130 suppressed; t=260 report (sum=2)
+    rows = [("A", t, 1) for t in [0, 50, 120, 130, 260]] + [("B", 10, 5)]
+    alerts = spark.createDataFrame(rows, "key string, ts long, flows long")
+    out = suppress_reports(alerts, ["key"], "ts", 100, sum_cols=["flows"])
+    got = {(r.key, r.ts): (r.flows, r.report_seq) for r in out.collect()}
+    assert got == {
+        ("A", 0): (1, 0),
+        ("A", 120): (2, 1),
+        ("A", 260): (2, 2),
+        ("B", 10): (5, 0),
+    }
+
+
+def test_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("g", "b", 5), ("g", "a", 5), ("g", "c", 9)], "g string, k string, v long"
+    )
+    got = [
+        (r.k, r.rank)
+        for r in top_k_per_key(df, ["g"], "v", 2, tiebreak_cols=["k"])
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [("c", 1), ("a", 2)]
