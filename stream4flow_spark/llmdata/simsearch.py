@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk`` — brute-force exact top-k for a bounded query set:
+  broadcast the queries, one pass over the corpus, rank per query. The
+  correctness baseline, and also the right plan when |queries| is small
+  (the corpus scan parallelizes; no shuffle except the final per-query
+  top-k, which TakeOrdered-style keeps tiny).
+- ``lsh_bucketed_neighbors`` — the scale path: random-hyperplane (sign)
+  LSH buckets vectors so candidate generation is a groupBy-join on the
+  bucket key instead of a cross join. Hyperplanes are seed-deterministic.
+
+Dot products stay in the JVM via higher-order functions (zip_with +
+aggregate) — no Python in the per-vector hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (excluding self).
+
+    Output: query_id, neighbor_id, cos (double, optionally rounded so
+    ranking ties break deterministically by neighbor_id).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplane(num_planes: int, dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane via a simple
+    integer hash (xorshift-style) — reproducible across runs/engines."""
+    out = []
+    for j in range(dim):
+        h = (plane * 1_000_003 + j * 7_919 + 12_345) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * 2_654_435_761) & 0xFFFFFFFF
+        h ^= h >> 16
+        out.append(((h % 2_000_001) / 1_000_000.0) - 1.0)  # [-1, 1]
+    return out
+
+
+def lsh_bucketed_neighbors(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Near-neighbor pairs (cos ≥ threshold) via sign-LSH candidate
+    buckets + exact verification.
+
+    Bucket key = sign bits against `num_planes` deterministic hyperplanes.
+    Candidates are same-bucket pairs — a groupBy-scale join. Recall is
+    probabilistic (pairs at angle θ collide with P=(1-θ/π)^planes); raise
+    recall by unioning multiple plane sets. Exact verification keeps
+    precision at 1.
+    """
+    planes = [_hyperplane(num_planes, dim, p) for p in range(num_planes)]
+
+    def bucket_bits(vec: Column) -> Column:
+        bits = []
+        for p, plane in enumerate(planes):
+            d = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = corpus.select(
+        F.col(id_col).alias("id"), vec.alias("v"), bucket_bits(vec).alias("bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

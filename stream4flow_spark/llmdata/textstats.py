@@ -1,0 +1,122 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristics, document fingerprinting.
+
+Everything is built-in Column expressions (JVM-side, codegen) — these run
+per document over the full corpus, so the hot path must not touch Python.
+At 100 TB this is a single map stage over the parquet scan: no shuffle,
+perfectly parallel per input split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic (deterministic, dependency-free)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "los", "que"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "que"],
+}
+
+
+def whitespace_tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty string → empty array)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of word-or-punctuation tokens (a BPE-ish pre-tokenizer regex:
+    runs of word chars, or single non-word-non-space chars)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features per document.
+
+    Adds: n_tokens, n_tokens_bpe, avg_token_len (double), stopword_ratio
+    (double, share of tokens in the English stopword list), alnum_ratio
+    (double, share of alphanumeric chars), quality_score (double ∈ [0,1]).
+    """
+    text = F.col(text_col)
+    toks = whitespace_tokens(text)
+    n_tok = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
+    )
+    n_alnum = F.length(F.regexp_replace(text, r"[^\p{Alnum}]", ""))
+    n_chars = F.length(text)
+    avg_tok = F.when(n_tok > 0, (n_chars - (n_tok - 1)).cast("double") / n_tok)
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
+    alnum_ratio = F.when(n_chars > 0, n_alnum.cast("double") / n_chars).otherwise(0.0)
+    # crude but deterministic: long-enough docs with some stopwords and
+    # mostly-alnum text score high
+    score = (
+        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + alnum_ratio * 0.3
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        bpe_ish_token_count(text).alias("n_tokens_bpe"),
+        avg_tok.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alnum_ratio.alias("alnum_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: the language whose stopword list
+    matches the most tokens wins; ties break alphabetically; no hits →
+    'und' (undetermined)."""
+    toks = whitespace_tokens(F.col(text_col))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(*words))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    # array_max on struct(hits, lang): max hits, then max lang — to get
+    # alphabetical ties we invert via sort: pick first after sorting by
+    # (-hits, lang). sort_array sorts struct fields lexicographically
+    # ascending, so sort on (negated hits, lang) and take element 1.
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-s["hits"]).alias("neg_hits"), s["lang"].alias("lang")
+                )
+                for s in scores
+            ]
+        )
+    )
+    best = ranked.getItem(0)
+    predicted = F.when(best["neg_hits"] < 0, best["lang"]).otherwise("und")
+    return df.withColumn("predicted_lang", predicted)
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: exact md5, plus md5 of the normalized text
+    (lowercased, whitespace collapsed) — the canonical key for exact /
+    near-exact dedup at scale (hash is computed scan-side; the later
+    dedup groupBy shuffles only the 32-byte digest + id)."""
+    text = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return df.select(
+        "*",
+        F.md5(text).alias("fp_exact"),
+        F.md5(norm).alias("fp_normalized"),
+    )

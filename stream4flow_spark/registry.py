@@ -53,3 +53,4 @@ def oracle_sql() -> dict[str, str]:
 def _load() -> None:
     """Import every module that defines gate queries."""
     import stream4flow_spark.gate  # noqa: F401
+    import stream4flow_spark.gate_llm  # noqa: F401

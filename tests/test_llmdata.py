@@ -1,0 +1,79 @@
+"""Property tests for the LLM-data operators on handcrafted corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream4flow_spark.llmdata.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from stream4flow_spark.llmdata.multimodal import attach_binary_payload, decode_images
+from stream4flow_spark.llmdata.simsearch import cosine_topk
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+FAR = "completely different words appear in this sentence about spark engines"
+
+
+def test_exact_dedup_collapses_identical(spark):
+    df = _docs(spark, [BASE, BASE, FAR])
+    out = {r.keeper_id: r.group_size for r in exact_dedup(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_ngram_jaccard_separates_near_from_far(spark):
+    df = _docs(spark, [BASE, NEAR, FAR])
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert pairs[(0, 1)] > 0.6
+    assert pairs[(0, 2)] == 0.0
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    df = _docs(spark, [BASE, NEAR, FAR, "short text"])
+    got = {(r.id_a, r.id_b) for r in minhash_lsh_dedup(df, threshold=0.5).collect()}
+    assert got == {(0, 1)}
+
+
+def test_simhash_near_dup_has_smaller_hamming(spark):
+    df = _docs(spark, [BASE, NEAR, FAR])
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_dedup(df, max_hamming=64).collect()
+    }
+    assert pairs[(0, 1)] < pairs.get((0, 2), 64)
+    assert pairs[(0, 1)] < pairs.get((1, 2), 64)
+
+
+def test_cosine_topk_identity_and_orthogonal(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (3, [0.9, 0.1, 0.0, 0.0]),  # close to 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    ranked = [(r.neighbor_id, r.cos) for r in out.orderBy("rank").collect()]
+    assert ranked[0][0] == 1 and abs(ranked[0][1] - 1.0) < 1e-9
+    assert ranked[1][0] == 3
+    assert ranked[2] == (2, 0.0)
+
+
+def test_multimodal_decode_shapes(spark):
+    df = _docs(spark, ["abc", "x" * 1000])
+    out = {r.doc_id: r for r in decode_images(attach_binary_payload(df)).collect()}
+    assert out[0].n_bytes == 3 and out[0].width == 4 and out[0].height == 4
+    assert out[1].n_bytes == 1000 and out[1].width == 361 and out[1].ok
