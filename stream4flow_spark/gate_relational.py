@@ -1,0 +1,291 @@
+"""Relational gate queries over the TPC-H-ish driver tables.
+
+These exercise the general-purpose relational surface (multi-way joins,
+semi/anti joins, broadcast dimension chains, pivot, top-k) that the
+read-side and ad-hoc analytics need, with Catalyst doing the optimization.
+
+Money arithmetic runs in DECIMAL end-to-end and is emitted as a STRING:
+double sums are order-dependent (shuffle order is nondeterministic), so
+exact decimal + canonical string is the only representation that is both
+deterministic in Spark and engine-portable for the DuckDB hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream4flow_spark.registry import register
+from stream4flow_spark.sources.tables import load_table
+
+# exact per-row decimal terms (prices have 2 decimals, rates 2 decimals)
+_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DISC1 = "CAST(1 - l_discount AS DECIMAL(4,2))"
+_TAX1 = "CAST(1 + l_tax AS DECIMAL(4,2))"
+
+
+def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem")
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    covers="rel:groupby-multi-agg rel:decimal-exact A1 A4",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM({_PRICE}) AS DECIMAL(38,2)) AS STRING) AS sum_base_price,
+               CAST(CAST(SUM({_PRICE} * {_DISC1}) AS DECIMAL(38,4)) AS STRING) AS sum_disc_price,
+               CAST(CAST(SUM({_PRICE} * {_DISC1} * {_TAX1}) AS DECIMAL(38,6)) AS STRING) AS sum_charge,
+               CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(l_discount) AS DOUBLE) / COUNT(*) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+        """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir).filter(F.col("l_shipdate") <= "1998-09-02")
+    price = F.expr(_PRICE)
+    disc1 = F.expr(_DISC1)
+    tax1 = F.expr(_TAX1)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_base_price"),
+        F.sum(price * disc1).cast("decimal(38,4)").cast("string").alias("sum_disc_price"),
+        F.sum(price * disc1 * tax1).cast("decimal(38,6)").cast("string").alias("sum_charge"),
+        (F.sum("l_quantity").cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum("l_discount").cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    covers="rel:selective-filter-agg F2",
+    oracle=f"""
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4))
+                    AS STRING) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.expr("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))")
+    return li.agg(
+        F.sum(rev).cast("decimal(38,4)").cast("string").alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "tpch_q3_top_revenue_orders",
+    covers="rel:3way-join rel:topk A9 J1",
+    oracle=f"""
+        WITH rev AS (
+            SELECT o.o_orderkey, o.o_orderdate,
+                   CAST(SUM({_PRICE} * {_DISC1}) AS DECIMAL(38,4)) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2
+        )
+        SELECT o_orderkey, orderdate_ms, CAST(revenue AS STRING) AS revenue
+        FROM (
+            SELECT o_orderkey,
+                   CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms,
+                   revenue
+            FROM rev
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        )
+        """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = _li(spark, sf_dir)
+    rev = F.expr(f"{_PRICE} * {_DISC1}")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+    )
+    return (
+        joined.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            F.col("revenue").cast("string").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q5ish_revenue_per_region",
+    covers="rel:star-join rel:broadcast-dims J1 S6",
+    oracle=f"""
+        SELECT r.r_name AS region,
+               CAST(CAST(SUM({_PRICE} * {_DISC1}) AS DECIMAL(38,4)) AS STRING) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1
+        """,
+)
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.expr(f"{_PRICE} * {_DISC1}")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(rev).cast("decimal(38,4)").cast("string").alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+@register(
+    "rel_semi_anti_customers",
+    covers="rel:semi-join rel:anti-join J1",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CASE WHEN ok.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS with_orders,
+               CAST(SUM(CASE WHEN ok.o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS without_orders
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) ok
+          ON ok.o_custkey = c.c_custkey
+        GROUP BY 1
+        """,
+)
+def q_rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("with_orders"))
+    )
+    without_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("without_orders"))
+    )
+    return (
+        with_orders.join(without_orders, "nation", "full_outer")
+        .select(
+            "nation",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+    )
+
+
+@register(
+    "rel_pivot_order_priority",
+    covers="rel:pivot O2",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS status_f,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS status_o,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS status_p
+        FROM orders GROUP BY 1
+        """,
+)
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@register(
+    "rel_event_sessionization",
+    covers="rel:sessionization rel:window-lag W2",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, epoch_ms(ts) AS t,
+                   CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000 THEN 1
+                        WHEN LAG(epoch_ms(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, t,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(t) AS BIGINT) AS session_start_ms,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS duration_ms
+        FROM sess GROUP BY 1, 2
+        """,
+)
+def q_rel_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(F.col("t") - F.lag("t").over(w) > 1_800_000, 1)
+        .when(F.lag("t").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = gaps.withColumn("session_id", F.sum("new_session").over(run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("t").alias("session_start_ms"),
+        (F.max("t") - F.min("t")).alias("duration_ms"),
+    )

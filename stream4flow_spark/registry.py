@@ -54,3 +54,5 @@ def _load() -> None:
     """Import every module that defines gate queries."""
     import stream4flow_spark.gate  # noqa: F401
     import stream4flow_spark.gate_llm  # noqa: F401
+    import stream4flow_spark.gate_readside  # noqa: F401
+    import stream4flow_spark.gate_relational  # noqa: F401
