@@ -62,12 +62,18 @@ def detection_ddos(
     )
 
     # W3/J3 — long-horizon baseline per victim: mean of its windowed sums.
-    baseline = windowed.groupBy("dst_ip").agg(
-        (F.sum("packets").cast("double") / F.count("*")).alias("baseline")
+    # An analytic avg over the dst_ip partition replaces the reference's
+    # second windowed agg + per-victim join (:144-152): the windowed
+    # subtree is scanned ONCE (no recompute / no join shuffle), and the
+    # only added exchange is the hash partition by dst_ip.
+    from pyspark.sql import Window as W
+
+    baseline = F.avg(F.col("packets").cast("double")).over(
+        W.partitionBy("dst_ip")
     )
 
     return (
-        windowed.join(baseline, "dst_ip")
+        windowed.withColumn("baseline", baseline)
         .withColumn("ratio", F.col("packets").cast("double") / F.col("baseline"))
         # F10 thresholds (reference :155-163)
         .filter((F.col("ratio") > min_ratio) & (F.col("packets") >= min_packets))

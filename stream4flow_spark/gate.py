@@ -669,3 +669,31 @@ def q_domain_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("domain", F.round(element_entropy(F.col("domain")), 6).alias("entropy"))
     )
+
+
+@register(
+    "iso_timestamps",
+    covers="C11",
+    oracle=oracle_query(
+        f"""
+        SELECT DISTINCT {_win(_T)} AS window_start_ms,
+               strftime(epoch_ms({_win(_T)}), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso_ts
+        FROM flows
+        """
+    ),
+)
+def q_iso_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 — every alert/report timestamp the reference emitted was
+    unix-ms rendered as ISO-8601 'Z' (ports_scan.py:93-94 and twins)."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark import schema as S
+    from stream4flow_spark.functions.net import ms_to_iso
+
+    win = (F.col(S.T_START) - F.col(S.T_START) % HOUR_MS).alias("window_start_ms")
+    return (
+        flows_df(spark, sf_dir)
+        .select(win)
+        .distinct()
+        .select("window_start_ms", ms_to_iso(F.col("window_start_ms")).alias("iso_ts"))
+    )

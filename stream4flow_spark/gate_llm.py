@@ -14,7 +14,11 @@ from stream4flow_spark.llmdata.dedup import (
     simhash_dedup,
 )
 from stream4flow_spark.llmdata.multimodal import attach_binary_payload, decode_images
-from stream4flow_spark.llmdata.simsearch import cosine, cosine_topk, lsh_bucketed_neighbors
+from stream4flow_spark.llmdata.simsearch import (
+    cosine_pairs_blocked,
+    cosine_topk,
+    lsh_bucketed_neighbors,
+)
 from stream4flow_spark.llmdata.textstats import fingerprints, language_id, quality_features
 from stream4flow_spark.registry import register
 from stream4flow_spark.sources.tables import load_table
@@ -208,14 +212,7 @@ def q_llm_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cos"))
-        .filter(F.col("cos") >= 0.3)
-    )
+    return cosine_pairs_blocked(emb, threshold=0.3)
 
 
 @register("llm_embedding_neardup_lsh", covers="llm:similarity-lsh")  # rows-only:

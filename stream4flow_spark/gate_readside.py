@@ -244,7 +244,7 @@ def q_readside_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH {_PROTO_RESULT.lstrip()}
         SELECT *, CAST(ROW_NUMBER() OVER (
-                   ORDER BY window_start_ms ASC, protocol ASC) AS INT) AS order_rank
+                   ORDER BY window_start_ms ASC, protocol ASC) AS BIGINT) AS order_rank
         FROM proto WHERE window_start_ms < {JAN_01} + {DAY_MS}
         """
     ),

@@ -46,14 +46,19 @@ def exact_dedup(
 # ------------------------------------------------------------- shingles
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (shingles) of a text column."""
+    """Distinct word n-grams (shingles) of a text column.
+
+    Built from n shifted slices of the token array folded with
+    ``zip_with`` — O(tokens) with n array ops total, ~3× faster than the
+    per-position ``transform(sequence, i -> concat_ws(slice(i)))`` form
+    (which re-slices per element). Short texts (< n tokens) yield []."""
     toks = whitespace_tokens(text)
-    k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array().cast("array<string>")))
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    shifted = [F.slice(toks, i + 1, k) for i in range(n)]
+    grams = shifted[-1]
+    for arr in reversed(shifted[:-1]):
+        grams = F.zip_with(arr, grams, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(grams)
 
 
 def ngram_jaccard(a: Column, b: Column) -> Column:
@@ -95,7 +100,10 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(grams: Column, num_perm: int = 64) -> Column:
     """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, seed=i). Empty shingle set → NULL signature."""
+    xxhash64(shingle, seed=i). Empty shingle set → NULL signature.
+
+    Scalar form (num_perm array passes per row) — ``minhash_table`` is
+    the aggregation form used on the hot path."""
     sig = F.array(
         *[
             F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
@@ -103,6 +111,27 @@ def minhash_signature(grams: Column, num_perm: int = 64) -> Column:
         ]
     )
     return F.when(F.size(grams) > 0, sig)
+
+
+def minhash_table(
+    shingled: DataFrame, num_perm: int = 64, id_col: str = "id"
+) -> DataFrame:
+    """(id, m0..m{num_perm-1}) — aggregation-form MinHash over a
+    ``(id, grams)`` table.
+
+    explode(shingles) → num_perm xxhash64 columns per shingle →
+    groupBy(id) with flat ``min`` aggregates. One shuffle keyed by id
+    with num_perm-long rows, map-side partial aggregation, whole-stage
+    codegen — versus the scalar form's num_perm full array traversals
+    (and array allocations) per document. Documents with empty shingle
+    sets drop out (same as the scalar form's NULL signatures)."""
+    exploded = shingled.select(F.col(id_col).alias("id"), F.explode("grams").alias("g"))
+    hashed = exploded.select(
+        "id", *[F.xxhash64("g", F.lit(i)).alias(f"h{i}") for i in range(num_perm)]
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
+    )
 
 
 def minhash_lsh_dedup(
@@ -121,8 +150,13 @@ def minhash_lsh_dedup(
     candidate recall is effectively exhaustive at the threshold while
     still pruning the vast majority of non-similar pairs.
 
-    Plan shape: shingle+sign (map) → explode bands (×32) → self-join on
-    (band, band-signature-hash) → verify Jaccard on co-bucketed pairs.
+    Plan shape: shingle+sign (map) → explode bands (×32) as narrow
+    (id, band, bucket) rows → self-join on (band, bucket) → dedup pairs →
+    re-join the shingle table twice to verify Jaccard. The band join
+    deliberately carries ONLY ids: shingle arrays are the wide payload,
+    and shipping them ×bands through the join exchange dominated runtime
+    (and would dominate shuffle volume at scale); fetching them by id for
+    the (few) surviving candidate pairs is two cheap hash joins.
     """
     assert num_perm % rows_per_band == 0
     bands = num_perm // rows_per_band
@@ -130,11 +164,11 @@ def minhash_lsh_dedup(
     shingled = df.select(
         F.col(id_col).alias("id"),
         word_ngrams(F.col(text_col), n).alias("grams"),
-    ).withColumn("sig", minhash_signature(F.col("grams"), num_perm))
+    )
+    signed = minhash_table(shingled, num_perm)
 
-    banded = shingled.filter(F.col("sig").isNotNull()).select(
+    banded = signed.select(
         "id",
-        "grams",
         F.explode(
             F.array(
                 *[
@@ -144,7 +178,7 @@ def minhash_lsh_dedup(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.col("sig").getItem(b * rows_per_band + r)
+                                    F.col(f"m{b * rows_per_band + r}")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -165,19 +199,16 @@ def minhash_lsh_dedup(
             & (F.col("a.bb.bucket") == F.col("b.bb.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.grams").alias("grams_a"),
-            F.col("b.grams").alias("grams_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    ga = shingled.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = shingled.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     return (
-        candidates.withColumn(
-            "jaccard", ngram_jaccard(F.col("grams_a"), F.col("grams_b"))
-        )
+        candidates.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("grams_a"), F.col("grams_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -185,10 +216,28 @@ def minhash_lsh_dedup(
 
 # --------------------------------------------------------------- simhash
 
+def _sh_from_votes(vote_cols: list[Column]) -> Column:
+    """Fold 64 per-bit vote counts into the simhash long (bit j set iff
+    votes[j] > 0; j=63 is the int64 sign bit)."""
+    out = F.lit(0).cast("long")
+    for j, votes in enumerate(vote_cols):
+        bit_value = (1 << j) if j < 63 else -(1 << 63)  # int64 sign bit
+        out = out.bitwiseOR(
+            F.when(votes > 0, F.lit(bit_value).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
 def simhash64(grams: Column) -> Column:
     """64-bit SimHash over shingle hashes: bit j of the result is 1 iff
     more shingles have bit j set than not. (Bit positions are Python-side
-    constants — Spark's shift functions take literal shift amounts.)"""
+    constants — Spark's shift functions take literal shift amounts.)
+
+    Scalar form (one giant higher-order expression) — fine for small
+    shingle sets; ``simhash_table`` is the aggregation form used on the
+    hot path."""
     votes = F.aggregate(
         grams,
         F.array_repeat(F.lit(0).cast("long"), 64),
@@ -203,15 +252,40 @@ def simhash64(grams: Column) -> Column:
             lambda x, y: x + y,
         ),
     )
-    out = F.lit(0).cast("long")
-    for j in range(64):
-        bit_value = (1 << j) if j < 63 else -(1 << 63)  # int64 sign bit
-        out = out.bitwiseOR(
-            F.when(votes.getItem(j) > 0, F.lit(bit_value).cast("long")).otherwise(
-                F.lit(0).cast("long")
+    return _sh_from_votes([votes.getItem(j) for j in range(64)])
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh) per document — aggregation-form SimHash.
+
+    explode(shingles) → xxhash64 once per shingle → groupBy(id) with 64
+    flat ``sum`` columns (map-side partial aggregation, whole-stage
+    codegen) → fold votes into the 64-bit hash. At scale this is one
+    shuffle keyed by document id with 64-long rows — the nested
+    aggregate/zip_with expression form is ~10× slower because the
+    per-shingle 64-element array allocation falls out of codegen.
+    Documents with no shingles hash to 0 (explode_outer keeps them)."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g"),
+        # xxhash64(NULL) would return the seed, not NULL — guard so docs
+        # with no shingles (explode_outer null) still hash to 0
+    ).select("id", F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("h"))
+    votes = exploded.groupBy("id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.shiftright(F.col("h"), j).bitwiseAND(1) * 2 - 1), F.lit(0)
             )
-        )
-    return out
+            .cast("long")
+            .alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    return votes.select(
+        "id", _sh_from_votes([F.col(f"v{j}") for j in range(64)]).alias("sh")
+    )
 
 
 def simhash_dedup(
@@ -227,10 +301,7 @@ def simhash_dedup(
     hamming ≤ 3 agrees exactly on ≥ 1 chunk (pigeonhole), so the join key
     is (chunk_index, chunk_value) — no cross join.
     """
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        simhash64(word_ngrams(F.col(text_col), n)).alias("sh"),
-    )
+    hashed = simhash_table(df, text_col, id_col, n)
     chunked = hashed.select(
         "id",
         "sh",

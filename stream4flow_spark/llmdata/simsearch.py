@@ -79,6 +79,68 @@ def cosine_topk(
     )
 
 
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — blocked matrix product.
+
+    Brute-force all-pairs is inherently O(N²); the scalable *shape* is a
+    block product, not a pairwise join: the (id, vector) matrix is
+    broadcast once (like a dimension table), and each corpus partition
+    computes ``block @ M.T`` with vectorized BLAS inside an Arrow-batched
+    ``mapInPandas``, emitting only above-threshold pairs. No N² rows are
+    ever materialized pre-filter, and no vector travels through a shuffle.
+    Boundary: the broadcast matrix must fit on executors (~1 GB at
+    1M × 128 float64) — beyond that, use ``lsh_bucketed_neighbors``
+    (candidate pruning) or tile both sides.
+
+    Replaces the pair-join + per-pair higher-order-function cosine, which
+    was ~20× slower at sf0.1 (36M pair rows, each evaluating a 128-term
+    aggregate expression) and unshippable at scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    pdf_all = base.toPandas()
+    ids_all = pdf_all["id"].to_numpy()
+    M = np.vstack(pdf_all["v"].to_numpy())
+    norms_all = np.linalg.norm(M, axis=1)
+    bc = corpus.sparkSession.sparkContext.broadcast((ids_all, M, norms_all))
+
+    id_field = base.schema["id"].dataType.simpleString()
+    out_schema = f"id_a {id_field}, id_b {id_field}, cos double"
+
+    def block(batches):
+        ids_b, M_b, norms_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.vstack(pdf["v"].to_numpy())
+            aid = pdf["id"].to_numpy()
+            an = np.linalg.norm(A, axis=1)
+            S = (A @ M_b.T) / np.outer(an, norms_b)
+            if round_digits is not None:
+                S = np.round(S, round_digits)
+            ii, jj = np.nonzero(S >= threshold)
+            keep = aid[ii] < ids_b[jj]
+            yield pd.DataFrame(
+                {
+                    "id_a": aid[ii][keep],
+                    "id_b": ids_b[jj][keep],
+                    "cos": S[ii, jj][keep],
+                }
+            )
+
+    return base.mapInPandas(block, out_schema)
+
+
 def _hyperplane(num_planes: int, dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane via a simple
     integer hash (xorshift-style) — reproducible across runs/engines."""

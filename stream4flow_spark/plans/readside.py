@@ -109,9 +109,10 @@ def q8_either_term(result: DataFrame, col_a: str, col_b: str, value: str) -> Dat
 
 # Q9 — sort by timestamp (reference protocols_statistics.py:62); emitted as
 # an explicit rank column because result-set order is not part of the
-# hash-compare contract
+# hash-compare contract. Uses the distributed global rank (range partition
+# + prefix offsets), not a single-partition window.
 def q9_ordered_rank(result: DataFrame, ts_col: str, tiebreak_cols: list[str]) -> DataFrame:
+    from stream4flow_spark.operators.topk import global_order_rank
+
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
-    return result.withColumn(
-        "order_rank", F.row_number().over(Window.orderBy(*order))
-    )
+    return global_order_rank(result, order)
