@@ -239,3 +239,81 @@ def q_llm_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_images(attach_binary_payload(docs))
+
+
+@register(
+    "llm_multimodal_resize",
+    covers="llm:multimodal-resize",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) % 640 + 1 AS w,
+                   octet_length(encode(text)) % 480 + 1 AS h
+            FROM documents
+        )
+        SELECT doc_id, CAST(w AS INT) AS src_width, CAST(h AS INT) AS src_height,
+               CAST(FLOOR(w * LEAST(256.0 / w, 256.0 / h, 1.0)) AS INT) AS width,
+               CAST(FLOOR(h * LEAST(256.0 / w, 256.0 / h, 1.0)) AS INT) AS height,
+               LEAST(256.0 / w, 256.0 / h, 1.0) AS scale
+        FROM d
+        """,
+)
+def q_llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream4flow_spark.llmdata.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(attach_binary_payload(docs))
+
+
+@register(
+    "llm_multimodal_frames",
+    covers="llm:multimodal-frame-sample",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS n_frames
+            FROM documents
+        )
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               CAST(i * 1000 // 30 AS BIGINT) AS frame_ms
+        FROM d, unnest(range(0, n_frames, 30)) AS t(i)
+        """,
+)
+def q_llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream4flow_spark.llmdata.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs), fps_out=1)
+
+
+@register(
+    "llm_multimodal_features",
+    covers="llm:multimodal-feature-extract",
+    # the array column is projected to scalar f0..f7 for the compare —
+    # array-valued cells stringify differently between engines
+    oracle="SELECT doc_id, "
+    + ", ".join(
+        f"CAST((octet_length(encode(text)) * 31 + {j} * 7) % 997 AS DOUBLE)"
+        f" / 997.0 AS f{j}"
+        for j in range(8)
+    )
+    + " FROM documents",
+)
+def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream4flow_spark.llmdata.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(docs), dim=8)
+    return feats.select(
+        "doc_id", *[F.col("features")[j].alias(f"f{j}") for j in range(8)]
+    )
+
+
+@register("llm_ann_ivf_topk", covers="llm:similarity-ivf")  # rows-only:
+# IVF probing is approximate-recall by design (the scale path beside
+# sign-LSH); recall vs the exact cosine_topk is asserted in
+# tests/test_llmdata.py
+def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream4flow_spark.llmdata.simsearch import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -71,3 +71,84 @@ def decode_images(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_width int, src_height int, width int, height int, "
+    "scale double"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    max_width: int = 256,
+    max_height: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """mapInPandas resize: decode dims, compute the aspect-preserving
+    fit into (max_width, max_height). The pixel resample itself is the
+    stubbed step (needs an image lib); the plumbing — batch shape, scale
+    math, schema — is real. Pure map stage, no shuffle."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, _ = _decoder(bytes(payload))
+                scale = min(max_width / w, max_height / h, 1.0)
+                rows.append(
+                    (doc_id, w, h, int(w * scale), int(h * scale), scale)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_width", "src_height", "width", "height",
+                    "scale",
+                ],
+            )
+
+    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_ms long"
+
+
+def sample_frames(
+    media: DataFrame, fps_out: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas frame sampler: treats the payload as a fake video of
+    ``n_bytes % 30 + 1`` frames at 30 fps and emits every 30/fps_out-th
+    frame — a 1→N row fan-out inside the map stage (the real decoder
+    would seek/decode those frames). Deterministic, so oracle-checkable."""
+    step = max(30 // fps_out, 1)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = len(payload) % 30 + 1
+                for i in range(0, n_frames, step):
+                    rows.append((doc_id, i, i * 1000 // 30))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_ms"])
+
+    return media.mapInPandas(frames, schema=FRAMES_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extractor: payload → fixed-dim float vector.
+    The real model inference is the stubbed step; the deterministic
+    stand-in (``((n*31 + j*7) % 997) / 997``) keeps the plumbing —
+    Arrow batches, array<double> output column, map-only plan —
+    oracle-checkable."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(dim)
+        for pdf in batches:
+            n = pdf["payload"].map(len).to_numpy()
+            vecs = ((n[:, None] * 31 + j[None, :] * 7) % 997) / 997.0
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "features": list(vecs)}
+            )
+
+    return media.mapInPandas(feats, schema=f"{id_col} long, features array<double>")

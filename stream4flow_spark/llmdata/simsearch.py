@@ -141,6 +141,102 @@ def cosine_pairs_blocked(
     return base.mapInPandas(block, out_schema)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF (inverted-file) probing.
+
+    Index build: centroids are a deterministic stride-sample of the corpus
+    (seed-free, reproducible; a production build would run k-means — the
+    partition/probe plumbing is identical). Every corpus vector is
+    assigned to its nearest centroid with a broadcast + ``mapInPandas``
+    argmax — a map-only stage, the assignment shuffles only (id, cluster).
+
+    Query: each query probes its ``n_probe`` nearest centroids, joins the
+    inverted file on cluster id, scores candidates exactly, and ranks.
+    Scanned fraction ≈ n_probe / n_centroids of the corpus — the knob
+    that makes brute-force-quality search affordable at scale. Recall is
+    approximate (a true neighbor in an unprobed cluster is missed), so
+    the gate registers this rows-only; exact-recall checks live in
+    tests/test_llmdata.py against ``cosine_topk``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+    # --- index build: deterministic centroid sample, broadcast ----------
+    cent_pdf = (
+        base.orderBy("id").limit(n_centroids * 50).toPandas()
+    )  # bounded driver pull
+    stride = max(len(cent_pdf) // n_centroids, 1)
+    cent_pdf = cent_pdf.iloc[::stride].head(n_centroids)
+    C = np.vstack(cent_pdf["v"].to_numpy())
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast(C)
+
+    def assign(batches):
+        Cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.vstack(pdf["v"].to_numpy())
+            A = A / np.linalg.norm(A, axis=1, keepdims=True)
+            pdf = pdf[["id", "v"]].copy()
+            pdf["cluster"] = np.argmax(A @ Cn.T, axis=1).astype("int32")
+            yield pdf
+
+    inverted = base.mapInPandas(assign, "id long, v array<double>, cluster int")
+
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+
+    def probe(batches):
+        Cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.vstack(pdf["qv"].to_numpy())
+            Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            near = np.argsort(-(Q @ Cn.T), axis=1)[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(n_probe), ["query_id", "qv"]]
+            out["cluster"] = near.ravel().astype("int32")
+            yield out
+
+    probed = qbase.mapInPandas(probe, "query_id long, qv array<double>, cluster int")
+
+    sim = cosine(F.col("qv"), F.col("v"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+
+    from pyspark.sql import Window
+
+    scored = (
+        probed.join(inverted, "cluster")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), sim.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def _hyperplane(num_planes: int, dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane via a simple
     integer hash (xorshift-style) — reproducible across runs/engines."""

@@ -12,6 +12,7 @@ from stream4flow_spark.llmdata.dedup import (
 )
 from stream4flow_spark.llmdata.multimodal import attach_binary_payload, decode_images
 from stream4flow_spark.llmdata.simsearch import cosine_topk
+from tests.conftest import SF_DIR
 
 
 def _docs(spark, texts):
@@ -77,3 +78,29 @@ def test_multimodal_decode_shapes(spark):
     out = {r.doc_id: r for r in decode_images(attach_binary_payload(df)).collect()}
     assert out[0].n_bytes == 3 and out[0].width == 4 and out[0].height == 4
     assert out[1].n_bytes == 1000 and out[1].width == 361 and out[1].ok
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.llmdata.simsearch import cosine_topk, ivf_topk
+    from stream4flow_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    # probing every cluster makes IVF exhaustive — must equal brute force
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == exact
+    # realistic probe fraction still recovers most true neighbors
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
