@@ -25,6 +25,15 @@ def main() -> int:
     spark = get_spark(app_name="s4f-bench")
 
     qs = queries()
+
+    # Warm-up (untimed): touch every input table once so JVM/codegen
+    # startup and parquet footer reads are not charged to whichever query
+    # happens to run first.
+    from stream4flow_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name, fn in sorted(qs.items()):

@@ -55,9 +55,17 @@ def detection_ddos(
         .groupBy("window_start_ms", "dst_ip")
         .agg(
             F.sum("packets").alias("packets"),
-            # A13 attacker set (emitted deterministically)
-            F.concat_ws(",", F.sort_array(F.collect_set("src_ip"))).alias("attackers"),
-            F.countDistinct("src_ip").alias("attacker_count"),
+            # A13 attacker set (emitted deterministically); the distinct
+            # count comes from the set itself — a separate countDistinct
+            # would add an Expand (row-doubling) dedup pass to the shuffle
+            F.sort_array(F.collect_set("src_ip")).alias("attacker_set"),
+        )
+        .select(
+            "window_start_ms",
+            "dst_ip",
+            "packets",
+            F.concat_ws(",", "attacker_set").alias("attackers"),
+            F.size("attacker_set").cast("long").alias("attacker_count"),
         )
     )
 

@@ -13,9 +13,10 @@ Also fixes (SURVEY §7.2a): the reference's output loop overwrote
 `results_output` per host and only ever emitted the LAST host; here every
 host is emitted.
 
-Scale: two shuffles per family (count, then rank partitioned by host).
-Rank windows partition by (window, src_ip) — high cardinality, no skew
-concentration; nothing global.
+Scale: ONE scan (the three stat families fan out via explode, A11-style)
+and two shuffles total — count keyed by (window, host, stat_type, key),
+then rank partitioned by (window, host, stat_type). High-cardinality
+partitions, no skew concentration, nothing global.
 """
 
 from __future__ import annotations
@@ -47,39 +48,38 @@ def top_n_host_stats(
         F.col(S.HTTP_HOST).alias("http_host"),
     )
 
-    def family(key_expr: str, tag: str, extra_filter=None) -> DataFrame:
-        fam = base if extra_filter is None else base.filter(extra_filter)
-        counted = (
-            fam.filter(F.col(key_expr).isNotNull())
-            # A7 grouped count on composite key (reference :171-194)
-            .groupBy(F.window("ts", window_duration).alias("w"), "src_ip", key_expr)
-            .agg(F.count("*").alias("flows"))
-            .select(
-                F.unix_millis(F.col("w.start")).alias("window_start_ms"),
-                "src_ip",
-                F.col(key_expr).alias("key"),
-                "flows",
-            )
-        )
-        # A9 top-K per key via rank window (replaces driver-side sort)
-        ranked = top_k_per_key(
-            counted,
-            key_cols=["window_start_ms", "src_ip"],
-            order_col="flows",
-            k=n,
-            tiebreak_cols=["key"],
-        )
-        return ranked.select(
-            "window_start_ms",
+    # A11-style explode fan-out: ONE scan and one count/rank pipeline for
+    # all three stat families (tagged rows, J6 semantics), instead of
+    # three family pipelines (3 scans + 6 shuffles → 1 scan + 2 shuffles).
+    arms = F.array(
+        F.struct(F.lit("dst_ports").alias("stat_type"), F.col("dst_port").alias("key")),
+        F.struct(F.lit("dst_hosts").alias("stat_type"), F.col("dst_ip").alias("key")),
+        F.struct(F.lit("http_hosts").alias("stat_type"), F.col("http_host").alias("key")),
+    )
+    counted = (
+        base.select("ts", "src_ip", F.explode(arms).alias("a"))
+        .filter(F.col("a.key").isNotNull())
+        # A7 grouped count on composite key (reference :171-194)
+        .groupBy(
+            F.window("ts", window_duration).alias("w"),
             "src_ip",
-            F.lit(tag).alias("stat_type"),
+            F.col("a.stat_type").alias("stat_type"),
+            F.col("a.key").alias("key"),
+        )
+        .agg(F.count("*").alias("flows"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "src_ip",
+            "stat_type",
             "key",
             "flows",
-            "rank",
         )
-
-    ports = family("dst_port", "dst_ports")
-    peers = family("dst_ip", "dst_hosts")
-    http = family("http_host", "http_hosts")
-    # J6 union of the three stat families (tagged, not joined)
-    return ports.unionByName(peers).unionByName(http)
+    )
+    # A9 top-K per key via rank window (replaces driver-side sort)
+    return top_k_per_key(
+        counted,
+        key_cols=["window_start_ms", "src_ip", "stat_type"],
+        order_col="flows",
+        k=n,
+        tiebreak_cols=["key"],
+    ).select("window_start_ms", "src_ip", "stat_type", "key", "flows", "rank")

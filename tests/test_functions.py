@@ -63,3 +63,20 @@ def test_ms_to_iso(spark):
     df = spark.createDataFrame([(1704067200000,)], "ms long")
     got = df.select(ms_to_iso(F.col("ms"))).collect()[0][0]
     assert got == "2024-01-01T00:00:00.000Z"
+
+
+def test_format_cipher_suites_edges(spark):
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.functions.tls import format_cipher_suites
+
+    rows = [
+        ("0x2bc01301",), ("2bc01301",), ("0x",), ("",), ("0x00002bc0",),
+        ("0xab",),  # shorter than one group -> dropped entirely
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    got = [
+        r.out
+        for r in df.select(format_cipher_suites(F.col("raw")).alias("out")).collect()
+    ]
+    assert got == ["c02b,0113", "c02b,0113", "", "", "c02b", ""]
