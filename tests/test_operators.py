@@ -62,3 +62,33 @@ def test_top_k_deterministic_ties(spark):
         .collect()
     ]
     assert got == [("c", 1), ("a", 2)]
+
+
+def test_salted_collect_set_and_count_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.operators.skew import (
+        salted_collect_set,
+        salted_count_distinct,
+    )
+
+    rows = [("k1", f"v{i % 37}") for i in range(500)] + [
+        ("k2", f"v{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "key string, val string")
+    direct = {
+        r.key: (sorted(r.vals), len(r.vals))
+        for r in df.groupBy("key")
+        .agg(F.collect_set("val").alias("vals"))
+        .collect()
+    }
+    salted = {
+        r.key: r.values for r in salted_collect_set(df, ["key"], "val").collect()
+    }
+    counts = {
+        r.key: r.n_distinct
+        for r in salted_count_distinct(df, ["key"], "val").collect()
+    }
+    for k, (vals, n) in direct.items():
+        assert salted[k] == vals
+        assert counts[k] == n

@@ -96,3 +96,68 @@ def test_stream_suppression_state_across_batches(spark, tmp_path):
         run_stream_to_table(got_df, output_mode="append"), ["key", "report_seq"]
     )
     pd.testing.assert_frame_equal(got, expect)
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """J4 streaming form: native stream-stream join with watermarks equals
+    the batch bucketized interval join."""
+    import pandas as pd
+
+    from stream4flow_spark.operators.interval_join import interval_join
+    from stream4flow_spark.streaming.joins import stream_interval_join
+
+    # realistic epoch base: timestamps at/near epoch 0 collide with the
+    # watermark's floor and would be dropped as late
+    B = 1_600_000_000_000
+    answers = pd.DataFrame(
+        [("c1", "8.8.8.8", B + t * 1_000) for t in range(20)]
+        + [("c2", "9.9.9.9", B + 5_000)],
+        columns=["client_ip", "resolved_ip", "answer_ms"],
+    )
+    conns = pd.DataFrame(
+        [("c1", "8.8.8.8", B + t * 1_000 + 500) for t in range(0, 40, 2)]
+        + [("c2", "9.9.9.9", B + 11_000), ("c3", "7.7.7.7", B + 5_000)],
+        columns=["client_ip", "resolved_ip", "conn_ms"],
+    )
+    pa, pc = tmp_path / "answers", tmp_path / "conns"
+    spark.createDataFrame(answers).coalesce(1).write.parquet(str(pa))
+    spark.createDataFrame(conns).coalesce(1).write.parquet(str(pc))
+
+    ba, bc = spark.read.parquet(str(pa)), spark.read.parquet(str(pc))
+    expect = _sorted_pdf(
+        interval_join(
+            ba, bc, ["client_ip", "resolved_ip"], "answer_ms", "conn_ms", 2_000
+        ),
+        ["client_ip", "resolved_ip", "answer_ms", "conn_ms"],
+    )
+
+    sa = spark.readStream.schema(ba.schema).parquet(str(pa))
+    sc = spark.readStream.schema(bc.schema).parquet(str(pc))
+    got_df = stream_interval_join(
+        sa, sc, ["client_ip", "resolved_ip"], "answer_ms", "conn_ms", 2_000
+    )
+    got = _sorted_pdf(
+        run_stream_to_table(got_df, output_mode="append"),
+        ["client_ip", "resolved_ip", "answer_ms", "conn_ms"],
+    )
+    pd.testing.assert_frame_equal(
+        got[expect.columns], expect
+    )
+
+
+def test_stream_tls_classification_matches_batch(spark):
+    """A second full app under streaming (explode fan-out + broadcast
+    dim join + windowed agg). Rank-window apps (e.g. dns_statistics'
+    global top-100) are deliberately NOT streamed — in streaming the
+    top-k runs on the result table (read-side), not in-stream."""
+    import pandas as pd
+
+    from stream4flow_spark.apps.tls_classification import tls_classification
+    from stream4flow_spark.functions.tls import tls_dimension
+
+    dim = tls_dimension(spark)
+    batch = tls_classification(flows_df(spark, SF_DIR), dim, "1 hour")
+    stream = tls_classification(stream_flows_df(spark, SF_DIR), dim, "1 hour")
+    got = run_stream_to_table(stream, output_mode="complete")
+    keys = list(batch.columns)
+    pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
