@@ -83,3 +83,18 @@ def top_n_host_stats(
         k=n,
         tiebreak_cols=["key"],
     ).select("window_start_ms", "src_ip", "stat_type", "key", "flows", "rank")
+
+
+def to_ranked_map(stats: DataFrame) -> DataFrame:
+    """O4 — the reference emitted each host's top-N as an INDEXED DICT
+    ``{"0": item, "1": item, ...}`` (top_n_host_stats.py:64-77); here a
+    map column keyed by rank-1, built distributed via map_from_entries
+    over the ranked rows."""
+    entry = F.struct(
+        (F.col("rank") - 1).cast("string").alias("key"),
+        F.struct("key", "flows").alias("value"),
+    )
+    return (
+        stats.groupBy("window_start_ms", "src_ip", "stat_type")
+        .agg(F.map_from_entries(F.sort_array(F.collect_list(entry))).alias("ranked"))
+    )

@@ -155,6 +155,9 @@ def oracle_query(body: str) -> str:
     its CTE list is merged into the flows CTE list.
     """
     body = body.strip()
+    if body[:14].upper() == "WITH RECURSIVE":
+        # RECURSIVE prefixes the whole WITH list (non-recursive members ok)
+        return f"WITH RECURSIVE {duckdb_flows_cte()}, {body[14:].lstrip()}"
     if body[:4].upper() == "WITH":
         return f"WITH {duckdb_flows_cte()}, {body[4:].lstrip()}"
     return f"WITH {duckdb_flows_cte()} {body}"

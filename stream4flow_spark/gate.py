@@ -697,3 +697,80 @@ def q_iso_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("window_start_ms", ms_to_iso(F.col("window_start_ms")).alias("iso_ts"))
     )
+
+
+@register(
+    "alert_suppression",
+    covers="ST1 ST2",
+    oracle=oracle_query(
+        """
+        WITH RECURSIVE alerts AS (
+            SELECT ipfix_sourceIPv4Address AS src_ip,
+                   ipfix_destinationIPv4Address AS dst_ip,
+                   ipfix_flowStartMilliseconds AS ts_ms,
+                   ipfix_packetDeltaCount AS packets
+            FROM flows
+            WHERE ipfix_destinationTransportPort = 22
+              AND ipfix_sourceIPv4Address IS NOT NULL
+              AND ipfix_destinationIPv4Address IS NOT NULL
+        ),
+        chain AS (
+            SELECT src_ip, dst_ip, MIN(ts_ms) AS report_ms, 0 AS report_seq
+            FROM alerts GROUP BY 1, 2
+            UNION ALL
+            SELECT c.src_ip, c.dst_ip,
+                   (SELECT MIN(a.ts_ms) FROM alerts a
+                     WHERE a.src_ip = c.src_ip AND a.dst_ip = c.dst_ip
+                       AND a.ts_ms >= c.report_ms + 3600000),
+                   c.report_seq + 1
+            FROM chain c
+            WHERE EXISTS (SELECT 1 FROM alerts a
+                           WHERE a.src_ip = c.src_ip AND a.dst_ip = c.dst_ip
+                             AND a.ts_ms >= c.report_ms + 3600000)
+        ),
+        assigned AS (
+            SELECT a.src_ip, a.dst_ip, a.packets,
+                   (SELECT MIN(c.report_ms) FROM chain c
+                     WHERE c.src_ip = a.src_ip AND c.dst_ip = a.dst_ip
+                       AND c.report_ms >= a.ts_ms) AS report_ms
+            FROM alerts a
+        )
+        SELECT c.src_ip, c.dst_ip, c.report_ms AS ts_ms,
+               CAST(c.report_seq AS INT) AS report_seq,
+               CAST(s.packets AS BIGINT) AS packets
+        FROM chain c JOIN (
+            SELECT src_ip, dst_ip, report_ms, SUM(packets) AS packets
+            FROM assigned WHERE report_ms IS NOT NULL GROUP BY 1, 2, 3
+        ) s USING (src_ip, dst_ip, report_ms)
+        """
+    ),
+)
+def q_alert_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 report-once-with-increments as a first-class gate query: the
+    greedy per-key report chain (reference ports_scan.py:109-141 and
+    twins) oracle-checked against a DuckDB RECURSIVE CTE. The recursive
+    WITH is the SQL expression of what the reference's driver dict did —
+    sequential per key, which is exactly why the Spark side is a per-key
+    applyInPandas scan rather than a window function."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark import schema as S
+    from stream4flow_spark.operators.suppression import suppress_reports
+
+    alerts = (
+        flows_df(spark, sf_dir)
+        .filter(
+            (F.col(S.DST_PORT) == 22)
+            & F.col(S.SRC_IP4).isNotNull()
+            & F.col(S.DST_IP4).isNotNull()
+        )
+        .select(
+            F.col(S.SRC_IP4).alias("src_ip"),
+            F.col(S.DST_IP4).alias("dst_ip"),
+            F.col(S.T_START).alias("ts_ms"),
+            F.col(S.PACKETS).alias("packets"),
+        )
+    )
+    return suppress_reports(
+        alerts, ["src_ip", "dst_ip"], "ts_ms", 3_600_000, ["packets"]
+    )

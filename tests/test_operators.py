@@ -92,3 +92,21 @@ def test_salted_collect_set_and_count_distinct(spark):
     for k, (vals, n) in direct.items():
         assert salted[k] == vals
         assert counts[k] == n
+
+
+def test_top_n_ranked_map_output(spark):
+    """O4 — indexed-dict output of the ranked top-N rows."""
+    from stream4flow_spark.apps.top_n_host_stats import to_ranked_map, top_n_host_stats
+    from stream4flow_spark.fixtures.flows import flows_df
+    from tests.conftest import SF_DIR
+
+    stats = top_n_host_stats(
+        flows_df(spark, SF_DIR), window_duration="1 hour", n=3
+    )
+    ranked = to_ranked_map(stats)
+    row = ranked.filter(F.size(F.map_keys("ranked")) >= 2).first()
+    assert row is not None
+    m = row.ranked
+    assert set(m.keys()) <= {"0", "1", "2"}
+    # rank order preserved: entry "0" has >= flows than entry "1"
+    assert m["0"].flows >= m["1"].flows
