@@ -289,3 +289,50 @@ def q_rel_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("t").alias("session_start_ms"),
         (F.max("t") - F.min("t")).alias("duration_ms"),
     )
+
+
+@register(
+    "rel_rollup_revenue",
+    covers="rel:rollup rel:grouping-sets",
+    oracle="""
+        SELECT COALESCE(n_name, '__ALL__') AS nation,
+               COALESCE(CAST(year(o_orderdate) AS VARCHAR), '__ALL__') AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS orders,
+               CAST(GROUPING(n_name) * 2 + GROUPING(year(o_orderdate)) AS INT)
+                   AS grouping_level
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, year(o_orderdate))
+        """,
+)
+def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (nation -> year -> grand total) in one pass —
+    Catalyst expands the grouping sets via a single Expand, no
+    re-aggregation per level. Engine-generality check beyond the
+    reference's surface."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", F.year("o_orderdate").alias("yr"))
+    )
+    return (
+        joined.rollup("n_name", "yr")
+        .agg(
+            F.count("*").alias("orders"),
+            (F.grouping("n_name") * 2 + F.grouping("yr"))
+            .cast("int")
+            .alias("grouping_level"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("__ALL__")).alias("nation"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("__ALL__")).alias(
+                "order_year"
+            ),
+            "orders",
+            "grouping_level",
+        )
+    )

@@ -161,3 +161,53 @@ def test_stream_tls_classification_matches_batch(spark):
     got = run_stream_to_table(stream, output_mode="complete")
     keys = list(batch.columns)
     pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
+
+
+def test_watermark_drops_data_later_than_delay(spark, tmp_path):
+    """Event-time windowed agg with watermark (append mode): a late row
+    inside the watermark is counted; a row later than the watermark is
+    dropped; only watermark-finalized windows are emitted."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    T0 = 1_600_000_000_000
+    base = T0 - (T0 % 60_000)  # minute-align
+
+    def write(name, rows):
+        # flat files (not Spark's per-write subdirectories) so the file
+        # source lists them as three separate inputs
+        pdf = pd.DataFrame(rows, columns=["ts_ms"])
+        pdf.to_parquet(str(tmp_path / f"{name}.parquet"))
+        _time.sleep(1.1)  # file-source orders batches by mod time
+
+    m = 60_000
+    # NB: the watermark computed from batch N's data takes effect in
+    # batch N+2's late-row filter (one batch to compute, one to apply),
+    # so the late row goes in its own later file.
+    write("f1", [base + 10_000, base + 5 * m])            # wm -> +3min
+    write("f2", [base + 6 * m + 30_000])                  # wm applies after this
+    write("f3", [base + 20_000, base + 4 * m + 10_000])   # too-late; in-watermark
+    write("f4", [base + 10 * m])                          # advance wm, finalize
+
+    schema = "ts_ms long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    counts = (
+        stream.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_millis(F.col("w.start")).alias("w_ms"), "n")
+    )
+    got = {
+        r.w_ms: r.n
+        for r in run_stream_to_table(counts, output_mode="append").collect()
+    }
+    # late row at +20s was dropped (window end < watermark), so the base
+    # window has 1, not 2; in-watermark late row at +4min10s was kept
+    assert got == {base: 1, base + 4 * m: 1, base + 5 * m: 1, base + 6 * m: 1}
