@@ -69,28 +69,48 @@ def suppress_reports_stream(
             next_at, seq = None, 0
             pending = {c: 0.0 for c in sums}
 
-        out_rows = []
+        import numpy as np
+
+        out_frames = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_ms_col, kind="mergesort")
-            for _, row in pdf.iterrows():
+            pdf = pdf.sort_values(ts_ms_col, kind="mergesort").reset_index(drop=True)
+            t = pdf[ts_ms_col].to_numpy()
+            n = len(t)
+            # rows before the carried next_at accumulate into pending
+            start = 0 if next_at is None else int(np.searchsorted(t, next_at))
+            idxs: list[int] = []
+            i = start
+            while i < n:
+                idxs.append(i)
+                i = int(np.searchsorted(t, t[i] + window_ms, side="left"))
+            prefix = {
+                c: np.concatenate(([0.0], np.cumsum(pdf[c].to_numpy())))
+                for c in sums
+            }
+            if idxs:
+                out = pdf.iloc[idxs].copy()
+                bounds = np.array(idxs, dtype=np.int64) + 1
+                starts = np.concatenate(([0], bounds[:-1]))
                 for c in sums:
-                    pending[c] += row[c]
-                t = int(row[ts_ms_col])
-                if next_at is None or t >= next_at:
-                    r = {c: row[c] for c in cols}
-                    for c in sums:
-                        r[c] = pending[c]
-                        pending[c] = 0.0
-                    r["report_seq"] = seq
-                    out_rows.append(r)
-                    seq += 1
-                    next_at = t + window_ms
+                    seg = prefix[c][bounds] - prefix[c][starts]
+                    seg[0] += pending[c]  # carry-over into the first report
+                    pending[c] = 0.0
+                    out[c] = seg
+                out["report_seq"] = np.arange(seq, seq + len(idxs), dtype=np.int32)
+                seq += len(idxs)
+                next_at = int(t[idxs[-1]]) + window_ms
+                tail_from = bounds[-1]
+                out_frames.append(out[cols + ["report_seq"]])
+            else:
+                tail_from = 0
+            for c in sums:  # unreported tail accumulates for next batch
+                pending[c] += float(prefix[c][n] - prefix[c][tail_from])
 
         state.update((next_at, seq, *[pending[c] for c in sums]))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
-        if out_rows:
-            yield pd.DataFrame(out_rows, columns=cols + ["report_seq"])
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True)
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
