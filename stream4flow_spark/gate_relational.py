@@ -336,3 +336,89 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grouping_level",
         )
     )
+
+
+@register(
+    "tpch_q4ish_priority_check",
+    covers="rel:exists-semi-join",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate)
+        GROUP BY 1
+        """,
+)
+def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped: EXISTS → left-semi join (no row multiplication, the
+    build side streams), then a tiny groupBy. The ship-after-order
+    predicate stands in for TPC-H's commit/receipt columns the testdata
+    lacks."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "tpch_q13ish_order_distribution",
+    covers="rel:left-outer-join rel:two-level-agg",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY 1
+        """,
+)
+def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: customers-by-order-count histogram — left outer join (keeps
+    zero-order customers), two-level aggregation; the second groupBy's
+    key space is tiny so the re-shuffle is negligible."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q14ish_promo_share",
+    covers="rel:conditional-agg-share",
+    oracle="""
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+)
+def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share — fact⋈dim join (part broadcasts) with a
+    conditional aggregate; one pass, no shuffle beyond the final scalar."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )

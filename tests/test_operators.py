@@ -110,3 +110,36 @@ def test_top_n_ranked_map_output(spark):
     assert set(m.keys()) <= {"0", "1", "2"}
     # rank order preserved: entry "0" has >= flows than entry "1"
     assert m["0"].flows >= m["1"].flows
+
+
+def test_pattern_finder_config_from_yaml(spark, tmp_path):
+    """F8/C17 — the reference's YAML config surface compiles to the same
+    pipeline as the programmatic config (no eval, fixed vocabulary)."""
+    from stream4flow_spark.apps.pattern_finder import (
+        PatternFinderConfig,
+        pattern_finder,
+    )
+    from stream4flow_spark.fixtures.flows import flows_df
+    from tests.conftest import SF_DIR
+
+    cfg_yaml = tmp_path / "pf.yml"
+    cfg_yaml.write_text(
+        """
+filters:
+  - - {element: ipfix_protocolIdentifier, type: eq, value: 6}
+vector:
+  - {kind: expr, sql: req_packets}
+  - {kind: expr, sql: rsp_packets}
+patterns:
+  p1: [10.0, 10.0]
+thresholds: [1.0, 2.0, 4.0, 8.0]
+weights: [5, 4, 3, 2, 1]
+time_difference_ms: 86400000
+anomaly_limit: 1
+"""
+    )
+    cfg = PatternFinderConfig.from_yaml(str(cfg_yaml))
+    assert cfg.patterns == {"p1": [10.0, 10.0]}
+    out = pattern_finder(flows_df(spark, SF_DIR), cfg)
+    assert out.columns[:4] == ["src_ip", "dst_ip", "pattern", "pairs"]
+    assert out.count() >= 0

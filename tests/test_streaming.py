@@ -211,3 +211,22 @@ def test_watermark_drops_data_later_than_delay(spark, tmp_path):
     # late row at +20s was dropped (window end < watermark), so the base
     # window has 1, not 2; in-watermark late row at +4min10s was kept
     assert got == {base: 1, base + 4 * m: 1, base + 5 * m: 1, base + 6 * m: 1}
+
+
+def test_stream_host_stats_approx_matches_batch(spark):
+    """host_stats streams with exact_distinct=False (HLL sketches merge in
+    streaming state; exact countDistinct cannot). HLL is deterministic on
+    the same data, so batch-approx and stream-approx match exactly."""
+    import pandas as pd
+
+    from stream4flow_spark.apps.host_stats import host_stats
+
+    batch = host_stats(
+        flows_df(spark, SF_DIR), window_duration="1 hour", exact_distinct=False
+    )
+    stream = host_stats(
+        stream_flows_df(spark, SF_DIR), window_duration="1 hour", exact_distinct=False
+    )
+    got = run_stream_to_table(stream, output_mode="complete")
+    keys = ["window_start_ms", "src_ip"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
