@@ -60,3 +60,44 @@ def host_daily_profile(
             *[f"h{h}" for h in range(24)],
         )
     )
+
+
+def host_daily_profile_stream(
+    flows: DataFrame,
+    local_cidr: str = "10.0.0.0/16",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming W4 cascade: hourly windowed agg chained into a daily
+    windowed pivot — two stacked stateful operators, legal in append mode
+    since the hourly output carries event time via ``window_time`` (the
+    reference emulated this with three DStream windows and a global hour
+    counter, host_daily_profile.py:205,232,255,73-92). Only
+    watermark-finalized days emit; the live day stays in state."""
+    src = ip_coalesce(F.col(S.SRC_IP4), F.col(S.SRC_IP6))
+    base = (
+        flows.filter(ip_in_cidr(F.col(S.SRC_IP4), local_cidr))
+        .select(
+            F.timestamp_millis(F.col(S.T_START)).alias("ts"),
+            src.alias("src_ip"),
+        )
+        .withWatermark("ts", watermark_delay)
+    )
+    hourly = base.groupBy(F.window("ts", "1 hour").alias("hw"), "src_ip").agg(
+        F.count("*").alias("flows")
+    )
+    hwt = F.window_time("hw")
+    slot_aggs = [
+        F.coalesce(
+            F.sum(F.when(F.hour(hwt) == h, F.col("flows"))), F.lit(0)
+        ).alias(f"h{h}")
+        for h in range(24)
+    ]
+    return (
+        hourly.groupBy(F.window(hwt, "1 day").alias("dw"), "src_ip")
+        .agg(*slot_aggs)
+        .select(
+            F.unix_millis(F.col("dw.start")).alias("day_ms"),
+            "src_ip",
+            *[f"h{h}" for h in range(24)],
+        )
+    )

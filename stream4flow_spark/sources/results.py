@@ -76,3 +76,40 @@ def write_results_stream(
 def read_results(spark: SparkSession, root: str) -> DataFrame:
     """Read the store back; `result_date` filters prune partitions."""
     return spark.read.parquet(root)
+
+
+def compact_results(
+    spark: SparkSession, root: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Rewrite the store with one file per partition-chunk — the
+    small-files cure for streaming sinks (every micro-batch appends a
+    file; a day of 5 s triggers is 17k files/partition).
+
+    Local/simple strategy: stage a full rewrite next to the store, then
+    swap directories. At real scale this would run per-partition and
+    incrementally (only partitions whose file count exceeds a threshold),
+    but the rewrite plan — read, repartition on the partition columns so
+    each output task writes one file per partition, write, swap — is the
+    same. Returns the number of files after compaction."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(root)
+    part_cols = [c for c in ("result_date", "type") if c in df.columns]
+    tmp = root.rstrip("/") + ".compacting"
+    (
+        df.repartition(*part_cols)
+        .write.partitionBy(*part_cols)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    old = root.rstrip("/") + ".old"
+    os.rename(root, old)
+    os.rename(tmp, root)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for _, _, files in os.walk(root)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -61,3 +61,26 @@ def test_result_store_streaming_sink(spark, tmp_path):
     back = read_results(spark, root)
     assert back.count() > 0
     assert {r.type for r in back.select("type").distinct().collect()} == {"tcp_flows"}
+
+
+def test_compact_results_reduces_files(spark, tmp_path):
+    import os
+
+    from stream4flow_spark.sources.results import compact_results
+
+    root = str(tmp_path / "frag")
+    stats = protocols_statistics(flows_df(spark, SF_DIR), "1 hour")
+    # simulate many micro-batch appends -> many small files
+    for _ in range(4):
+        write_results(stats, root, "window_start_ms", app_type="protocols_statistics")
+
+    def count_files(p):
+        return sum(
+            1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    before_rows = read_results(spark, root).count()
+    before_files = count_files(root)
+    after_files = compact_results(spark, root)
+    assert after_files < before_files
+    assert read_results(spark, root).count() == before_rows

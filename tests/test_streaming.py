@@ -230,3 +230,27 @@ def test_stream_host_stats_approx_matches_batch(spark):
     got = run_stream_to_table(stream, output_mode="complete")
     keys = ["window_start_ms", "src_ip"]
     pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
+
+
+def test_stream_host_daily_profile_cascade(spark):
+    """W4 as chained streaming window aggregations (hourly -> daily via
+    window_time): finalized days match the batch profile exactly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.apps.host_daily_profile import (
+        host_daily_profile,
+        host_daily_profile_stream,
+    )
+
+    batch = host_daily_profile(flows_df(spark, SF_DIR))
+    stream = host_daily_profile_stream(stream_flows_df(spark, SF_DIR))
+    got = run_stream_to_table(stream, output_mode="append")
+
+    # only watermark-finalized days emit; every emitted day must equal
+    # the batch row bit for bit, and at least one day must have emitted
+    days = [r.day_ms for r in got.select("day_ms").distinct().collect()]
+    assert days, "no finalized day emitted"
+    expect = batch.filter(F.col("day_ms").isin(days))
+    keys = ["day_ms", "src_ip"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(expect, keys))
