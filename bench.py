@@ -31,8 +31,9 @@ def main() -> int:
     # happens to run first.
     from stream4flow_spark.sources.tables import TABLE_NAMES, load_table
 
+    input_rows = 0
     for t in TABLE_NAMES:
-        load_table(spark, sf_dir, t).count()
+        input_rows += load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
@@ -49,6 +50,10 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "input_rows": input_rows,
+                "rows_per_sec_aggregate": round(
+                    input_rows * len(timings) / total
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -75,8 +75,12 @@ def ip_in_cidr(ip: Column, cidr: str) -> Column:
     """
     lo, hi = cidr_range(cidr)
     n = ip4_to_long(ip)
-    # Guard: only dotted-quads convert; anything else → NULL → filter-false.
-    return ip.rlike(r"^\d+\.\d+\.\d+\.\d+$") & n.between(F.lit(lo), F.lit(hi))
+    # Guard: only dotted-quads convert; anything else → NULL. coalesce
+    # pins NULL to false so the predicate is also usable as a projection.
+    return F.coalesce(
+        ip.rlike(r"^\d+\.\d+\.\d+\.\d+$") & n.between(F.lit(lo), F.lit(hi)),
+        F.lit(False),
+    )
 
 
 # C11 — reference ports_scan.py:93-94 (unix ms → ISO-8601 Z)
@@ -84,3 +88,39 @@ def ms_to_iso(ms: Column) -> Column:
     return F.date_format(
         F.timestamp_millis(ms), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
     )
+
+
+# F5 extension — IPv6-capable CIDR membership (SURVEY.md §7.2: the
+# reference silently assumed v4; the v6 path is the documented deviation).
+def ip_in_cidr_any(ip: Column, cidr: str) -> Column:
+    """True iff `ip` (IPv4 dotted quad OR IPv6 string) is inside `cidr`.
+
+    v4 CIDRs take the pure-Column fast path (codegen, pushdown-friendly).
+    v6 CIDRs normalize to a 128-bit range compare inside an Arrow-batched
+    pandas UDF (``ipaddress`` handles `::` expansion); malformed strings
+    are false. Keep v4 filters on ``ip_in_cidr`` — this is the
+    mixed-family surface."""
+    net = ipaddress.ip_network(cidr, strict=False)
+    if net.version == 4:
+        return ip_in_cidr(ip, cidr)
+
+    lo, hi = int(net.network_address), int(net.broadcast_address)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _in6(s):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        def check(v):
+            if v is None:
+                return False
+            try:
+                a = ipaddress.ip_address(v)
+            except ValueError:
+                return False
+            return a.version == 6 and lo <= int(a) <= hi
+
+        return s.map(check)
+
+    return _in6(ip)

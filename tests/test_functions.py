@@ -80,3 +80,30 @@ def test_format_cipher_suites_edges(spark):
         for r in df.select(format_cipher_suites(F.col("raw")).alias("out")).collect()
     ]
     assert got == ["c02b,0113", "c02b,0113", "", "", "c02b", ""]
+
+
+def test_ip_in_cidr_any_v6(spark):
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.functions.net import ip_in_cidr_any
+
+    rows = [
+        ("fd00::5",), ("fd00::1:5",), ("FD00:0000::0005",),  # expansion/case
+        ("10.0.1.2",), ("garbage",), (None,),
+    ]
+    df = spark.createDataFrame(rows, "ip string")
+    got = [
+        r.hit
+        for r in df.select(
+            ip_in_cidr_any(F.col("ip"), "fd00::/32").alias("hit")
+        ).collect()
+    ]
+    assert got == [True, True, True, False, False, False]
+    # and the v4 fast path still works through the same entry point
+    got4 = [
+        r.hit
+        for r in df.select(
+            ip_in_cidr_any(F.col("ip"), "10.0.0.0/16").alias("hit")
+        ).collect()
+    ]
+    assert got4 == [False, False, False, True, False, False]

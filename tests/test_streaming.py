@@ -254,3 +254,18 @@ def test_stream_host_daily_profile_cascade(spark):
     expect = batch.filter(F.col("day_ms").isin(days))
     keys = ["day_ms", "src_ip"]
     pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(expect, keys))
+
+
+def test_stream_reflect_ddos_matches_batch(spark):
+    """A detection app (union of query/reply legs + grouped sums +
+    HAVING) under streaming, complete mode."""
+    import pandas as pd
+
+    from stream4flow_spark.apps.reflect_ddos import reflect_ddos
+
+    kw = dict(dns_servers=["10.0.3.96", "10.0.2.47"], min_ratio=0.5, min_replies=1)
+    batch = reflect_ddos(flows_df(spark, SF_DIR), **kw)
+    stream = reflect_ddos(stream_flows_df(spark, SF_DIR), **kw)
+    got = run_stream_to_table(stream, output_mode="complete")
+    keys = list(batch.columns)
+    pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
