@@ -107,3 +107,29 @@ def test_ip_in_cidr_any_v6(spark):
         ).collect()
     ]
     assert got4 == [False, False, False, True, False, False]
+
+
+def test_decode_rdata_all_types(spark):
+    """C8 — type-directed RData decode: A->IPv4, AAAA->IPv6, else ASCII
+    (reference DNSResponseConverter.py:30-72 semantics)."""
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.functions.dns import decode_rdata
+
+    rows = [
+        ("0a000102", 1),                           # A -> 10.0.1.2
+        ("FD000000000000000000000000000005", 28),  # AAAA (32 hex chars)
+        ("7777772e6578616d706c652e636f6d", 5),      # CNAME hex->ascii
+    ]
+    df = spark.createDataFrame(rows, "rdata string, t int")
+    got = [
+        r.out
+        for r in df.select(
+            decode_rdata(F.col("rdata"), F.col("t")).alias("out")
+        ).collect()
+    ]
+    assert got == [
+        "10.0.1.2",
+        "fd00:0000:0000:0000:0000:0000:0000:0005",
+        "www.example.com",
+    ]

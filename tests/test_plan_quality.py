@@ -1,0 +1,63 @@
+"""Physical-plan quality gates — the properties that make queries survive
+a 100 TB cluster, locked in as tests so a refactor can't silently
+regress them."""
+
+from __future__ import annotations
+
+import pytest
+
+from stream4flow_spark.registry import REGISTRY, queries
+from tests.conftest import SF_DIR
+
+queries()  # force registration
+
+# Brute-force-by-design pairwise queries (bounded inputs, documented):
+# the inequality-only join condition legitimately plans as a nested-loop.
+# cosine_topk scores every (query, corpus) pair by definition — its
+# broadcast nested-loop IS the intended "broadcast queries, scan corpus
+# once" plan.
+_NESTED_LOOP_OK = {"llm_ngram_jaccard", "llm_ann_cosine_topk"}
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_accidental_cartesian_or_nested_loop(name, spark):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join"
+        )
+
+
+def test_q5ish_broadcasts_dimensions(spark):
+    plan = _plan(spark, "tpch_q5ish_revenue_per_region")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_pushes_filters_and_prunes_columns(spark):
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # projection pruning: the lineitem scan must not read l_comment-ish
+    # width — only the 4 columns the query touches appear in ReadSchema
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all(ln.count(":") <= 6 for ln in read)
+
+
+def test_whole_stage_codegen_on_hot_aggregates(spark):
+    # AQE compiles codegen only at execution: materialize, then check the
+    # final plan's `*(N)` whole-stage markers on the aggregate spans
+    for name in ["protocols_statistics", "host_stats", "tpch_q1_pricing_summary"]:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        df.collect()
+        ep = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in ep and "HashAggregate" in ep, name
