@@ -143,3 +143,33 @@ anomaly_limit: 1
     out = pattern_finder(flows_df(spark, SF_DIR), cfg)
     assert out.columns[:4] == ["src_ip", "dst_ip", "pattern", "pairs"]
     assert out.count() >= 0
+
+
+def test_pattern_finder_suppression_merges_distributions(spark):
+    """ST3 — suppressed pattern_finder re-reports elementwise-sum their
+    distribution slots (reference pattern_finder.py:280-331): wiring the
+    generic suppression operator with the b0..b4 slots as sum_cols."""
+    import pandas as pd
+
+    from stream4flow_spark.operators.suppression import suppress_reports
+
+    rows = [
+        # key (s,d,p): alerts at t=0, 10s, 40s with distributions
+        ("s", "d", "p1", 0, 1, 0, 2, 0, 0),
+        ("s", "d", "p1", 10_000, 0, 1, 0, 0, 0),
+        ("s", "d", "p1", 40_000, 3, 0, 0, 0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "src string, dst string, pattern string, ts_ms long, "
+        "b0 long, b1 long, b2 long, b3 long, b4 long"
+    )
+    out = suppress_reports(
+        df, ["src", "dst", "pattern"], "ts_ms", 30_000,
+        ["b0", "b1", "b2", "b3", "b4"],
+    ).toPandas().sort_values("report_seq")
+    # report 0 at t=0 carries its own slots; report 1 at t=40s merges the
+    # suppressed t=10s alert's slots with its own
+    assert out[["b0", "b1", "b2", "b3", "b4"]].values.tolist() == [
+        [1, 0, 2, 0, 0],
+        [3, 1, 0, 0, 1],
+    ]
