@@ -34,7 +34,7 @@ def dns_statistics(
     flows: DataFrame,
     local_cidr: str = "10.0.0.0/16",
     window_duration: str = "60 seconds",
-    top: int = 100,
+    top: int | None = 100,
     filtered_domains: list[str] | None = None,
 ) -> DataFrame:
     """Output: window_start_ms, stat_type, key, value (count), rank."""
@@ -89,6 +89,10 @@ def dns_statistics(
             "value",
         )
     )
+    # top=None → the streamable core (no rank window; in streaming the
+    # top-N runs on the result store via plans.readside, not in-stream)
+    if top is None:
+        return counted
     # A10 top-N per stat type within each window (reference kept top 100)
     return top_k_per_key(
         counted,

@@ -59,9 +59,32 @@ def write_results_stream(
     app_type: str | None = None,
     output_mode: str = "append",
 ):
-    """Streaming sink to the same store (exactly-once via checkpoint +
-    file-sink transaction log). Returns the StreamingQuery."""
+    """Streaming sink to the same store. Returns the StreamingQuery.
+
+    - ``append`` (watermarked/finalized rows): native parquet file sink,
+      exactly-once via checkpoint + the sink's transaction log.
+    - ``complete`` (full re-emitted aggregate state): the parquet sink
+      can't take it, so a ``foreachBatch`` overwrites the store each
+      trigger — the standard pattern for materializing a complete-mode
+      aggregation as a table.
+    """
     cols = ["result_date"] + (["type"] if app_type is not None else [])
+    if output_mode == "complete":
+
+        def overwrite(batch_df: DataFrame, _batch_id: int) -> None:
+            (
+                with_result_partitions(batch_df, ts_ms_col, app_type)
+                .write.partitionBy(*cols)
+                .mode("overwrite")
+                .parquet(root)
+            )
+
+        return (
+            results.writeStream.foreachBatch(overwrite)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
     return (
         with_result_partitions(results, ts_ms_col, app_type)
         .writeStream.partitionBy(*cols)

@@ -25,18 +25,28 @@ from pyspark.sql import functions as F
 from stream4flow_spark.schema import FLOW_SCHEMA
 
 
+def parse_flow_json(value: "F.Column") -> "F.Column":
+    """S2 — one JSON flow record (string) → typed flow struct.
+
+    The reference's ``ipfix.X`` dotted keys map to ``ipfix_X`` columns
+    (both spellings accepted via a pre-parse translate); absent keys
+    become NULLs (from_json is null-tolerant by design, which replaces
+    every per-app key-presence guard the reference needed). Usable from
+    batch and streaming alike — the contract is tested without a broker.
+    """
+    return F.from_json(
+        F.regexp_replace(value.cast("string"), r'"ipfix\.', '"ipfix_'),
+        FLOW_SCHEMA,
+    )
+
+
 def read_flow_stream(
     spark: SparkSession,
     brokers: str,
     topic: str = "ipfix.entry",
     starting_offsets: str = "latest",
 ) -> DataFrame:
-    """Kafka JSON flow stream → typed flow DataFrame (S1 + S2).
-
-    The reference's ``ipfix.X`` JSON keys map to ``ipfix_X`` columns;
-    absent keys become NULLs (from_json is null-tolerant by design, which
-    replaces every per-app key-presence guard the reference needed)."""
-    renamed = FLOW_SCHEMA
+    """Kafka JSON flow stream → typed flow DataFrame (S1 + S2)."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -44,15 +54,7 @@ def read_flow_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = raw.select(
-        F.from_json(
-            # reference keys are dotted (ipfix.sourceIPv4Address); accept
-            # both by translating dots before parsing
-            F.regexp_replace(F.col("value").cast("string"), r'"ipfix\.', '"ipfix_'),
-            renamed,
-        ).alias("flow")
-    )
-    return parsed.select("flow.*")
+    return raw.select(parse_flow_json(F.col("value")).alias("flow")).select("flow.*")
 
 
 def write_result_stream(
