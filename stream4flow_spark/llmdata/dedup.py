@@ -126,8 +126,14 @@ def minhash_table(
     (and array allocations) per document. Documents with empty shingle
     sets drop out (same as the scalar form's NULL signatures)."""
     exploded = shingled.select(F.col(id_col).alias("id"), F.explode("grams").alias("g"))
-    hashed = exploded.select(
-        "id", *[F.xxhash64("g", F.lit(i)).alias(f"h{i}") for i in range(num_perm)]
+    # hash the (variable-length) shingle string ONCE, then derive the
+    # num_perm permutations by hashing the resulting 8-byte long with
+    # per-permutation seeds — string hashing dominates, so this is ~n×
+    # cheaper than xxhash64(g, seed=i) per permutation and equally
+    # independent for banding purposes
+    base = exploded.select("id", F.xxhash64("g").alias("h0"))
+    hashed = base.select(
+        "id", *[F.xxhash64("h0", F.lit(i)).alias(f"h{i}") for i in range(num_perm)]
     )
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
