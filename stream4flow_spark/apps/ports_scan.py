@@ -54,13 +54,15 @@ def ports_scan(
             base.groupBy("window_start_ms", "src_ip", key_col)
             .agg(
                 F.count("*").alias("flows"),
-                # A14 fixed: true distinct count + sorted distinct list
-                F.countDistinct(target_col).alias("targets"),
-                F.concat_ws(",", F.sort_array(F.collect_set(target_col))).alias(
-                    "targets_list"
-                ),
+                # A14 fixed: sorted distinct list; the distinct count is
+                # the set's size — a separate countDistinct would add an
+                # Expand pass in batch and is flatly unsupported in
+                # streaming aggregation
+                F.sort_array(F.collect_set(target_col)).alias("target_set"),
                 F.sum("duration_ms").alias("duration_ms"),
             )
+            .withColumn("targets", F.size("target_set").cast("long"))
+            .withColumn("targets_list", F.concat_ws(",", "target_set"))
             .filter(F.col("targets") >= min_targets)  # F10 (reference :209-218)
             .select(
                 "window_start_ms",

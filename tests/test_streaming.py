@@ -269,3 +269,34 @@ def test_stream_reflect_ddos_matches_batch(spark):
     got = run_stream_to_table(stream, output_mode="complete")
     keys = list(batch.columns)
     pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
+
+
+def test_stream_ssh_auth_simple_matches_batch(spark):
+    """Brute-force detection (band filters + grouped avg + HAVING) under
+    streaming, complete mode."""
+    import pandas as pd
+
+    from stream4flow_spark.apps.ssh_auth_simple import ssh_auth_simple
+
+    kw = dict(window_duration="1 hour", min_flows=2, packets_band=(1, 200),
+              bytes_band=(40, 50_000), max_duration_ms=10**9)
+    batch = ssh_auth_simple(flows_df(spark, SF_DIR), **kw)
+    stream = ssh_auth_simple(stream_flows_df(spark, SF_DIR), **kw)
+    got = run_stream_to_table(stream, output_mode="complete")
+    keys = list(batch.columns)
+    pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
+
+
+def test_stream_ports_scan_matches_batch(spark):
+    """Scan detection (SYN filter + union of horizontal/vertical legs +
+    collect_set aggregate + HAVING) under streaming, complete mode."""
+    import pandas as pd
+
+    from stream4flow_spark.apps.ports_scan import ports_scan
+
+    kw = dict(window_duration="1 hour", min_targets=3)
+    batch = ports_scan(flows_df(spark, SF_DIR), **kw)
+    stream = ports_scan(stream_flows_df(spark, SF_DIR), **kw)
+    got = run_stream_to_table(stream, output_mode="complete")
+    keys = ["window_start_ms", "scan_type", "src_ip", "key"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
