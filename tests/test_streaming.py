@@ -300,3 +300,17 @@ def test_stream_ports_scan_matches_batch(spark):
     got = run_stream_to_table(stream, output_mode="complete")
     keys = ["window_start_ms", "scan_type", "src_ip", "key"]
     pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
+
+
+def test_stream_dns_open_resolvers_matches_batch(spark):
+    """Open-resolver detection (bit-test filters + RData decode +
+    windowed agg) under streaming, complete mode."""
+    import pandas as pd
+
+    from stream4flow_spark.apps.dns_open_resolvers import dns_open_resolvers
+
+    batch = dns_open_resolvers(flows_df(spark, SF_DIR))
+    stream = dns_open_resolvers(stream_flows_df(spark, SF_DIR))
+    got = run_stream_to_table(stream, output_mode="complete")
+    keys = list(batch.columns)
+    pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
