@@ -110,8 +110,6 @@ def ip_in_cidr_any(ip: Column, cidr: str) -> Column:
 
     @pandas_udf("boolean")
     def _in6(s):  # type: ignore[no-untyped-def]
-        import pandas as pd
-
         def check(v):
             if v is None:
                 return False
