@@ -774,3 +774,20 @@ def q_alert_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suppress_reports(
         alerts, ["src_ip", "dst_ip"], "ts_ms", 3_600_000, ["packets"]
     )
+
+
+@register(
+    "application_template",
+    covers="S2 O1 template",
+    oracle=oracle_query(
+        f"""
+        SELECT {_win(_T, 60_000)} AS window_start_ms,
+               CAST(COUNT(*) AS BIGINT) AS records
+        FROM flows GROUP BY 1
+        """
+    ),
+)
+def q_application_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream4flow_spark.apps.template import count_by_minute
+
+    return count_by_minute(flows_df(spark, sf_dir))
