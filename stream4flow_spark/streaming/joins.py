@@ -25,10 +25,17 @@ def stream_interval_join(
     right_ts_ms: str,
     tolerance_ms: int,
     watermark_delay: str = "10 minutes",
+    event_time_col: str | None = None,
 ) -> DataFrame:
     """Streaming inner equi-join on ``on`` keeping |left_ts − right_ts| ≤
     tolerance. Non-key column names must be disjoint between the sides
     (project before calling). Output = key cols + both sides' payloads.
+
+    ``event_time_col``: keep the left side's watermarked event-time
+    column under this name. A downstream stateful operator (windowed agg)
+    must window on THIS column — calling ``withWatermark`` again after
+    the join is a watermark redefinition, which Spark rejects across
+    stacked stateful operators.
     """
     lw = left.withColumn("__lts", F.timestamp_millis(F.col(left_ts_ms))).withWatermark(
         "__lts", watermark_delay
@@ -50,4 +57,7 @@ def stream_interval_join(
     # key columns appear twice; keep the left copy
     for k in on:
         joined = joined.drop(rw[k])
-    return joined.drop("__lts", "__rts")
+    joined = joined.drop("__rts")
+    if event_time_col is not None:
+        return joined.withColumnRenamed("__lts", event_time_col)
+    return joined.drop("__lts")

@@ -314,3 +314,126 @@ def test_stream_dns_open_resolvers_matches_batch(spark):
     got = run_stream_to_table(stream, output_mode="complete")
     keys = list(batch.columns)
     pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Stop a checkpointed streaming query, add new input, restart with
+    the SAME checkpoint: already-processed files are not reprocessed and
+    the sink holds each record exactly once."""
+    import time as _time
+
+    import pandas as pd
+
+    from stream4flow_spark.sources.results import read_results, write_results_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    root = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    B = 1_700_000_000_000
+
+    def arrive(name, n0, n):
+        pd.DataFrame(
+            {"ts_ms": [B + i * 1000 for i in range(n0, n0 + n)]}
+        ).to_parquet(str(src / f"{name}.parquet"))
+        _time.sleep(0.2)
+
+    def run_once():
+        stream = spark.readStream.schema("ts_ms long").parquet(str(src))
+        q = write_results_stream(stream, root, "ts_ms", ck, app_type="t")
+        q.processAllAvailable()
+        q.stop()
+
+    arrive("f1", 0, 5)
+    run_once()
+    assert read_results(spark, root).count() == 5
+
+    arrive("f2", 5, 7)
+    run_once()  # restart from the same checkpoint
+    back = read_results(spark, root)
+    assert back.count() == 12  # 5 + 7, nothing duplicated
+    assert back.select("ts_ms").distinct().count() == 12
+
+def test_stream_join_then_windowed_agg_matches_batch(spark, tmp_path):
+    """Stacked stateful operators: stream-stream interval join feeding a
+    windowed count. Batches arrive over three files so the watermark can
+    propagate through both operators; finalized windows must match the
+    batch join + windowed count."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.operators.interval_join import interval_join
+    from stream4flow_spark.streaming.joins import stream_interval_join
+
+    B = 1_600_000_000_000
+    m = 60_000
+    pa, pc = tmp_path / "ans", tmp_path / "con"
+    pa.mkdir(), pc.mkdir()
+
+    def write(d, name, rows, ts_col):
+        pd.DataFrame(rows, columns=["k", ts_col]).to_parquet(
+            str(d / f"{name}.parquet")
+        )
+        _time.sleep(1.1)
+
+    # minute 0 and minute 1 pairs; a final far-future row per side
+    # advances the watermark so those windows finalize
+    write(pa, "a1", [("k1", B + 10_000), ("k1", B + m + 10_000)], "a_ts")
+    write(pc, "c1", [("k1", B + 12_000), ("k1", B + m + 15_000), ("k1", B + m + 20_000)], "c_ts")
+    write(pa, "a2", [("k9", B + 120 * m)], "a_ts")
+    write(pc, "c2", [("k9", B + 120 * m)], "c_ts")
+
+    ba = spark.read.parquet(str(pa))
+    bc = spark.read.parquet(str(pc))
+    expect_all = (
+        interval_join(ba, bc, ["k"], "a_ts", "c_ts", 30_000)
+        .withColumn("w_ms", F.col("a_ts") - F.col("a_ts") % m)
+        .groupBy("w_ms", "k")
+        .agg(F.count("*").alias("pairs"))
+    )
+
+    sa = (
+        spark.readStream.schema("k string, a_ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(pa))
+    )
+    sc = (
+        spark.readStream.schema("k string, c_ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(pc))
+    )
+    joined = stream_interval_join(
+        sa, sc, ["k"], "a_ts", "c_ts", 30_000, watermark_delay="2 minutes",
+        event_time_col="ts",
+    )
+    agg = (
+        joined
+        .groupBy(F.window("ts", "1 minute").alias("w"), "k")
+        .agg(F.count("*").alias("pairs"))
+        .select(F.unix_millis(F.col("w.start")).alias("w_ms"), "k", "pairs")
+    )
+    got = run_stream_to_table(agg, output_mode="append")
+    wins = [r.w_ms for r in got.select("w_ms").distinct().collect()]
+    assert wins, "no finalized window emitted"
+    expect = expect_all.filter(F.col("w_ms").isin(wins))
+    keys = ["w_ms", "k"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(expect, keys))
+    # the minute-0 window must be among the finalized ones
+    assert B - B % m + 0 in wins or B - B % m in wins
+
+
+def test_stream_dns_external_resolvers_smoke(spark):
+    """The app's streaming form (interval join -> windowed count) builds
+    and drains; window finalization across batches is covered by
+    test_stream_join_then_windowed_agg_matches_batch."""
+    from stream4flow_spark.apps.dns_external_resolvers import (
+        dns_external_resolvers_stream,
+    )
+
+    df = dns_external_resolvers_stream(
+        stream_flows_df(spark, SF_DIR), proximity_ms=604_800_000
+    )
+    out = run_stream_to_table(df, output_mode="append")
+    assert out.count() >= 0
