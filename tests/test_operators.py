@@ -173,3 +173,22 @@ def test_pattern_finder_suppression_merges_distributions(spark):
         [1, 0, 2, 0, 0],
         [3, 1, 0, 0, 1],
     ]
+
+
+def test_host_stats_nested_output_shape(spark):
+    """O2 — the reference's nested {"stats": {"total": ..., "tcp_flags":
+    ...}} output document (host_stats.py:79-138)."""
+    import json
+
+    from stream4flow_spark.apps.host_stats import host_stats, to_output_json
+    from stream4flow_spark.fixtures.flows import flows_df
+    from tests.conftest import SF_DIR
+
+    stats = host_stats(flows_df(spark, SF_DIR), window_duration="1 hour")
+    doc = json.loads(to_output_json(stats).first().value)
+    assert doc["@type"] == "host_stats"
+    assert set(doc["stats"]) >= {"total", "tcp_flags", "dport_count", "peer_number"}
+    assert set(doc["stats"]["total"]) == {"flow", "packets", "bytes"}
+    assert set(doc["stats"]["tcp_flags"]) == {
+        "FIN", "SYN", "RST", "PSH", "ACK", "URG", "ECE", "CWR"
+    }
