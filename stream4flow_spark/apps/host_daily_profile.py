@@ -101,3 +101,33 @@ def host_daily_profile_stream(
             *[f"h{h}" for h in range(24)],
         )
     )
+
+
+def daily_profile_from_host_stats(host_stats_hourly: DataFrame) -> DataFrame:
+    """S7 — the reference chained apps over Kafka: host_stats' hourly
+    output topic WAS host_daily_profile's input (host_daily_profile.py:
+    207-210, README statistics/hosts_profiling). Here the chain is a
+    pivot over the stored hourly host_stats results (same 24-slot output
+    schema as ``host_daily_profile``), so the profile never re-reads raw
+    flows — at scale it aggregates result rows (hosts × hours), 4-6
+    orders of magnitude smaller than the flow table."""
+    hourly = host_stats_hourly.select(
+        F.timestamp_millis(F.col("window_start_ms")).alias("wts"),
+        "src_ip",
+        F.col("flows"),
+    )
+    slot_aggs = [
+        F.coalesce(
+            F.sum(F.when(F.hour(F.col("wts")) == h, F.col("flows"))), F.lit(0)
+        ).alias(f"h{h}")
+        for h in range(24)
+    ]
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("wts")).alias("day"), "src_ip")
+        .agg(*slot_aggs)
+        .select(
+            F.unix_millis(F.col("day")).alias("day_ms"),
+            "src_ip",
+            *[f"h{h}" for h in range(24)],
+        )
+    )

@@ -192,3 +192,29 @@ def test_host_stats_nested_output_shape(spark):
     assert set(doc["stats"]["tcp_flags"]) == {
         "FIN", "SYN", "RST", "PSH", "ACK", "URG", "ECE", "CWR"
     }
+
+
+def test_daily_profile_chained_from_host_stats(spark):
+    """S7 — daily profile built from host_stats' hourly RESULTS equals
+    the profile computed from raw flows (the reference's Kafka app chain,
+    as a result-table pivot)."""
+    import pandas as pd
+
+    from stream4flow_spark.apps.host_daily_profile import (
+        daily_profile_from_host_stats,
+        host_daily_profile,
+    )
+    from stream4flow_spark.apps.host_stats import host_stats
+    from stream4flow_spark.fixtures.flows import flows_df
+    from tests.conftest import SF_DIR
+
+    fl = flows_df(spark, SF_DIR)
+    direct = host_daily_profile(fl).toPandas()
+    chained = daily_profile_from_host_stats(
+        host_stats(fl, window_duration="1 hour")
+    ).toPandas()
+    keys = ["day_ms", "src_ip"]
+    pd.testing.assert_frame_equal(
+        direct.sort_values(keys, ignore_index=True),
+        chained.sort_values(keys, ignore_index=True),
+    )
