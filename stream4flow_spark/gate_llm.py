@@ -317,3 +317,46 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "llm_dedup_components",
+    covers="llm:dedup-components",
+    # oracle: transitive closure over the same near-dup pair graph
+    # (recursive CTE with UNION-distinct termination), component = min
+    # reachable id — exactly the min-label fixpoint the Spark side
+    # propagates
+    oracle="""
+        WITH RECURSIVE emb AS (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM emb a JOIN emb b ON a.id < b.id
+            WHERE ROUND(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+        ),
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS id, src AS r FROM e
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+        )
+        SELECT id, CAST(MIN(r) AS BIGINT) AS component
+        FROM reach GROUP BY id
+        """,
+)
+def q_llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup-cluster assignment over the embedding near-dup
+    pair graph — the keeper-selection step after candidate generation."""
+    from stream4flow_spark.llmdata.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(emb, threshold=0.3)
+    return connected_components(pairs).select(
+        "id", F.col("component").cast("long").alias("component")
+    )

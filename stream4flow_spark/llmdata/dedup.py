@@ -348,3 +348,68 @@ def simhash_dedup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- connected components
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex in the pair graph; component =
+    the minimum id reachable from the vertex.
+
+    Near-dup pairs are only half of dedup — keeper selection must respect
+    TRANSITIVE duplication (a~b, b~c ⇒ one keeper for {a,b,c}). Min-label
+    propagation: every vertex starts labeled with itself; each round a
+    vertex takes the minimum label in its neighborhood; converges in
+    O(graph diameter) rounds (dup clusters are tiny and dense, so
+    usually 2-3). Each round is two shuffles (join + min-agg) — a
+    driver-side loop over Spark jobs, like any Pregel-style algorithm;
+    the loop carries only a changed-row count to the driver.
+    """
+    # iterative algorithm essentials: the edge set is CACHED (otherwise
+    # every iteration recomputes the upstream pair generation — 6× at
+    # sf0.01), and each iteration's labels are localCheckpoint'ed so the
+    # lineage doesn't grow with the loop.
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            updated = (
+                labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("new_label"),
+                    "label",
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = updated.filter(F.col("new_label") != F.col("label")).count()
+            labels = updated.select("id", F.col("new_label").alias("label"))
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels.select("id", F.col("label").alias("component"))

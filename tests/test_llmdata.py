@@ -104,3 +104,18 @@ def test_ivf_topk_recall_vs_exact(spark):
         for r in ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_connected_components_handcrafted_graph(spark):
+    from stream4flow_spark.llmdata.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    cc = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert cc == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
