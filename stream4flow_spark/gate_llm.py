@@ -360,3 +360,45 @@ def q_llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         "id", F.col("component").cast("long").alias("component")
     )
+
+
+_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 4)) AS INT)"
+)
+
+
+@register(
+    "llm_hash_split",
+    covers="llm:train-split",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_BUCKET_SQL.format(salt='s4f-split')} < 52428 THEN 'train'
+                    WHEN {_BUCKET_SQL.format(salt='s4f-split')} < 58982 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        """,
+)
+def q_llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split — identical assignment in any engine,
+    any run, any partitioning (unlike randomSplit)."""
+    from stream4flow_spark.llmdata.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@register(
+    "llm_stratified_sample",
+    covers="llm:stratified-sample",
+    oracle=f"""
+        SELECT doc_id, lang FROM documents
+        WHERE (lang = 'en' AND {_BUCKET_SQL.format(salt='s4f-sample')} < 13107)
+           OR (lang = 'de' AND {_BUCKET_SQL.format(salt='s4f-sample')} < 32768)
+        """,
+)
+def q_llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (en 20%, de 50%)."""
+    from stream4flow_spark.llmdata.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, {"en": 0.2, "de": 0.5}, strata_col="lang")

@@ -1,0 +1,67 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Both operators key on an md5 hash bucket of (id, salt) — fully
+deterministic (same split on every run, any partitioning, any engine:
+md5 is identical in Spark and DuckDB, so the driver's oracle can verify
+the exact assignment), order-independent, and join-free. This is the
+property `df.sample()`/`randomSplit()` lack: their assignment depends on
+partitioning and seed plumbing, which breaks reproducibility across
+re-runs and engines.
+
+The bucket is the first 4 md5 hex chars as an int in [0, 65536) — plenty
+of resolution for split fractions; at 100 TB the expression is pure
+map-side Column math on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 65536
+
+
+def hash_bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, 65536) from (key, salt)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "s4f-split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative weight fraction.
+
+    weights must sum to 1 (the last split absorbs rounding)."""
+    v = hash_bucket(F.col(key_col), salt)
+    names = list(weights)
+    cum = 0.0
+    expr: Column | None = None
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = v < int(cum * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    out = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "s4f-sample",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows (strata not in
+    ``fractions`` are dropped)."""
+    v = hash_bucket(F.col(key_col), salt)
+    cond = F.lit(False)
+    for stratum, frac in fractions.items():
+        cond = cond | (
+            (F.col(strata_col) == stratum) & (v < int(frac * _BUCKETS))
+        )
+    return df.filter(cond)

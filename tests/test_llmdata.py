@@ -119,3 +119,20 @@ def test_connected_components_handcrafted_graph(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from stream4flow_spark.llmdata.sampling import hash_split
+    from stream4flow_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(docs, w).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, w).collect()}
+    assert a == b  # run-to-run deterministic
+    n = len(a)
+    train_frac = sum(1 for s in a.values() if s == "train") / n
+    assert 0.7 < train_frac < 0.9
+    # a different salt gives a different (but still complete) assignment
+    c = {r.doc_id: r.split for r in hash_split(docs, w, salt="other").collect()}
+    assert c != a and set(c) == set(a)
