@@ -51,7 +51,22 @@ def cosine_topk(
 
     Output: query_id, neighbor_id, cos (double, optionally rounded so
     ranking ties break deterministically by neighbor_id).
+
+    Scale shape (the corpus is the big side, the query set is bounded):
+
+    - the QUERY set is broadcast (``F.broadcast(q)`` on the build side of
+      the nested-loop join) and the corpus is the streamed side — one
+      map-only scan of the corpus, no corpus shuffle, arbitrarily wide
+      parallelism;
+    - scoring stays JVM-side (zip_with/aggregate higher-order functions);
+    - each partition then reduces its scored rows to a LOCAL top-k per
+      query (Arrow-batched incremental kernel over 3 scalar columns, state
+      bounded at k·|Q| rows), so the final exact rank-window shuffle
+      carries ≤ k · num_partitions candidates per query instead of
+      |corpus| rows per query. At 100 TB the wide |Q|·|C| score relation
+      never hits a shuffle.
     """
+    import pandas as pd
     from pyspark.sql import Window
 
     q = queries.select(
@@ -65,15 +80,39 @@ def cosine_topk(
     sim = cosine(F.col("qv"), F.col("cv"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
+    # Corpus on the left (streamed), broadcast queries on the right
+    # (build side): the one join order that survives an unbounded corpus.
     scored = (
-        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cos"))
     )
+
+    q_id_t = queries.schema[id_col].dataType.simpleString()
+    c_id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {q_id_t}, neighbor_id {c_id_t}, cos double"
+
+    def partial_topk(batches):
+        # Incremental per-partition top-k: fold each Arrow batch into a
+        # buffer capped at k rows per query, emit once per partition.
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            both = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+            both = both.sort_values(
+                ["query_id", "cos", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            buf = both.groupby("query_id", sort=False).head(k)
+        if buf is not None and len(buf):
+            yield buf
+
+    pruned = scored.mapInPandas(partial_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
@@ -85,60 +124,91 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 4,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold — blocked matrix product.
+    """All pairs with cosine ≥ threshold — tiled block matrix product.
 
-    Brute-force all-pairs is inherently O(N²); the scalable *shape* is a
-    block product, not a pairwise join: the (id, vector) matrix is
-    broadcast once (like a dimension table), and each corpus partition
-    computes ``block @ M.T`` with vectorized BLAS inside an Arrow-batched
-    ``mapInPandas``, emitting only above-threshold pairs. No N² rows are
-    ever materialized pre-filter, and no vector travels through a shuffle.
-    Boundary: the broadcast matrix must fit on executors (~1 GB at
-    1M × 128 float64) — beyond that, use ``lsh_bucketed_neighbors``
-    (candidate pruning) or tile both sides.
+    Brute-force all-pairs is inherently O(N²) *compute*; the scalable
+    shape makes everything else O(N): the corpus is hashed into
+    ``n_blocks`` disjoint blocks, each of the n_blocks·(n_blocks+1)/2
+    block PAIRS is routed (via a broadcast routing table) to one task,
+    and the task computes the dense tile product ``A @ B.T`` with
+    vectorized BLAS, emitting only above-threshold pairs.
 
-    Replaces the pair-join + per-pair higher-order-function cosine, which
-    was ~20× slower at sf0.1 (36M pair rows, each evaluating a 128-term
-    aggregate expression) and unshippable at scale.
+    Scale properties: nothing is collected to the driver and no matrix is
+    broadcast — each row travels through exactly ONE shuffle, replicated
+    to its n_blocks tile slots (volume = n_blocks·N rows), and per-task
+    memory is bounded at ~2·N/n_blocks vectors. Pick
+    ``n_blocks ≈ 2·N·dim·8B / task_memory_budget`` so tiles always fit:
+    growing N grows the number of tasks, never the per-task footprint.
+    No N² rows are ever materialized pre-filter. (The previous form
+    broadcast the full corpus matrix after a driver ``toPandas()`` — the
+    driver pull died first at scale; this keeps the BLAS tile product and
+    drops both bottlenecks.)
     """
     import numpy as np
     import pandas as pd
 
+    spark = corpus.sparkSession
     base = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    pdf_all = base.toPandas()
-    ids_all = pdf_all["id"].to_numpy()
-    M = np.vstack(pdf_all["v"].to_numpy())
-    norms_all = np.linalg.norm(M, axis=1)
-    bc = corpus.sparkSession.sparkContext.broadcast((ids_all, M, norms_all))
+    blocked = base.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+
+    # Routing table: block i participates in tile (i,j) as the Left side
+    # for j>i, as the Right side for j<i, and once as Diagonal for j==i.
+    routes, pair = [], 0
+    for i in range(n_blocks):
+        for j in range(i, n_blocks):
+            if i == j:
+                routes.append((i, pair, "D"))
+            else:
+                routes.append((i, pair, "L"))
+                routes.append((j, pair, "R"))
+            pair += 1
+    routing = spark.createDataFrame(routes, "blk int, pair int, side string")
+    tiled = blocked.join(F.broadcast(routing), "blk")
 
     id_field = base.schema["id"].dataType.simpleString()
     out_schema = f"id_a {id_field}, id_b {id_field}, cos double"
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
 
-    def block(batches):
-        ids_b, M_b, norms_b = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.vstack(pdf["v"].to_numpy())
-            aid = pdf["id"].to_numpy()
-            an = np.linalg.norm(A, axis=1)
-            S = (A @ M_b.T) / np.outer(an, norms_b)
-            if round_digits is not None:
-                S = np.round(S, round_digits)
-            ii, jj = np.nonzero(S >= threshold)
-            keep = aid[ii] < ids_b[jj]
-            yield pd.DataFrame(
-                {
-                    "id_a": aid[ii][keep],
-                    "id_b": ids_b[jj][keep],
-                    "cos": S[ii, jj][keep],
-                }
-            )
+    def tile_product(key, pdf):
+        if (pdf["side"] == "D").any():
+            left = right = pdf
+            diagonal = True
+        else:
+            left = pdf[pdf["side"] == "L"]
+            right = pdf[pdf["side"] == "R"]
+            diagonal = False
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        A = np.vstack(left["v"].to_numpy())
+        aid = left["id"].to_numpy()
+        B = np.vstack(right["v"].to_numpy())
+        bid = right["id"].to_numpy()
+        S = (A @ B.T) / np.outer(
+            np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+        )
+        if round_digits is not None:
+            S = np.round(S, round_digits)
+        ii, jj = np.nonzero(S >= threshold)
+        la, lb = aid[ii], bid[jj]
+        if diagonal:
+            keep = la < lb  # drops self-pairs and the mirrored ordering
+        else:
+            keep = np.ones(len(la), dtype=bool)  # disjoint blocks: la != lb
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(la[keep], lb[keep]),
+                "id_b": np.maximum(la[keep], lb[keep]),
+                "cos": S[ii, jj][keep],
+            }
+        )
 
-    return base.mapInPandas(block, out_schema)
+    return tiled.groupBy("pair").applyInPandas(tile_product, out_schema)
 
 
 def ivf_topk(

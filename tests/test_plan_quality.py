@@ -38,6 +38,25 @@ def test_no_accidental_cartesian_or_nested_loop(name, spark):
         )
 
 
+def test_cosine_topk_broadcasts_queries_not_corpus(spark):
+    # The corpus must be the streamed side (left) and the bounded query
+    # set the broadcast build side (right) — the inverse OOMs at scale.
+    # The MapInPandas node is the per-partition partial top-k that keeps
+    # the |Q|·|C| score relation out of the rank-window shuffle.
+    plan = _plan(spark, "llm_ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in plan
+    assert "MapInPandas" in plan
+
+
+def test_cosine_pairs_tiles_without_driver_collect(spark):
+    # Tiled all-pairs: one shuffle (block-pair routing + groupBy) and an
+    # ArrowEvalPython-free, BLAS-backed FlatMapGroupsInPandas tile kernel.
+    # No broadcast of the corpus matrix, no cartesian fallback.
+    plan = _plan(spark, "llm_embedding_neardup")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q5ish_broadcasts_dimensions(spark):
     plan = _plan(spark, "tpch_q5ish_revenue_per_region")
     assert "BroadcastHashJoin" in plan
