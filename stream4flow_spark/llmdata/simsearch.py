@@ -325,27 +325,47 @@ def lsh_bucketed_neighbors(
     threshold: float = 0.3,
     num_planes: int = 8,
     dim: int = 64,
+    num_tables: int = 2,
+    max_bucket: int | None = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 4,
 ) -> DataFrame:
-    """Near-neighbor pairs (cos ≥ threshold) via sign-LSH candidate
-    buckets + exact verification.
+    """Near-neighbor pairs (cos ≥ threshold) via multi-table sign-LSH
+    candidate buckets + exact verification.
 
-    Bucket key = sign bits against `num_planes` deterministic hyperplanes.
-    Candidates are same-bucket pairs — a groupBy-scale join. Recall is
-    probabilistic (pairs at angle θ collide with P=(1-θ/π)^planes); raise
-    recall by unioning multiple plane sets. Exact verification keeps
-    precision at 1.
+    ``num_tables`` independent hash tables, each keyed by the sign bits
+    against ``num_planes`` deterministic hyperplanes (table t uses planes
+    t·num_planes … (t+1)·num_planes−1, so tables never share a plane).
+    A pair at angle θ collides in one table with P=(1-θ/π)^num_planes and
+    is a candidate if it collides in ANY table: recall =
+    1-(1-P)^num_tables — tune num_planes down / num_tables up for recall,
+    the reverse for pruning. Exact verification keeps precision at 1.
+
+    Scale shape: candidate generation is ID-ONLY — each table's self-join
+    shuffles (id, bucket) rows, never vectors; candidates from all tables
+    are unioned and de-duplicated, and payload vectors are re-fetched by
+    id once for the exact check (same pattern as the MinHash-LSH band
+    join, dedup.py). ``max_bucket`` caps any hot bucket (a degenerate
+    region of the embedding space would otherwise go quadratic): buckets
+    keep their ``max_bucket`` lowest ids, deterministically, and the cap
+    is a documented recall trade — pairs both of whose members fall past
+    the cap in every colliding table are missed.
     """
-    planes = [_hyperplane(num_planes, dim, p) for p in range(num_planes)]
+    from functools import reduce
 
-    def bucket_bits(vec: Column) -> Column:
+    from pyspark.sql import Window
+
+    vec = F.col(vec_col).cast("array<double>")
+    vecs = corpus.select(F.col(id_col).alias("id"), vec.alias("v"))
+
+    def bucket_bits(v_col: Column, table: int) -> Column:
         bits = []
-        for p, plane in enumerate(planes):
+        for p in range(num_planes):
+            plane = _hyperplane(num_planes, dim, table * num_planes + p)
             d = F.aggregate(
                 F.zip_with(
-                    vec,
+                    v_col,
                     F.array(*[F.lit(x) for x in plane]),
                     lambda x, y: x * y,
                 ),
@@ -353,30 +373,53 @@ def lsh_bucketed_neighbors(
                 lambda acc, v: acc + v,
             )
             bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+        return reduce(lambda a, b: a + b, bits)
 
-    vec = F.col(vec_col).cast("array<double>")
-    bucketed = corpus.select(
-        F.col(id_col).alias("id"), vec.alias("v"), bucket_bits(vec).alias("bucket")
+    # One pass computes every table's bucket key (the plane dot products
+    # all ride the same scan), then explodes to (table, bucket, id) rows.
+    keyed = vecs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        bucket_bits(F.col("v"), t).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    if max_bucket is not None:
+        w = Window.partitionBy("tbl", "bucket").orderBy("id")
+        keyed = (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_bucket)
+            .drop("rn")
+        )
+
+    a, b = keyed.alias("a"), keyed.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+
+    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            sim.alias("cos"),
-        )
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -106,6 +106,42 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_lsh_recall_vs_exact_pairs(spark):
+    from stream4flow_spark.llmdata.simsearch import (
+        cosine_pairs_blocked,
+        lsh_bucketed_neighbors,
+    )
+    from stream4flow_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.id_a, r.id_b) for r in cosine_pairs_blocked(emb, threshold=0.3).collect()
+    }
+    assert exact  # sanity: planted near-pairs exist at this threshold
+    # Recall math: a pair at the 0.3 threshold collides per-table with
+    # P=(1-acos(0.3)/pi)^3 ≈ 0.21; across 10 tables 1-(1-P)^10 ≈ 0.91.
+    got = lsh_bucketed_neighbors(
+        emb, threshold=0.3, num_planes=3, num_tables=10
+    )
+    found = {(r.id_a, r.id_b) for r in got.collect()}
+    assert found <= exact  # exact verification: precision is 1
+    assert len(found & exact) / len(exact) >= 0.75
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    from stream4flow_spark.llmdata.simsearch import lsh_bucketed_neighbors
+
+    # 40 identical vectors all land in one bucket; cap 10 keeps the 10
+    # lowest ids -> at most C(10,2)=45 pairs instead of C(40,2)=780.
+    rows = [(i, [1.0] * 8) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_bucketed_neighbors(
+        emb, threshold=0.9, num_planes=2, dim=8, num_tables=2, max_bucket=10
+    ).collect()
+    assert len(out) == 45
+    assert max(max(r.id_a, r.id_b) for r in out) == 9
+
+
 def test_connected_components_handcrafted_graph(spark):
     from stream4flow_spark.llmdata.dedup import connected_components
 
