@@ -1,17 +1,24 @@
-"""detection_ddos — packet-rate anomaly vs a long-horizon baseline.
+"""detection_ddos — in/out packet-ratio anomaly vs a long-window baseline.
 
 Spark-first re-expression of reference
-``applications/detection/ddos/spark/detection_ddos.py``: the reference
-kept a 30 s activity window and a 7200 s baseline window over the same
-DStream and joined them per victim (:122-152, W3/J3), flagging victims
-whose incoming packet rate exceeds ratio × baseline with a packet floor
-(:155-163, F10), and collecting the attacker-IP set (:126-141, A13).
+``applications/detection/ddos/spark/detection_ddos.py``: per monitored
+host (dst or src matching the ``network_filter`` regex, :113-118 F6), a
+short window sums incoming packets (host as destination, with the
+attacker-source set, :123-128 A13), and outgoing packets (host as
+source, :131-134), merged by key (:137-141 J6). A long sliding window
+(:144-148 W3) accumulates the same in/out sums over the trailing
+``long_window``; a host alerts when its short in/out ratio exceeds the
+long in/out ratio × ``min_ratio`` with an incoming-packet floor and
+nonzero outgoing traffic (:154-163 F10/J3).
 
-Batch shape: per-victim per-window packet sums, a per-victim baseline =
-mean windowed packet sum over the whole horizon (two-level aggregate),
-then a window ⋈ baseline join. In streaming the baseline side becomes a
-compacted aggregate table refreshed per batch via ``foreachBatch``
-(SURVEY §7.2) — NOT a 2-hour sliding state window.
+Batch shape: ONE scan — each flow explodes into its (incoming, outgoing)
+monitored-host contributions, one groupBy forms the short windows, and
+the long window is an analytic RANGE frame over each host's ordered
+short windows (no second windowed aggregate, no self-join; the only
+exchange is the hash partition by host). In streaming the per-window
+partials become a ``foreachBatch``-compacted baseline table
+(``streaming/ddos.py``, SURVEY §7.2) — NOT a 2-hour sliding state
+window.
 
 The attacker set is emitted as a sorted comma-joined string so results
 are deterministic and hash-comparable.
@@ -19,79 +26,145 @@ are deterministic and hash-comparable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from stream4flow_spark import schema as S
-from stream4flow_spark.functions.net import ip_coalesce
-from stream4flow_spark.operators.window_agg import with_window_start_ms
+from stream4flow_spark.operators.window_agg import duration_to_ms, with_window_start_ms
 
 
-def detection_ddos(
+def _monitored_contribs(network_filter: str) -> Column:
+    """Per-flow array of (host, inc, out, attacker) contributions for
+    monitored hosts — the incoming leg when the destination matches the
+    network regex, the outgoing leg when the source does (reference
+    :120-134). Null legs are filtered out inside the array, so one
+    explode replaces the reference's two filtered streams + union."""
+    src, dst = F.col("src_ip"), F.col("dst_ip")
+    pk = F.col("packets")
+    zero = F.lit(0).cast("long")
+    incoming = F.when(
+        dst.rlike(network_filter),
+        F.struct(
+            dst.alias("host"),
+            pk.alias("inc"),
+            zero.alias("out"),
+            src.alias("attacker"),
+        ),
+    )
+    outgoing = F.when(
+        src.rlike(network_filter),
+        F.struct(
+            src.alias("host"),
+            zero.alias("inc"),
+            pk.alias("out"),
+            F.lit(None).cast("string").alias("attacker"),
+        ),
+    )
+    return F.filter(F.array(incoming, outgoing), lambda s: s.isNotNull())
+
+
+def ddos_window_aggregate(
     flows: DataFrame,
     window_duration: str = "30 seconds",
-    min_ratio: float = 50.0,
-    min_packets: int = 100_000,
+    network_filter: str = r"10\.0\..*",
 ) -> DataFrame:
-    """Output: window_start_ms, dst_ip, packets, baseline (double),
-    ratio (double), attackers (sorted ','-joined), attacker_count."""
-    src = ip_coalesce(F.col(S.SRC_IP4), F.col(S.SRC_IP6))
-    dst = ip_coalesce(F.col(S.DST_IP4), F.col(S.DST_IP6))
-
-    windowed = (
+    """Short-window per-host partials: window_start_ms, host, inc, out,
+    attacker_set (array<string>). This is the merge-able unit the
+    streaming twin compacts across batches (sums add, sets union)."""
+    return (
         with_window_start_ms(
             flows.filter(
-                F.col(S.PACKETS).isNotNull() & F.col(S.DST_IP4).isNotNull()
+                F.col(S.PACKETS).isNotNull()
+                & F.col(S.SRC_IP4).isNotNull()
+                & F.col(S.DST_IP4).isNotNull()
             ),
             S.T_START,
             window_duration,
         )
         .select(
             "window_start_ms",
-            src.alias("src_ip"),
-            dst.alias("dst_ip"),
+            F.col(S.SRC_IP4).alias("src_ip"),
+            F.col(S.DST_IP4).alias("dst_ip"),
             F.col(S.PACKETS).alias("packets"),
-        )
-        .groupBy("window_start_ms", "dst_ip")
-        .agg(
-            F.sum("packets").alias("packets"),
-            # A13 attacker set (emitted deterministically); the distinct
-            # count comes from the set itself — a separate countDistinct
-            # would add an Expand (row-doubling) dedup pass to the shuffle
-            F.sort_array(F.collect_set("src_ip")).alias("attacker_set"),
         )
         .select(
             "window_start_ms",
-            "dst_ip",
-            "packets",
+            F.explode(_monitored_contribs(network_filter)).alias("c"),
+        )
+        .groupBy("window_start_ms", F.col("c.host").alias("host"))
+        .agg(
+            F.sum("c.inc").alias("inc"),
+            F.sum("c.out").alias("out"),
+            F.sort_array(F.collect_set("c.attacker")).alias("attacker_set"),
+        )
+    )
+
+
+def ddos_score(
+    partials: DataFrame,
+    window_duration: str = "30 seconds",
+    long_window: str = "2 hours",
+    min_ratio: float = 50.0,
+    min_packets: int = 100_000,
+) -> DataFrame:
+    """Score compacted per-window host partials against the trailing
+    ``long_window`` baseline and keep alerting windows.
+
+    The long window is an analytic RANGE frame in event-time ms over each
+    host's ordered short windows — sparse (absent windows contribute 0,
+    exactly like the reference's window-over-aggregated-DStream), one
+    pass, shuffle = hash partition by host only."""
+    from pyspark.sql import Window as W
+
+    long_ms = duration_to_ms(long_window)
+    base_ms = duration_to_ms(window_duration)
+    frame = (
+        W.partitionBy("host")
+        .orderBy("window_start_ms")
+        .rangeBetween(-(long_ms - base_ms), 0)
+    )
+    return (
+        partials.withColumn("long_inc", F.sum("inc").over(frame))
+        .withColumn("long_out", F.sum("out").over(frame))
+        # nonzero denominators (reference :154-156), packet floor and
+        # ratio-vs-baseline comparison (:159-163)
+        .filter(
+            (F.col("out") != 0)
+            & (F.col("long_out") != 0)
+            & (F.col("inc") > min_packets)
+            & (
+                F.col("inc").cast("double") / F.col("out")
+                > F.col("long_inc").cast("double") / F.col("long_out") * min_ratio
+            )
+        )
+        .select(
+            "window_start_ms",
+            F.col("host").alias("dst_ip"),
+            F.col("inc").alias("packets"),
+            (F.col("inc").cast("double") / F.col("out")).alias("shortratio"),
+            (F.col("long_inc").cast("double") / F.col("long_out")).alias(
+                "longratio"
+            ),
             F.concat_ws(",", "attacker_set").alias("attackers"),
             F.size("attacker_set").cast("long").alias("attacker_count"),
         )
     )
 
-    # W3/J3 — long-horizon baseline per victim: mean of its windowed sums.
-    # An analytic avg over the dst_ip partition replaces the reference's
-    # second windowed agg + per-victim join (:144-152): the windowed
-    # subtree is scanned ONCE (no recompute / no join shuffle), and the
-    # only added exchange is the hash partition by dst_ip.
-    from pyspark.sql import Window as W
 
-    baseline = F.avg(F.col("packets").cast("double")).over(
-        W.partitionBy("dst_ip")
-    )
-
-    return (
-        windowed.withColumn("baseline", baseline)
-        .withColumn("ratio", F.col("packets").cast("double") / F.col("baseline"))
-        # F10 thresholds (reference :155-163)
-        .filter((F.col("ratio") > min_ratio) & (F.col("packets") >= min_packets))
-        .select(
-            "window_start_ms",
-            "dst_ip",
-            "packets",
-            "baseline",
-            "ratio",
-            "attackers",
-            "attacker_count",
-        )
+def detection_ddos(
+    flows: DataFrame,
+    window_duration: str = "30 seconds",
+    long_window: str = "2 hours",
+    network_filter: str = r"10\.0\..*",
+    min_ratio: float = 50.0,
+    min_packets: int = 100_000,
+) -> DataFrame:
+    """Output: window_start_ms, dst_ip, packets, shortratio, longratio,
+    attackers (sorted ','-joined), attacker_count."""
+    return ddos_score(
+        ddos_window_aggregate(flows, window_duration, network_filter),
+        window_duration=window_duration,
+        long_window=long_window,
+        min_ratio=min_ratio,
+        min_packets=min_packets,
     )

@@ -375,29 +375,55 @@ def q_ports_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "detection_ddos",
-    covers="F6 A13 J3 W3 F10",
+    covers="F6 A13 J3 J6 W3 F10",
     oracle=oracle_query(
         f"""
-        WITH w AS (
+        WITH c AS (
             SELECT {_win(_T)} AS window_start_ms,
-                   {_COAL_DST} AS dst_ip,
-                   CAST(SUM(ipfix_packetDeltaCount) AS BIGINT) AS packets,
-                   array_to_string(list_sort(array_agg(DISTINCT {_COAL_SRC})), ',') AS attackers,
-                   CAST(COUNT(DISTINCT {_COAL_SRC}) AS BIGINT) AS attacker_count
+                   ipfix_destinationIPv4Address AS host,
+                   ipfix_packetDeltaCount AS inc,
+                   CAST(0 AS BIGINT) AS out,
+                   ipfix_sourceIPv4Address AS attacker
             FROM flows
             WHERE ipfix_packetDeltaCount IS NOT NULL
+              AND ipfix_sourceIPv4Address IS NOT NULL
               AND ipfix_destinationIPv4Address IS NOT NULL
-            GROUP BY 1, 2
+              AND regexp_matches(ipfix_destinationIPv4Address, '^10\\.0\\.')
+            UNION ALL
+            SELECT {_win(_T)}, ipfix_sourceIPv4Address,
+                   CAST(0 AS BIGINT), ipfix_packetDeltaCount, NULL
+            FROM flows
+            WHERE ipfix_packetDeltaCount IS NOT NULL
+              AND ipfix_sourceIPv4Address IS NOT NULL
+              AND ipfix_destinationIPv4Address IS NOT NULL
+              AND regexp_matches(ipfix_sourceIPv4Address, '^10\\.0\\.')
         ),
-        b AS (
-            SELECT dst_ip, CAST(SUM(packets) AS DOUBLE) / COUNT(*) AS baseline
-            FROM w GROUP BY 1
+        agg AS (
+            SELECT window_start_ms, host,
+                   CAST(SUM(inc) AS BIGINT) AS inc,
+                   CAST(SUM(out) AS BIGINT) AS out,
+                   array_to_string(list_sort(array_agg(DISTINCT attacker)
+                       FILTER (attacker IS NOT NULL)), ',') AS attackers,
+                   CAST(COUNT(DISTINCT attacker) AS BIGINT) AS attacker_count
+            FROM c GROUP BY 1, 2
+        ),
+        l AS (
+            SELECT *,
+                   CAST(SUM(inc) OVER w AS BIGINT) AS long_inc,
+                   CAST(SUM(out) OVER w AS BIGINT) AS long_out
+            FROM agg
+            WINDOW w AS (PARTITION BY host ORDER BY window_start_ms
+                         RANGE BETWEEN {DAY_MS - HOUR_MS} PRECEDING
+                               AND CURRENT ROW)
         )
-        SELECT w.window_start_ms, w.dst_ip, w.packets, b.baseline,
-               CAST(w.packets AS DOUBLE) / b.baseline AS ratio,
-               w.attackers, w.attacker_count
-        FROM w JOIN b USING (dst_ip)
-        WHERE CAST(w.packets AS DOUBLE) / b.baseline > 2.0 AND w.packets >= 300
+        SELECT window_start_ms, host AS dst_ip, inc AS packets,
+               CAST(inc AS DOUBLE) / out AS shortratio,
+               CAST(long_inc AS DOUBLE) / long_out AS longratio,
+               attackers, attacker_count
+        FROM l
+        WHERE out <> 0 AND long_out <> 0 AND inc > 100
+          AND CAST(inc AS DOUBLE) / out
+              > CAST(long_inc AS DOUBLE) / long_out * 1.2
         """
     ),
 )
@@ -405,8 +431,10 @@ def q_detection_ddos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detection_ddos(
         flows_df(spark, sf_dir),
         window_duration="1 hour",
-        min_ratio=2.0,
-        min_packets=300,
+        long_window="1 day",
+        network_filter=r"^10\.0\.",
+        min_ratio=1.2,
+        min_packets=100,
     )
 
 

@@ -15,6 +15,22 @@ from pyspark.sql import functions as F
 
 WINDOW_COL = "window_start_ms"
 
+_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
+
+
+def duration_to_ms(duration: str) -> int:
+    """'30 seconds' / '2 hours' / '1 day' -> milliseconds (the subset of
+    Spark's interval grammar the apps use)."""
+    n, unit = duration.strip().split()
+    return int(n) * _UNIT_MS[unit.rstrip("s")]
+
 
 def with_window_start_ms(
     df: DataFrame, ts_ms_col: str | Column, window_duration: str | None

@@ -15,4 +15,5 @@ from stream4flow_spark.streaming.runner import (  # noqa: F401
     stream_events,
     stream_flows_df,
 )
+from stream4flow_spark.streaming.ddos import detection_ddos_stream  # noqa: F401
 from stream4flow_spark.streaming.state import suppress_reports_stream  # noqa: F401

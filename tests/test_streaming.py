@@ -316,6 +316,113 @@ def test_stream_dns_open_resolvers_matches_batch(spark):
     pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
 
 
+def _ddos_flows_pdf():
+    """Two minutes of 10 s windows: victim 10.0.0.1 has steady in/out
+    traffic, then an attack burst in windows 8-9; an unmonitored external
+    host receives a bigger burst (must NOT alert — F6 network filter)."""
+    rows = []
+    v, ext = "10.0.0.1", "198.51.100.9"
+    for w in range(12):
+        t = w * 10_000
+        rows.append((t + 1_000, v, "203.0.113.50", 10))  # outgoing
+        rows.append((t + 2_000, "203.0.113.1", v, 10))  # incoming baseline
+        rows.append((t + 3_000, "10.0.0.7", ext, 900))  # toward unmonitored
+        if w in (8, 9):  # attack burst
+            for a in range(5):
+                rows.append((t + 4_000 + a, f"203.0.113.{100 + a}", v, 100))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "ipfix_flowStartMilliseconds",
+            "ipfix_sourceIPv4Address",
+            "ipfix_destinationIPv4Address",
+            "ipfix_packetDeltaCount",
+        ],
+    )
+
+
+def test_stream_detection_ddos_matches_batch(spark, tmp_path):
+    """foreachBatch-compacted baseline (SURVEY §7.2): alerts accumulated
+    across micro-batches must equal the batch analytic form."""
+    from stream4flow_spark.apps.detection_ddos import detection_ddos
+    from stream4flow_spark.streaming.ddos import detection_ddos_stream
+
+    pdf = _ddos_flows_pdf()
+    src = tmp_path / "ddosflows"
+    src.mkdir()
+    # three time-ordered slices -> three micro-batches, one splitting a
+    # window across batches (rows 0..14 end mid-window)
+    for i, chunk in enumerate([pdf.iloc[:15], pdf.iloc[15:30], pdf.iloc[30:]]):
+        chunk.to_parquet(str(src / f"f{i}.parquet"), index=False)
+
+    params = dict(
+        window_duration="10 seconds",
+        long_window="60 seconds",
+        network_filter=r"^10\.0\.",
+        min_ratio=3.0,
+        min_packets=50,
+    )
+    batch_flows = spark.read.parquet(str(src))
+    expect = _sorted_pdf(
+        detection_ddos(batch_flows, **params), ["window_start_ms", "dst_ip"]
+    )
+    assert len(expect) >= 1  # the attack window(s)
+    assert set(expect["dst_ip"]) == {"10.0.0.1"}  # F6: external never alerts
+
+    stream_flows = (
+        spark.readStream.schema(batch_flows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got_df = detection_ddos_stream(
+        stream_flows,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        **params,
+    )
+    got = _sorted_pdf(got_df, ["window_start_ms", "dst_ip"])[list(expect.columns)]
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_stream_detection_ddos_gc_bounds_state(spark, tmp_path):
+    """Baseline GC: after draining, the compacted state holds only windows
+    within the long horizon of the newest window (ST2 analogue)."""
+    from stream4flow_spark.streaming.ddos import detection_ddos_stream
+
+    pdf = _ddos_flows_pdf()
+    src = tmp_path / "ddosflows2"
+    src.mkdir()
+    for i, chunk in enumerate([pdf.iloc[:20], pdf.iloc[20:]]):
+        chunk.to_parquet(str(src / f"f{i}.parquet"), index=False)
+    batch_schema = spark.read.parquet(str(src)).schema
+    stream_flows = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = tmp_path / "state2"
+    detection_ddos_stream(
+        stream_flows,
+        state_dir=str(state),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        window_duration="10 seconds",
+        long_window="30 seconds",  # horizon 30s + 2 extra windows
+        network_filter=r"^10\.0\.",
+        min_ratio=3.0,
+        min_packets=50,
+        retain_extra_windows=2,
+    )
+    latest = max(
+        (p for p in state.iterdir() if p.name.startswith("v")),
+        key=lambda p: (len(p.name), p.name),
+    )
+    rows = spark.read.parquet(str(latest)).collect()
+    windows = {r.window_start_ms for r in rows}
+    hi = max(windows)
+    assert min(windows) >= hi - (30_000 + 2 * 10_000)
+    assert len(windows) <= 6  # 12 windows of data, horizon keeps <= 6
+
+
 def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     """Stop a checkpointed streaming query, add new input, restart with
     the SAME checkpoint: already-processed files are not reprocessed and
