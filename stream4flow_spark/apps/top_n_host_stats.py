@@ -33,7 +33,7 @@ def top_n_host_stats(
     flows: DataFrame,
     local_cidr: str = "10.0.0.0/16",
     window_duration: str = "10 seconds",
-    n: int = 10,
+    n: int | None = 10,
 ) -> DataFrame:
     """Output: window_start_ms, src_ip, stat_type ∈ {dst_ports, dst_hosts,
     http_hosts}, key STRING, flows BIGINT, rank INT."""
@@ -75,6 +75,11 @@ def top_n_host_stats(
             "flows",
         )
     )
+    # n=None → the streamable core (rank windows are unsupported on
+    # streaming DataFrames; in streaming the top-N runs on the drained
+    # result table / read-side instead — same split as dns_statistics)
+    if n is None:
+        return counted
     # A9 top-K per key via rank window (replaces driver-side sort)
     return top_k_per_key(
         counted,

@@ -35,11 +35,14 @@ def suppress_reports_stream(
     """Collapse a streaming alert stream to its report chain.
 
     Output = input columns + ``report_seq``. ``state_ttl_ms`` mirrors the
-    reference's daily GC (ST2): keys idle longer than the TTL are dropped.
-    NOTE: the TTL uses ``ProcessingTimeTimeout``, which needs a continuous
-    trigger — with ``trigger(availableNow=True)`` the query would wait for
-    timeouts and never terminate, so pass ``state_ttl_ms=None`` in drain-
-    and-stop harnesses (the test path) and a TTL in long-running streams.
+    reference's daily GC (ST2): keys idle longer than the TTL are dropped
+    (eviction is exercised by tests/test_streaming.py::
+    test_stream_suppression_ttl_evicts_idle_state under a processing-time
+    trigger). NOTE: the TTL uses ``ProcessingTimeTimeout``, which needs a
+    continuous trigger — with ``trigger(availableNow=True)`` the query
+    would wait for timeouts and never terminate, so pass
+    ``state_ttl_ms=None`` in drain-and-stop harnesses and a TTL in
+    long-running streams.
     """
     sums = sum_cols or []
     cols = [f.name for f in alerts.schema.fields]

@@ -316,6 +316,217 @@ def test_stream_dns_open_resolvers_matches_batch(spark):
     pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(batch, keys))
 
 
+def test_stream_suppression_ttl_evicts_idle_state(spark, tmp_path):
+    """ST2 state GC: a key idle longer than state_ttl_ms is dropped from
+    the state store. Observable effect: after eviction the key's chain
+    restarts at report_seq=0; without eviction the suppression window
+    here (effectively infinite) would swallow the second alert entirely."""
+    import time
+
+    src = tmp_path / "ttl_alerts"
+    src.mkdir()
+    cols = ["key", "ts_ms", "flows"]
+    pd.DataFrame([("k", 0, 1.0)], columns=cols).to_parquet(
+        str(src / "f1.parquet"), index=False
+    )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = suppress_reports_stream(
+        stream,
+        ["key"],
+        "ts_ms",
+        window_ms=10**12,  # never re-report within one state lifetime
+        sum_cols=["flows"],
+        state_ttl_ms=2_000,
+    )
+    name = "ttl_eviction_tbl"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def wait_rows(pred, timeout_s=30):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            rows = spark.table(name).collect()
+            if pred(rows):
+                return rows
+            time.sleep(0.3)
+        raise AssertionError(f"timed out; table={spark.table(name).collect()}")
+
+    try:
+        wait_rows(lambda r: len(r) == 1)  # k's first report
+        time.sleep(3)  # > TTL with no traffic for k
+        # an unrelated key triggers the batch in which k's timeout fires
+        pd.DataFrame([("x", 1, 1.0)], columns=cols).to_parquet(
+            str(src / "f2.parquet"), index=False
+        )
+        wait_rows(lambda r: {row.key for row in r} == {"k", "x"})
+        # k again: evicted state -> fresh chain (report_seq 0). Without
+        # eviction this alert would be suppressed (no row at all).
+        pd.DataFrame([("k", 10, 1.0)], columns=cols).to_parquet(
+            str(src / "f3.parquet"), index=False
+        )
+        rows = wait_rows(lambda r: sum(1 for row in r if row.key == "k") == 2)
+        assert [r.report_seq for r in rows if r.key == "k"] == [0, 0]
+    finally:
+        q.stop()
+
+
+def test_stream_dns_statistics_core_plus_readside_topn(spark):
+    """dns_statistics streaming twin: the top=None core streams (complete
+    mode), the top-100 rank runs on the drained result table — identical
+    to the batch app's in-query rank."""
+    from stream4flow_spark.apps.dns_statistics import dns_statistics
+    from stream4flow_spark.operators.topk import top_k_per_key
+
+    batch = dns_statistics(flows_df(spark, SF_DIR), top=100)
+    stream_core = dns_statistics(stream_flows_df(spark, SF_DIR), top=None)
+    table = run_stream_to_table(stream_core, output_mode="complete")
+    got_df = top_k_per_key(
+        table,
+        key_cols=["window_start_ms", "stat_type"],
+        order_col="value",
+        k=100,
+        tiebreak_cols=["key"],
+    )
+    keys = ["window_start_ms", "stat_type", "key"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got_df, keys)[list(batch.columns)], _sorted_pdf(batch, keys)
+    )
+
+
+def test_stream_top_n_host_stats_core_plus_readside_topn(spark):
+    """top_n_host_stats streaming twin: n=None counted core streams, the
+    per-host rank runs on the drained table (same split as dns_statistics)."""
+    from stream4flow_spark.apps.top_n_host_stats import top_n_host_stats
+    from stream4flow_spark.operators.topk import top_k_per_key
+
+    batch = top_n_host_stats(flows_df(spark, SF_DIR), window_duration="1 hour", n=10)
+    stream_core = top_n_host_stats(
+        stream_flows_df(spark, SF_DIR), window_duration="1 hour", n=None
+    )
+    table = run_stream_to_table(stream_core, output_mode="complete")
+    got_df = top_k_per_key(
+        table,
+        key_cols=["window_start_ms", "src_ip", "stat_type"],
+        order_col="flows",
+        k=10,
+        tiebreak_cols=["key"],
+    ).select(*batch.columns)
+    keys = ["window_start_ms", "src_ip", "stat_type", "key"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got_df, keys), _sorted_pdf(batch, keys)
+    )
+
+
+def test_stream_pattern_finder_suppression_end_to_end(spark, tmp_path):
+    """ST3 end-to-end: pattern_finder anomalies, emitted per micro-batch,
+    flow through the applyInPandasWithState suppression twin with the
+    distribution slots as sum_cols — parity vs the batch ST3 chain."""
+    from stream4flow_spark.apps.pattern_finder import (
+        PatternFinderConfig,
+        pattern_finder,
+    )
+    from stream4flow_spark.operators.suppression import suppress_reports
+
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.gate import _PF_PATTERNS, _PF_THRESH, _PF_WEIGHTS
+
+    cfg = PatternFinderConfig(
+        filters=[[{"element": "ipfix_protocolIdentifier", "type": "eq", "value": 6}]],
+        vector=[
+            {"kind": "expr", "sql": "req_packets"},
+            {"kind": "expr", "sql": "req_bytes / 100"},
+            {"kind": "expr", "sql": "rsp_packets"},
+            {"kind": "expr", "sql": "rsp_bytes / 100"},
+        ],
+        patterns=_PF_PATTERNS,
+        thresholds=_PF_THRESH,
+        weights=_PF_WEIGHTS,
+        time_difference_ms=500_000,
+        anomaly_limit=1,
+    )
+    sum_cols = ["pairs", "b0", "b1", "b2", "b3", "b4"]
+
+    # handcrafted beacon: each "day" (slice) has one req/rsp biflow whose
+    # vector [10, 5, 10, 5] exactly matches p_small (distance 0 -> full
+    # b0 mass -> anomaly); p_big stays non-anomalous
+    step = 1_000_000
+    rows = []
+    for d in range(3):
+        t0 = d * step
+        rows.append(("10.0.0.1", "10.0.0.2", 40000, 80, 6, 10, 500, t0 + 1_000, t0 + 1_500))
+        rows.append(("10.0.0.2", "10.0.0.1", 80, 40000, 6, 10, 500, t0 + 2_000, t0 + 2_500))
+    flows = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "ipfix_sourceIPv4Address",
+                "ipfix_destinationIPv4Address",
+                "ipfix_sourceTransportPort",
+                "ipfix_destinationTransportPort",
+                "ipfix_protocolIdentifier",
+                "ipfix_packetDeltaCount",
+                "ipfix_octetDeltaCount",
+                "ipfix_flowStartMilliseconds",
+                "ipfix_flowEndMilliseconds",
+            ],
+        )
+    )
+
+    # per-micro-batch alerts: slice flows into the 3 "days" (the
+    # reference's batch = one window), run the SAME batch pipeline per
+    # slice, stamp the slice time — exactly what a foreachBatch wrapper
+    # would emit
+    t = "ipfix_flowStartMilliseconds"
+    src = tmp_path / "pf_alerts"
+    src.mkdir()
+    slices = []
+    for i in range(3):
+        s_lo = i * step
+        sl = flows.filter((F.col(t) >= s_lo) & (F.col(t) < s_lo + step))
+        alerts = pattern_finder(sl, cfg).filter("anomaly").drop("anomaly")
+        alerts = alerts.withColumn("ts_ms", F.lit(s_lo))
+        slices.append(alerts)
+        alerts.toPandas().to_parquet(str(src / f"b{i}.parquet"), index=False)
+
+    all_alerts = slices[0]
+    for s in slices[1:]:
+        all_alerts = all_alerts.unionByName(s)
+    keys = ["src_ip", "dst_ip", "pattern"]
+    # suppression window covers two slices: slice-0 reports, slice-1 is
+    # suppressed into it (sums merge), slice-2 opens report_seq=1
+    expect = _sorted_pdf(
+        suppress_reports(all_alerts, keys, "ts_ms", int(step * 1.5), sum_cols),
+        keys + ["report_seq"],
+    )
+    # two chains (one per pattern), each: report, suppress, report
+    assert list(expect["report_seq"]) == [0, 1, 0, 1]
+
+    stream_alerts = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got_df = suppress_reports_stream(
+        stream_alerts, keys, "ts_ms", int(step * 1.5), sum_cols
+    )
+    got = _sorted_pdf(
+        run_stream_to_table(got_df, output_mode="append"), keys + ["report_seq"]
+    )
+    assert len(expect) > 0
+    pd.testing.assert_frame_equal(got[list(expect.columns)], expect)
+
+
 def _ddos_flows_pdf():
     """Two minutes of 10 s windows: victim 10.0.0.1 has steady in/out
     traffic, then an attack burst in windows 8-9; an unmonitored external
