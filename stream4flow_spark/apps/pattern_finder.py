@@ -6,12 +6,15 @@ declarative config compiles to Column expressions —
 
 - **F8 filter compiler** (:53-98; grammar configuration.yml:36-86): AND of
   filter items, each an OR over elements, with predicate types
-  exists/eq/ne/lt/le/gt/ge/nin. (The reference's ``ip`` type is an
-  equality on either address; KeyError→False becomes NULL-safe coalesce.)
+  exists/eq/ne/lt/le/gt/ge/nin/ip — ``ip`` takes literal addresses or
+  CIDR blocks (configuration.yml:64-69), compiled to the pure-Column
+  range compare (F5). KeyError→False becomes NULL-safe coalesce.
 - **C17 vector extractor** (:101-131): each vector element is a column
-  value, a constant, or an arithmetic expression over columns. The
-  reference ``eval``'d config strings (:128) — deliberately NOT
-  reproduced; only a fixed expression vocabulary compiles.
+  value, a constant, an arithmetic expression over columns, or a
+  REGISTERED named function (reference ``type: module``, e.g. entropy =
+  C12). The reference ``eval``'d config strings and imported arbitrary
+  module files (:128) — deliberately NOT reproduced; only the fixed
+  vocabulary + explicit registry compile.
 - **J5 biflow self-join** (:168-194): request/response pairing on swapped
   (src,dst) with a time-proximity bound — built on operators.interval_join
   (bucketized, scalable), oriented request-first by flow start.
@@ -37,6 +40,23 @@ from stream4flow_spark.operators.interval_join import interval_join
 
 # ------------------------------------------------------------ F8 filters
 
+def _ip_predicate(c: Column, v) -> Column:
+    """The reference's ``ip`` filter type (configuration.yml:64-69):
+    value(s) are literal addresses or CIDR blocks; the element matches if
+    it equals the address / falls inside the block. CIDR membership is the
+    pure-Column range compare from functions.net (F5), no regex/UDF."""
+    from stream4flow_spark.functions.net import ip_in_cidr
+
+    values = v if isinstance(v, (list, tuple)) else [v]
+    pred = F.lit(False)
+    for val in values:
+        if "/" in str(val):
+            pred = pred | ip_in_cidr(c, str(val))
+        else:
+            pred = pred | (c == val)
+    return pred
+
+
 _PREDICATES = {
     "exists": lambda c, v: c.isNotNull(),
     "eq": lambda c, v: c == v,
@@ -46,13 +66,16 @@ _PREDICATES = {
     "gt": lambda c, v: c > v,
     "ge": lambda c, v: c >= v,
     "nin": lambda c, v: ~c.isin(v),
+    "ip": _ip_predicate,
 }
 
 
 def compile_filter(items: list[list[dict]]) -> Column:
     """items = AND-list of OR-lists of {element, type, value} dicts.
     Missing fields (NULL) fail the predicate, mirroring the reference's
-    KeyError→False (:96-98)."""
+    KeyError→False (:96-98). Types mirror configuration.yml:41 (``int``
+    is spelled ``eq``/``isin`` by value type; ``ip`` accepts addresses
+    and CIDR blocks)."""
     conjunction = F.lit(True)
     for ors in items:
         disjunction = F.lit(False)
@@ -66,9 +89,32 @@ def compile_filter(items: list[list[dict]]) -> Column:
 
 # ----------------------------------------------------- C17 vector spec
 
+# Named module functions (reference `type: module`, vector_definition/
+# directory): a fixed registry of Column->Column transforms — the
+# reference imported and called arbitrary module files
+# (pattern_finder.py:101-131); here only registered names compile, and
+# nothing is eval'd. `entropy` is C12 (element_entropy.py:30-40).
+def _entropy_fn(col: Column) -> Column:
+    from stream4flow_spark.functions.textfn import element_entropy
+
+    return element_entropy(col)
+
+
+_VECTOR_FUNCTIONS: dict[str, "object"] = {"entropy": _entropy_fn}
+
+
+def register_vector_function(name: str, fn) -> None:
+    """Extend the `function` vocabulary (plug-in point mirroring the
+    reference's vector_definition directory, minus the dynamic import)."""
+    _VECTOR_FUNCTIONS[name] = fn
+
+
 def compile_vector(elements: list[dict]) -> Column:
-    """array<double> from a list of {kind: column|constant|expr, ...}.
-    ``expr`` admits only arithmetic over flow columns (no eval)."""
+    """array<double> from a list of {kind: column|constant|expr|function}.
+    ``expr`` admits only arithmetic over flow columns; ``function`` calls
+    a registered named transform on a column (no eval, no dynamic
+    import — the two ways the reference's config could execute arbitrary
+    code)."""
     parts: list[Column] = []
     for spec in elements:
         kind = spec["kind"]
@@ -78,6 +124,14 @@ def compile_vector(elements: list[dict]) -> Column:
             parts.append(F.lit(float(spec["value"])))
         elif kind == "expr":
             parts.append(F.expr(spec["sql"]).cast("double"))
+        elif kind == "function":
+            fn = _VECTOR_FUNCTIONS.get(spec["name"])
+            if fn is None:
+                raise ValueError(
+                    f"unregistered vector function: {spec['name']!r} "
+                    f"(known: {sorted(_VECTOR_FUNCTIONS)})"
+                )
+            parts.append(fn(F.col(spec["column"])).cast("double"))
         else:
             raise ValueError(f"unknown vector element kind: {kind}")
     return F.array(*parts)

@@ -7,14 +7,20 @@ micro-batch to the DRIVER and calling KafkaProducer there (kafkaIO.py:81-112).
 
 Here both directions are fully distributed: ``readStream.format("kafka")``
 consumes every partition in parallel, and the sink is
-``writeStream.format("kafka")`` (executor-side producers, checkpointed,
-exactly-once to the results topic with idempotent writes). No driver
-collect anywhere.
+``writeStream.format("kafka")`` (executor-side producers, checkpointed).
+No driver collect anywhere. Delivery to the results topic is
+AT-LEAST-ONCE — Structured Streaming's Kafka sink can re-send a batch on
+task retry/recovery — so consumers must dedupe on the deterministic
+result key (every app's output rows are keyed by (window_start_ms, group
+keys)); for exactly-once semantics, sink to the idempotent partitioned
+parquet store (``sources/results.py``) and publish from there.
 
 This module is wiring only — it needs the spark-sql-kafka package on the
 classpath and a broker, neither of which exists in the test container; the
 app pipelines themselves are source-agnostic DataFrame→DataFrame functions
-tested via the file/memory harness in streaming.runner.
+tested via the file/memory harness in streaming.runner, and the JSON wire
+contract (both directions) is pinned by tests/test_kafka_contract.py, so
+the only untested piece is the broker itself.
 """
 
 from __future__ import annotations

@@ -145,6 +145,51 @@ anomaly_limit: 1
     assert out.count() >= 0
 
 
+def test_pattern_finder_ip_filter_and_function_vector(spark):
+    """C17 completion: the `ip` filter type (address or CIDR, reference
+    configuration.yml:64-69) and the registered-function vector element
+    (`entropy` = C12, element_entropy.py:30-40) both compile — no eval,
+    no dynamic import."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.apps.pattern_finder import (
+        compile_filter,
+        compile_vector,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("10.0.1.5", "aaaa"),     # in 10.0.0.0/16
+            ("172.16.3.9", "abab"),   # literal match
+            ("192.168.1.1", "abcd"),  # no match
+            (None, "aa"),             # NULL -> False (KeyError parity)
+        ],
+        "ip string, name string",
+    )
+    keep = compile_filter(
+        [[{"element": "ip", "type": "ip", "value": ["10.0.0.0/16", "172.16.3.9"]}]]
+    )
+    got = {r.ip for r in df.filter(keep).collect()}
+    assert got == {"10.0.1.5", "172.16.3.9"}
+
+    vec = compile_vector(
+        [
+            {"kind": "function", "name": "entropy", "column": "name"},
+            {"kind": "constant", "value": 2.0},
+        ]
+    )
+    rows = {r.name: r.v[0] for r in df.select("name", vec.alias("v")).collect()}
+    assert rows["aaaa"] == 0.0                      # one symbol
+    assert abs(rows["abab"] - 1.0) < 1e-9           # two equi-probable
+    assert abs(rows["abcd"] - 2.0) < 1e-9           # four distinct
+    assert math.isfinite(rows["aa"]) and rows["aa"] == 0.0
+
+    with __import__("pytest").raises(ValueError):
+        compile_vector([{"kind": "function", "name": "not_registered", "column": "name"}])
+
+
 def test_pattern_finder_suppression_merges_distributions(spark):
     """ST3 — suppressed pattern_finder re-reports elementwise-sum their
     distribution slots (reference pattern_finder.py:280-331): wiring the
