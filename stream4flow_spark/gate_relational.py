@@ -422,3 +422,300 @@ def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "tpch_q7ish_nation_volume",
+    covers="rel:5way-join rel:dual-dim-broadcast rel:year-rollup",
+    oracle=f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               CAST(CAST(SUM({_PRICE} * {_DISC1}) AS DECIMAL(38,4)) AS STRING) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+        """,
+)
+def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: volume shipping between a nation pair, per direction per year.
+    Fact table joins two independent dimension CHAINS (customer-side and
+    supplier-side nation); both chains broadcast, so the only shuffle is
+    the 3-key final aggregate. The nation-pair filter lands on the joined
+    dims pre-aggregation (Catalyst pushes it through the broadcasts)."""
+    li = _li(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.expr(f"{_PRICE} * {_DISC1}")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("decimal(38,4)").cast("string").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8ish_market_share",
+    covers="rel:conditional-share rel:region-filter",
+    oracle=f"""
+        SELECT CAST(year(l.l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                             THEN {_PRICE} * {_DISC1} ELSE CAST(0 AS DECIMAL(12,2)) END)
+                    AS DOUBLE)
+               / CAST(SUM({_PRICE} * {_DISC1}) AS DOUBLE) AS mkt_share
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1
+        """,
+)
+def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's market share inside a region, per year — a
+    conditional-numerator / total-denominator ratio in ONE aggregate pass
+    (no self-join). Decimal sums keep both engines bit-identical; the
+    ratio divides the exact sums as doubles."""
+    li = _li(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.expr(f"{_PRICE} * {_DISC1}")
+    zero = F.expr("CAST(0 AS DECIMAL(12,2))")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q10ish_returned_revenue",
+    covers="rel:returned-items rel:top20 A9",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               CAST(CAST(SUM({_PRICE} * {_DISC1}) AS DECIMAL(38,4)) AS STRING) AS revenue,
+               CAST(CAST(SUM({_PRICE} * {_DISC1}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue_d
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_d DESC, c.c_custkey ASC
+        LIMIT 20
+        """,
+)
+def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: top-20 customers by returned-item revenue in a half-year.
+    Global top-k over the aggregate = orderBy+limit, which Spark executes
+    as TakeOrderedAndProject (per-partition heap + tiny driver merge),
+    never a full sort. Ranking on the exact-decimal revenue (as double)
+    keeps the order engine-portable; custkey breaks ties."""
+    li = _li(spark, sf_dir).filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.expr(f"{_PRICE} * {_DISC1}")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("rev_dec"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.col("rev_dec").cast("string").alias("revenue"),
+            F.col("rev_dec").cast("double").alias("revenue_d"),
+        )
+    )
+    return agg.orderBy(F.col("revenue_d").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+@register(
+    "tpch_q18ish_large_orders",
+    covers="rel:having-semi-join rel:top100",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 200
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, 
+               CAST(strftime(o.o_orderdate, '%Y-%m-%d') AS STRING) AS orderdate,
+               big.sum_qty
+        FROM big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY big.sum_qty DESC, o.o_orderkey ASC
+        LIMIT 100
+        """,
+)
+def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: large-volume orders — the HAVING aggregate is computed FIRST
+    and then drives the join (the classic plan inverts this and re-joins
+    lineitem; aggregating first shrinks the probe side to the qualifying
+    orders, which then broadcast into orders/customer). Top-100 is
+    TakeOrderedAndProject."""
+    li = _li(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "sum_qty",
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19ish_bracket_revenue",
+    covers="rel:or-of-ands rel:dim-pushdown",
+    oracle=f"""
+        SELECT CAST(CAST(SUM({_PRICE} * {_DISC1}) AS DECIMAL(38,4)) AS STRING) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#11' AND l.l_quantity BETWEEN 1 AND 11
+               AND p.p_size BETWEEN 1 AND 5)
+           OR (p.p_brand = 'Brand#22' AND l.l_quantity BETWEEN 10 AND 20
+               AND p.p_size BETWEEN 1 AND 10)
+           OR (p.p_brand = 'Brand#33' AND l.l_quantity BETWEEN 20 AND 30
+               AND p.p_size BETWEEN 1 AND 15)
+        """,
+)
+def q_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: OR-of-ANDs bracket predicate across fact and dimension
+    columns. part broadcasts; the disjunction is evaluated post-join in
+    one pass (Catalyst extracts the common l_quantity/p_size bounds where
+    it can). Output is a single exact-decimal scalar."""
+    li = _li(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#11") & F.col("l_quantity").between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#22") & F.col("l_quantity").between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#33") & F.col("l_quantity").between(20, 30)
+           & F.col("p_size").between(1, 15))
+    )
+    rev = F.expr(f"{_PRICE} * {_DISC1}")
+    return joined.filter(bracket).agg(
+        F.sum(rev).cast("decimal(38,4)").cast("string").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q22ish_dormant_customers",
+    covers="rel:anti-join rel:scalar-subquery",
+    oracle="""
+        WITH cutoff AS (
+            SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+        )
+        SELECT n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2))
+                    AS STRING) AS totacctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey, cutoff
+        WHERE c.c_acctbal > cutoff.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY 1
+        """,
+)
+def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: dormant high-balance customers per nation — a scalar
+    aggregate threshold (1-row cross join, Catalyst broadcasts it), an
+    ANTI join against recent orders (no row materializes the miss), and
+    an exact-decimal balance rollup. The anti join's build side is the
+    filtered orders key set, broadcast when small."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(recent), c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("totacctbal"),
+        )
+    )

@@ -16,7 +16,14 @@ queries()  # force registration
 # cosine_topk scores every (query, corpus) pair by definition — its
 # broadcast nested-loop IS the intended "broadcast queries, scan corpus
 # once" plan.
-_NESTED_LOOP_OK = {"llm_ngram_jaccard", "llm_ann_cosine_topk"}
+_NESTED_LOOP_OK = {
+    "llm_ngram_jaccard",
+    "llm_ann_cosine_topk",
+    # scalar-subquery threshold: a 1-row aggregate cross-joined into the
+    # probe side broadcasts that single row — the correct plan for a
+    # scalar predicate (what Catalyst itself emits for scalar subqueries)
+    "tpch_q22ish_dormant_customers",
+}
 
 
 def _plan(spark, name: str) -> str:
