@@ -43,22 +43,21 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_all, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "gate_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "input_rows": input_rows,
-                "rows_per_sec_aggregate": round(
-                    input_rows * len(timings) / total
-                ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    summary = json.dumps(
+        {
+            "metric": "gate_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "input_rows": input_rows,
+            "rows_per_sec_aggregate": round(input_rows * len(timings) / total),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # stop Spark BEFORE printing: shutdown logs must not trail the summary
+    # — the driver captures the tail of stdout and needs this line LAST.
     spark.stop()
+    print(summary, flush=True)
     return 0
 
 

@@ -39,6 +39,10 @@ def _monitored_contribs(network_filter: str) -> Column:
     network regex, the outgoing leg when the source does (reference
     :120-134). Null legs are filtered out inside the array, so one
     explode replaces the reference's two filtered streams + union."""
+    # The reference applies the network filter with ``re.match`` — anchored
+    # at the start — while ``rlike`` searches anywhere; "210.0.1.5" must
+    # NOT match the default r"10\.0\..*". Wrap to pin the anchor.
+    network_filter = f"^(?:{network_filter})"
     src, dst = F.col("src_ip"), F.col("dst_ip")
     pk = F.col("packets")
     zero = F.lit(0).cast("long")

@@ -122,7 +122,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.expr(f"{_PRICE} * {_DISC1}")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
     )
@@ -161,7 +161,7 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.expr(f"{_PRICE} * {_DISC1}")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
@@ -406,13 +406,15 @@ def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
 )
 def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14: promo revenue share — fact⋈dim join (part broadcasts) with a
-    conditional aggregate; one pass, no shuffle beyond the final scalar."""
+    """Q14: promo revenue share — fact⋈dim join with a conditional
+    aggregate; one pass, no shuffle beyond the final scalar. `part` is
+    O(sf) (sf·200k rows) so it carries NO broadcast hint — AQE picks
+    broadcast at small scale and shuffle-hash at 100 TB."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .agg(
             F.round(
                 100.0
@@ -447,9 +449,11 @@ def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7: volume shipping between a nation pair, per direction per year.
     Fact table joins two independent dimension CHAINS (customer-side and
-    supplier-side nation); both chains broadcast, so the only shuffle is
-    the 3-key final aggregate. The nation-pair filter lands on the joined
-    dims pre-aggregation (Catalyst pushes it through the broadcasts)."""
+    supplier-side nation). Only the fixed-size nation projections carry
+    broadcast hints; customer/supplier are O(sf) (sf·150k / sf·10k rows),
+    so their join strategy is left to AQE — broadcast at small sf,
+    shuffle-hash at cluster scale, never an executor-OOMing forced
+    broadcast. The nation-pair filter lands pre-aggregation."""
     li = _li(spark, sf_dir).filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1999-01-01")
     )
@@ -466,9 +470,9 @@ def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.expr(f"{_PRICE} * {_DISC1}")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
@@ -520,10 +524,10 @@ def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.expr("CAST(0 AS DECIMAL(12,2))")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
         .filter(F.col("r_name") == "ASIA")
         .groupBy(F.year("l_shipdate").alias("l_year"))
@@ -572,7 +576,7 @@ def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.expr(f"{_PRICE} * {_DISC1}")
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.sum(rev).cast("decimal(38,4)").alias("rev_dec"))
@@ -609,8 +613,9 @@ def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18: large-volume orders — the HAVING aggregate is computed FIRST
     and then drives the join (the classic plan inverts this and re-joins
     lineitem; aggregating first shrinks the probe side to the qualifying
-    orders, which then broadcast into orders/customer). Top-100 is
-    TakeOrderedAndProject."""
+    orders). `big` is lineitem-derived and selective but still O(sf), so
+    no forced broadcast — AQE sees its post-filter size at runtime and
+    picks the strategy. Top-100 is TakeOrderedAndProject."""
     li = _li(spark, sf_dir)
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -620,8 +625,8 @@ def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 200)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -651,12 +656,13 @@ def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19: OR-of-ANDs bracket predicate across fact and dimension
-    columns. part broadcasts; the disjunction is evaluated post-join in
-    one pass (Catalyst extracts the common l_quantity/p_size bounds where
-    it can). Output is a single exact-decimal scalar."""
+    columns; the disjunction is evaluated post-join in one pass (Catalyst
+    extracts the common l_quantity/p_size bounds where it can). `part` is
+    O(sf) so the join strategy is AQE's call, not a forced broadcast.
+    Output is a single exact-decimal scalar."""
     li = _li(spark, sf_dir)
     p = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     bracket = (
         ((F.col("p_brand") == "Brand#11") & F.col("l_quantity").between(1, 11)
          & F.col("p_size").between(1, 5))
@@ -697,7 +703,9 @@ def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate threshold (1-row cross join, Catalyst broadcasts it), an
     ANTI join against recent orders (no row materializes the miss), and
     an exact-decimal balance rollup. The anti join's build side is the
-    filtered orders key set, broadcast when small."""
+    filtered orders key set — orders-derived, so O(sf): no forced
+    broadcast; AQE broadcasts it only when its runtime size allows. The
+    1-row avg_bal keeps its hint (truly constant size)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
@@ -708,7 +716,7 @@ def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(F.broadcast(recent), c.c_custkey == recent.o_custkey, "left_anti")
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

@@ -82,9 +82,15 @@ def cosine_topk(
         sim = F.round(sim, round_digits)
     # Corpus on the left (streamed), broadcast queries on the right
     # (build side): the one join order that survives an unbounded corpus.
+    # NaN cosines (zero-norm vectors) are dropped BEFORE the prune: pandas
+    # sorts NaN last but Spark's desc() sorts NaN first, so keeping them
+    # would let the pruned and unpruned plans disagree on which rows
+    # survive. A zero-norm vector has no defined direction — excluding it
+    # from ranking is the only order both engines agree on.
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cos"))
+        .filter(F.col("cos").isNotNull() & ~F.isnan(F.col("cos")))
     )
 
     q_id_t = queries.schema[id_col].dataType.simpleString()
@@ -211,6 +217,90 @@ def cosine_pairs_blocked(
     return tiled.groupBy("pair").applyInPandas(tile_product, out_schema)
 
 
+def _kmeans_centroids(
+    base: DataFrame, n_centroids: int, n_iters: int = 2
+) -> "np.ndarray":  # noqa: F821 — numpy imported lazily
+    """Distributed deterministic spherical k-means (see ``ivf_topk``).
+
+    ``base`` must have columns ``id`` and ``v array<double>``. Returns a
+    row-normalized (n_centroids × dim) centroid matrix. Driver traffic is
+    bounded: one 4k-candidate pull + k tiny rows per Lloyd round.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # 1. hash-spread candidate sample — TakeOrdered on the hash, so the
+    #    pull is bounded and content/id-order independent.
+    cand = (
+        base.withColumn("h", F.xxhash64(F.col("id")))
+        .orderBy("h", "id")
+        .limit(n_centroids * 4)
+        .select("v")
+        .toPandas()
+    )
+    X = np.vstack(cand["v"].to_numpy())
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+
+    # 2. deterministic maximin init: start from the first hash-ordered
+    #    candidate, repeatedly add the candidate farthest (in cosine
+    #    distance) from every chosen seed.
+    chosen = [0]
+    min_sim = X @ X[0]
+    while len(chosen) < min(n_centroids, len(X)):
+        nxt = int(np.argmin(min_sim))
+        chosen.append(nxt)
+        min_sim = np.maximum(min_sim, X @ X[nxt])
+    C = X[chosen]
+
+    # 3. distributed Lloyd rounds
+    k = C.shape[0]
+    for _ in range(n_iters):
+        bc = base.sparkSession.sparkContext.broadcast(C)
+
+        def partial(batches):
+            Cn = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.vstack(pdf["v"].to_numpy())
+                Vn = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+                )
+                a = np.argmax(Vn @ Cn.T, axis=1)
+                sums = np.zeros((k, dim))
+                np.add.at(sums, a, Vn)
+                cnt = np.bincount(a, minlength=k)
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.arange(k, dtype="int32"),
+                        "s": list(sums),
+                        "n": cnt.astype("int64"),
+                    }
+                )
+
+        parts = base.mapInPandas(partial, "cluster int, s array<double>, n long")
+        combined = (
+            parts.groupBy("cluster")
+            .agg(
+                F.array(
+                    *[F.sum(F.col("s")[i]) for i in range(dim)]
+                ).alias("s"),
+                F.sum("n").alias("n"),
+            )
+            .toPandas()
+        )
+        newC = C.copy()
+        for _, row in combined.iterrows():
+            if row["n"] > 0:
+                vec = np.asarray(row["s"]) / row["n"]
+                nrm = np.linalg.norm(vec)
+                if nrm > 1e-12:
+                    newC[int(row["cluster"])] = vec / nrm
+        C = newC
+    return C
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -223,11 +313,24 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF (inverted-file) probing.
 
-    Index build: centroids are a deterministic stride-sample of the corpus
-    (seed-free, reproducible; a production build would run k-means — the
-    partition/probe plumbing is identical). Every corpus vector is
-    assigned to its nearest centroid with a broadcast + ``mapInPandas``
-    argmax — a map-only stage, the assignment shuffles only (id, cluster).
+    Index build (a distributed spherical k-means, deterministic and
+    seed-free):
+
+    1. CANDIDATES — a hash-spread sample of ``n_centroids·4`` vectors
+       (ordered by ``xxhash64(id)``, not by id, so the sample is unbiased
+       even when ids correlate with content). Bounded driver pull.
+    2. INIT — deterministic maximin (k-means++-style farthest-point)
+       reduction of the candidates to ``n_centroids`` seeds, on the
+       driver (tiny: 4k × dim).
+    3. LLOYD ROUNDS — ``n_iters`` distributed refinement passes: assign
+       every vector to its nearest centroid with a broadcast +
+       ``mapInPandas`` argmax (map-only, BLAS batch), emit per-batch
+       partial (cluster, sum-vector, count), combine JVM-side with
+       element-wise array sums, pull back k tiny rows, renormalize.
+       Empty clusters keep their previous centroid.
+
+    Every corpus vector is then assigned to its final nearest centroid —
+    again map-only; the assignment shuffles only (id, cluster).
 
     Query: each query probes its ``n_probe`` nearest centroids, joins the
     inverted file on cluster id, scores candidates exactly, and ranks.
@@ -243,15 +346,7 @@ def ivf_topk(
     base = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-
-    # --- index build: deterministic centroid sample, broadcast ----------
-    cent_pdf = (
-        base.orderBy("id").limit(n_centroids * 50).toPandas()
-    )  # bounded driver pull
-    stride = max(len(cent_pdf) // n_centroids, 1)
-    cent_pdf = cent_pdf.iloc[::stride].head(n_centroids)
-    C = np.vstack(cent_pdf["v"].to_numpy())
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    C = _kmeans_centroids(base, n_centroids)
     bc = corpus.sparkSession.sparkContext.broadcast(C)
 
     def assign(batches):
@@ -351,46 +446,57 @@ def lsh_bucketed_neighbors(
     keep their ``max_bucket`` lowest ids, deterministically, and the cap
     is a documented recall trade — pairs both of whose members fall past
     the cap in every colliding table are missed.
+
+    The bucket keys are computed in ONE Arrow-batched ``mapInPandas``
+    matrix product (vectors × all planes of all tables at once): a single
+    BLAS GEMM per batch replaces num_tables·num_planes unrolled
+    higher-order-function expressions whose generated code blows past the
+    JIT's happy path (measured ~4× slower than the GEMM on first run).
+    Map-only — the corpus is scanned once, no shuffle before the
+    (id, tbl, bucket) exchange.
     """
-    from functools import reduce
+    import numpy as np
 
     from pyspark.sql import Window
 
     vec = F.col(vec_col).cast("array<double>")
     vecs = corpus.select(F.col(id_col).alias("id"), vec.alias("v"))
+    id_t = vecs.schema["id"].dataType.simpleString()
 
-    def bucket_bits(v_col: Column, table: int) -> Column:
-        bits = []
-        for p in range(num_planes):
-            plane = _hyperplane(num_planes, dim, table * num_planes + p)
-            d = F.aggregate(
-                F.zip_with(
-                    v_col,
-                    F.array(*[F.lit(x) for x in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
-        return reduce(lambda a, b: a + b, bits)
+    # planes: (num_tables·num_planes) × dim, table t owns rows
+    # t·num_planes … (t+1)·num_planes−1 — deterministic, engine-free.
+    P = np.array(
+        [
+            _hyperplane(num_planes, dim, p)
+            for p in range(num_tables * num_planes)
+        ]
+    ).T  # dim × total_planes
+    weights = np.tile(2 ** np.arange(num_planes), num_tables)
 
-    # One pass computes every table's bucket key (the plane dot products
-    # all ride the same scan), then explodes to (table, bucket, id) rows.
-    keyed = vecs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        bucket_bits(F.col("v"), t).alias("bucket"),
-                    )
-                    for t in range(num_tables)
-                ]
+    def bucket_keys(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy())  # n × dim
+            bits = (V @ P >= 0).astype(np.int64) * weights  # n × total_planes
+            # table t's planes are columns t·num_planes…(t+1)·num_planes−1
+            buckets = bits.reshape(len(pdf), num_tables, num_planes).sum(axis=2)
+            out = pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(num_tables),
+                    "tbl": np.tile(np.arange(num_tables), len(pdf)).astype(
+                        "int32"
+                    ),
+                    "bucket": buckets.ravel(),
+                }
             )
-        ).alias("tb"),
-    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+            yield out
+
+    keyed = vecs.mapInPandas(
+        bucket_keys, f"id {id_t}, tbl int, bucket long"
+    )
 
     if max_bucket is not None:
         w = Window.partitionBy("tbl", "bucket").orderBy("id")

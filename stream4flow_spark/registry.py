@@ -40,14 +40,60 @@ def register(name: str, covers: str = "", oracle: str | None = None):
     return deco
 
 
-def queries() -> dict[str, QueryFn]:
+# The driver verifies the FIRST 50 entries of ``queries()`` per round.
+# With >50 registered queries, this list pins which ones land inside that
+# window: every query that has never had a driver-green CORRECTNESS row
+# comes first; queries already green in multiple prior rounds (r02+r03 for
+# the LLM tier) rotate out, keeping their recorded signal. Names not
+# listed keep registration order after the pinned prefix, so nothing is
+# ever dropped from ``queries()`` itself.
+WINDOW_PRIORITY: list[str] = [
+    # flow-surface apps (1-17)
+    "protocols_statistics", "host_stats", "top_n_host_stats",
+    "dns_statistics", "tls_classification", "host_daily_profile",
+    "ssh_auth_simple", "ports_scan", "detection_ddos", "reflect_ddos",
+    "dns_open_resolvers", "dns_external_resolvers", "pattern_finder",
+    "domain_entropy", "iso_timestamps", "alert_suppression",
+    "application_template",
+    # relational tier (18-34) — incl. the 11 never driver-verified
+    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
+    "tpch_q3_top_revenue_orders", "tpch_q5ish_revenue_per_region",
+    "rel_semi_anti_customers", "rel_pivot_order_priority",
+    "rel_event_sessionization", "rel_rollup_revenue",
+    "tpch_q4ish_priority_check", "tpch_q13ish_order_distribution",
+    "tpch_q14ish_promo_share", "tpch_q7ish_nation_volume",
+    "tpch_q8ish_market_share", "tpch_q10ish_returned_revenue",
+    "tpch_q18ish_large_orders", "tpch_q19ish_bracket_revenue",
+    "tpch_q22ish_dormant_customers",
+    # read-side (35-43)
+    "readside_q1_range_term", "readside_q2_histogram_terms_sum",
+    "readside_q3_global_sums", "readside_q4_per_host_sums",
+    "readside_q5_histogram_multimetric", "readside_q6_top1_per_type",
+    "readside_q7_latest_per_group", "readside_q8_either_term",
+    "readside_q9_ordered",
+    # LLM tier representatives, one per family (44-50)
+    "llm_exact_dedup", "llm_minhash_lsh_dedup", "llm_dedup_components",
+    "llm_ann_cosine_topk", "llm_embedding_neardup", "llm_text_stats",
+    "llm_hash_split",
+]
+
+
+def _ordered() -> dict[str, QuerySpec]:
     _load()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    rank = {name: i for i, name in enumerate(WINDOW_PRIORITY)}
+    fallback = len(rank)
+    names = sorted(
+        REGISTRY, key=lambda n: (rank.get(n, fallback), list(REGISTRY).index(n))
+    )
+    return {n: REGISTRY[n] for n in names}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _load()
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+    return {n: s.oracle for n, s in _ordered().items() if s.oracle is not None}
 
 
 def _load() -> None:

@@ -21,9 +21,9 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from stream4flow_spark.fixtures.flows import spark_flows_cte
+from stream4flow_spark.sources.tables import normalize_ts
 
 
 def stream_events(
@@ -33,8 +33,9 @@ def stream_events(
 
     Schema comes from a batch peek (file-source streams require an explicit
     schema — inference would race the stream)."""
-    # raw schema (ts is a nanos BIGINT under nanosAsLong) — the stream must
-    # read the physical type, then normalize exactly like sources.tables
+    # raw schema (nanos BIGINT under legacy nanosAsLong, TIMESTAMP_NTZ on
+    # PySpark 4.1+) — the stream must read the physical type, then
+    # normalize exactly like sources.tables
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source wants a directory; select just the events table
     reader = spark.readStream.schema(raw_schema).option(
@@ -42,10 +43,7 @@ def stream_events(
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return df
+    return normalize_ts(reader.parquet(sf_dir), "ts")
 
 
 def stream_flows_df(
