@@ -25,6 +25,10 @@ def main() -> int:
     spark = get_spark(app_name="s4f-bench")
 
     qs = queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: fn for n, fn in qs.items() if n in keep}
 
     # Warm-up (untimed): touch every input table once so JVM/codegen
     # startup and parquet footer reads are not charged to whichever query

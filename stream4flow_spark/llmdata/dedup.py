@@ -98,6 +98,26 @@ def ngram_jaccard_pairs(
 
 # --------------------------------------------------------- minhash + LSH
 
+def _cap_buckets(
+    keyed: DataFrame, bucket_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Keep each bucket's ``max_bucket`` lowest ids (deterministic).
+
+    The hot-bucket guard shared by every banded LSH join here and in
+    ``simsearch.lsh_bucketed_neighbors``: bounds any bucket's candidate
+    contribution at max_bucket²/2 regardless of how degenerate the data
+    is. No-op when ``max_bucket`` is None."""
+    if max_bucket is None:
+        return keyed
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols).orderBy("id")
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
+
 def minhash_signature(grams: Column, num_perm: int = 64) -> Column:
     """MinHash signature: per permutation i, min over shingles of
     xxhash64(shingle, seed=i). Empty shingle set → NULL signature.
@@ -148,6 +168,7 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """MinHash/LSH near-dup pairs, verified by true n-gram Jaccard.
 
@@ -163,6 +184,15 @@ def minhash_lsh_dedup(
     and shipping them ×bands through the join exchange dominated runtime
     (and would dominate shuffle volume at scale); fetching them by id for
     the (few) surviving candidate pairs is two cheap hash joins.
+
+    ``max_bucket`` caps hot buckets: a degenerate bucket of k co-hashed
+    docs otherwise makes k²/2 candidates (one boilerplate string repeated
+    a million times would melt the join). Buckets keep their
+    ``max_bucket`` lowest ids, deterministically. Recall trade: a pair
+    both of whose members fall past the cap in EVERY shared bucket is
+    missed — but members of one near-dup cluster share ~all bands, so the
+    retained ``max_bucket`` representatives still stitch the cluster
+    together transitively (``connected_components``).
     """
     assert num_perm % rows_per_band == 0
     bands = num_perm // rows_per_band
@@ -196,13 +226,19 @@ def minhash_lsh_dedup(
         ).alias("bb"),
     )
 
+    banded = _cap_buckets(
+        banded.select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")),
+        ["band", "bucket"],
+        max_bucket,
+    )
+
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
         a.join(
             b,
-            (F.col("a.bb.band") == F.col("b.bb.band"))
-            & (F.col("a.bb.bucket") == F.col("b.bb.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -300,12 +336,17 @@ def simhash_dedup(
     id_col: str = "doc_id",
     n: int = 3,
     max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Banding: split the 64-bit hash into 4 × 16-bit chunks; any pair with
     hamming ≤ 3 agrees exactly on ≥ 1 chunk (pigeonhole), so the join key
-    is (chunk_index, chunk_value) — no cross join.
+    is (chunk_index, chunk_value) — no cross join. ``max_bucket`` caps
+    hot chunks exactly like the MinHash band join (see
+    ``minhash_lsh_dedup``); identical documents all land in the same four
+    chunk buckets, so without the cap one mass-duplicated document goes
+    quadratic.
     """
     hashed = simhash_table(df, text_col, id_col, n)
     chunked = hashed.select(
@@ -324,14 +365,15 @@ def simhash_dedup(
                 ]
             )
         ).alias("cv"),
-    )
+    ).select("id", "sh", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    chunked = _cap_buckets(chunked, ["chunk", "val"], max_bucket)
     a = chunked.alias("a")
     b = chunked.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.cv.chunk") == F.col("b.cv.chunk"))
-            & (F.col("a.cv.val") == F.col("b.cv.val"))
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(

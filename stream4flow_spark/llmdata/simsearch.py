@@ -36,7 +36,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector has no direction — NULL, not an ANSI
+    # DIVIDE_BY_ZERO error (consumers filter NULLs out of rankings).
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(

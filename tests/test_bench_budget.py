@@ -1,14 +1,15 @@
-"""Per-query performance budget (VERDICT r1 item 10).
+"""Per-query performance budget (VERDICT r1 item 10, r3 item 10).
 
 Runs the real bench harness at sf0.1 and fails if any gate query
-regresses more than 2x against the recorded round-1 numbers
-(BENCH_r01.json) — locking each round's performance as the next round's
-floor. A small absolute slack absorbs single-VM noise (the box's
+regresses more than 2x against its best recorded time across ALL
+BENCH_r{N}.json artifacts — locking each round's performance as the next
+round's floor. A small absolute slack absorbs single-VM noise (the box's
 run-to-run jitter is ~1.5x on sub-second queries when another JVM is
 active); a true structural regression (wrong join order, lost pushdown,
-driver collect) is way past 2x + slack. Queries new since the baseline
-are skipped — they get a budget when the next BENCH_r{N} lands.
-"""
+driver collect) is way past 2x + slack. Queries new since the last
+recorded bench are skipped — they get a budget when the next BENCH_r{N}
+lands. ``_OVERRIDES`` hand-tightens queries whose only recorded round
+was itself a known-bad plan (r2's forced-broadcast q7ish/q8ish)."""
 
 from __future__ import annotations
 
@@ -19,25 +20,45 @@ import subprocess
 import sys
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-BASELINE = REPO / "BENCH_r01.json"
 SLACK_SEC = 1.5
 FACTOR = 2.0
 
+# Measured locally after the r4 broadcast fix (plan-audit numbers; the r2
+# record for these carried the forced-O(sf)-broadcast plan and would give
+# a budget that permits the regression the fix removed).
+_OVERRIDES = {
+    "tpch_q7ish_nation_volume": 5.0,
+    "tpch_q8ish_market_share": 5.0,
+}
+
 
 def _baseline_queries() -> dict[str, float]:
-    """BENCH_r{N}.json is the driver's wrapper: the bench's own JSON line
-    lives (escaped) inside its `tail` field."""
-    doc = json.loads(BASELINE.read_text())
-    if "queries" in doc:
-        return doc["queries"]
-    tail = doc["tail"]
-    start = tail.rindex('{"metric"')
-    return json.loads(tail[start:])["queries"]
+    """Best recorded per-query time across every BENCH_r{N}.json.
+
+    Each artifact is the driver's wrapper: the bench's own JSON line
+    lives (escaped) inside its `tail` field (rc!=0 rounds carry no
+    parseable line and are skipped)."""
+    best: dict[str, float] = {}
+    for path in sorted(REPO.glob("BENCH_r*.json")):
+        doc = json.loads(path.read_text())
+        try:
+            if "queries" in doc:
+                qs = doc["queries"]
+            else:
+                tail = doc["tail"]
+                qs = json.loads(tail[tail.rindex('{"metric"'):])["queries"]
+        except (KeyError, ValueError):
+            continue  # failed round (rc!=0): no numbers recorded
+        for name, took in qs.items():
+            best[name] = min(best.get(name, float("inf")), took)
+    best.update(_OVERRIDES)
+    return best
 
 
-def test_no_query_regresses_2x_vs_recorded_bench():
-    baseline = _baseline_queries()
+def _run_bench(only: list[str] | None = None) -> dict[str, float]:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
+    if only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env,
@@ -48,14 +69,32 @@ def test_no_query_regresses_2x_vs_recorded_bench():
         check=True,
     )
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    now = json.loads(line)["queries"]
+    return json.loads(line)["queries"]
 
-    over = {
+
+def _over_budget(
+    now: dict[str, float], baseline: dict[str, float]
+) -> dict[str, tuple[float, float]]:
+    return {
         name: (took, baseline[name])
         for name, took in now.items()
         if name in baseline and took > FACTOR * baseline[name] + SLACK_SEC
     }
+
+
+def test_no_query_regresses_2x_vs_recorded_bench():
+    baseline = _baseline_queries()
+    now = _run_bench()
+    over = _over_budget(now, baseline)
+    if over:
+        # single-VM noise (JIT warm-up, a co-resident JVM) occasionally
+        # blows a query past budget; a STRUCTURAL regression reproduces.
+        # Re-time only the offenders in a fresh process and keep the min.
+        retimed = _run_bench(only=sorted(over))
+        now = {**now, **{n: min(now[n], retimed.get(n, now[n])) for n in over}}
+        over = _over_budget(now, baseline)
     assert not over, (
-        "queries regressed >2x vs BENCH_r01.json: "
+        "queries regressed >2x vs best recorded BENCH_r*.json (reproduced "
+        "in a retry run): "
         + ", ".join(f"{n}: {t:.2f}s vs baseline {b:.2f}s" for n, (t, b) in over.items())
     )

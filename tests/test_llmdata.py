@@ -172,3 +172,72 @@ def test_hash_split_deterministic_and_proportional(spark):
     # a different salt gives a different (but still complete) assignment
     c = {r.doc_id: r.split for r in hash_split(docs, w, salt="other").collect()}
     assert c != a and set(c) == set(a)
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """1k identical docs: every band bucket is the same hot bucket. The
+    cap keeps the lowest max_bucket ids so the candidate count is bounded
+    at C(cap,2) instead of C(1000,2) ≈ 500k."""
+    df = _docs(spark, [BASE] * 1000)
+    out = minhash_lsh_dedup(df, threshold=0.5, max_bucket=20).collect()
+    assert len(out) == 20 * 19 // 2
+    assert max(max(r.id_a, r.id_b) for r in out) == 19
+    # all retained pairs are true duplicates (jaccard 1.0)
+    assert all(r.jaccard == 1.0 for r in out)
+
+
+def test_simhash_bucket_cap_bounds_degenerate_corpus(spark):
+    df = _docs(spark, [BASE] * 1000)
+    out = simhash_dedup(df, max_hamming=3, max_bucket=20).collect()
+    assert len(out) == 20 * 19 // 2
+    assert max(max(r.id_a, r.id_b) for r in out) == 19
+
+
+def test_cosine_topk_zero_vectors_pruned_consistently(spark):
+    """Zero-norm vectors have NaN cosine: they must be excluded from
+    ranking entirely (pandas sorts NaN last, Spark desc() sorts NaN first
+    — keeping them would make the pruned and unpruned plans disagree)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> NaN cosine
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    ranked = [r.neighbor_id for r in out.orderBy("rank").collect()]
+    assert ranked == [2, 3]  # the zero vector never appears, NaN never ranks first
+
+
+def test_ivf_centroids_unbiased_when_ids_correlate_with_content(spark):
+    """The old index build sampled the first ids as centroids — if ids
+    correlate with content (sorted ingest), every centroid came from one
+    region and recall collapsed for the rest. The k-means build must
+    cover both clusters."""
+    import math
+
+    from stream4flow_spark.llmdata.simsearch import cosine_topk, ivf_topk
+
+    # ids 0..199: cluster A (x-axis cone); ids 200..399: cluster B
+    # (y-axis cone) — content fully determined by id order.
+    rows = []
+    for i in range(200):
+        a = 0.2 * math.sin(i)
+        rows.append((i, [1.0, a, 0.0, 0.0]))
+        rows.append((200 + i, [0.0, a, 1.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter((F.col("vec_id") % 100) == 7)  # some of each cluster
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=4, n_probe=2).collect()
+    }
+    # per-cluster recall: B-cluster queries (vec_id >= 200) must not be
+    # starved by centroids drawn only from A
+    for lo, hi in [(0, 200), (200, 400)]:
+        e = {p for p in exact if lo <= p[0] < hi}
+        g = {p for p in got if lo <= p[0] < hi}
+        assert len(g & e) / len(e) >= 0.8, (lo, hi)

@@ -263,3 +263,31 @@ def test_daily_profile_chained_from_host_stats(spark):
         direct.sort_values(keys, ignore_index=True),
         chained.sort_values(keys, ignore_index=True),
     )
+
+
+def test_ddos_network_filter_is_anchored(spark):
+    """The reference applies network_filter with re.match (anchored);
+    '210.0.1.5' must NOT be treated as monitored under the default
+    r'10\\.0\\..*' pattern even though rlike would substring-match it."""
+    import pandas as pd
+
+    from stream4flow_spark.apps.detection_ddos import ddos_window_aggregate
+
+    pdf = pd.DataFrame(
+        [
+            (1_000, "203.0.113.1", "10.0.0.1", 5),     # monitored dst
+            (2_000, "203.0.113.1", "210.0.1.5", 7),    # NOT monitored
+            (3_000, "210.0.1.5", "203.0.113.9", 9),    # NOT monitored src
+        ],
+        columns=[
+            "ipfix_flowStartMilliseconds",
+            "ipfix_sourceIPv4Address",
+            "ipfix_destinationIPv4Address",
+            "ipfix_packetDeltaCount",
+        ],
+    )
+    partials = ddos_window_aggregate(
+        spark.createDataFrame(pdf), "10 seconds"  # default network_filter
+    )
+    hosts = {r.host for r in partials.collect()}
+    assert hosts == {"10.0.0.1"}

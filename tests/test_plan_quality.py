@@ -65,9 +65,43 @@ def test_cosine_pairs_tiles_without_driver_collect(spark):
 
 
 def test_q5ish_broadcasts_dimensions(spark):
+    # nation/region keep explicit hints (fixed-size): the static plan must
+    # broadcast them. customer/orders carry NO hint — their strategy is
+    # AQE's runtime call, so SMJ in the STATIC plan is acceptable; after
+    # execution at this sf the adaptive plan should have converted every
+    # join to broadcast (runtime sizes are tiny).
     plan = _plan(spark, "tpch_q5ish_revenue_per_region")
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    df = REGISTRY["tpch_q5ish_revenue_per_region"].fn(spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in executed, (
+        "AQE failed to convert the unhinted joins to broadcast at sf0.001"
+    )
+
+
+def test_no_broadcast_hint_on_scale_growing_tables():
+    """No ``F.broadcast(...)`` may target customer/supplier/part/orders/
+    lineitem or anything derived from them — those grow with scale factor
+    and a forced broadcast OOMs executors at 100×. Only fixed-size dims
+    (nation, region — 25/5 rows at every sf), 1-row scalar aggregates,
+    bounded query sets, and routing tables may carry hints. Enforced by
+    scanning the argument text of every broadcast call site."""
+    import re
+    from pathlib import Path
+
+    allowed = {
+        # fixed-size dims and bounded builds, by variable name
+        "n", "r", "cn", "sn", "dim", "avg_bal", "q", "routing",
+    }
+    root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
+    offenders = []
+    for path in root.rglob("*.py"):
+        for m in re.finditer(r"F\.broadcast\(([^)]*)\)", path.read_text()):
+            arg = m.group(1).strip()
+            if arg not in allowed:
+                offenders.append(f"{path.name}: F.broadcast({arg})")
+    assert not offenders, f"broadcast hints on scale-growing tables: {offenders}"
 
 
 def test_q6_pushes_filters_and_prunes_columns(spark):

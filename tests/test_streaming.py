@@ -755,3 +755,100 @@ def test_stream_dns_external_resolvers_smoke(spark):
     )
     out = run_stream_to_table(df, output_mode="append")
     assert out.count() >= 0
+
+
+def test_ddos_baseline_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch may re-deliver a batch id after a failure: applying the
+    same (batch_df, batch_id) twice must not double-count the baseline or
+    duplicate alerts."""
+    from stream4flow_spark.streaming.ddos import DdosBaselineState
+
+    pdf = _ddos_flows_pdf()
+    batch_df = spark.createDataFrame(pdf)
+    state = DdosBaselineState(
+        spark,
+        str(tmp_path / "state"),
+        window_duration="10 seconds",
+        long_window="60 seconds",
+        network_filter=r"^10\.0\.",
+        min_ratio=3.0,
+        min_packets=50,
+    )
+    state.apply_batch(batch_df, 0)
+    baseline_once = _sorted_pdf(
+        spark.read.parquet(state.baseline_path), ["window_start_ms", "host"]
+    )
+    alerts_once = _sorted_pdf(state.alerts(), ["window_start_ms", "dst_ip"])
+
+    # retried delivery of the same batch id: full no-op
+    state.apply_batch(batch_df, 0)
+    baseline_twice = _sorted_pdf(
+        spark.read.parquet(state.baseline_path), ["window_start_ms", "host"]
+    )
+    alerts_twice = _sorted_pdf(state.alerts(), ["window_start_ms", "dst_ip"])
+    pd.testing.assert_frame_equal(baseline_twice, baseline_once)
+    pd.testing.assert_frame_equal(alerts_twice, alerts_once)
+
+
+def test_ddos_baseline_restart_recovers_from_state_dir(spark, tmp_path):
+    """A fresh instance over the same state_dir (= a restarted driver whose
+    checkpoint skips processed files) must resume from the committed
+    manifest instead of silently starting empty, and end states must match
+    an uninterrupted run."""
+    from stream4flow_spark.apps.detection_ddos import detection_ddos
+    from stream4flow_spark.streaming.ddos import DdosBaselineState
+
+    pdf = _ddos_flows_pdf()
+    params = dict(
+        window_duration="10 seconds",
+        long_window="60 seconds",
+        network_filter=r"^10\.0\.",
+        min_ratio=3.0,
+        min_packets=50,
+    )
+    first, second = pdf.iloc[:30], pdf.iloc[30:]
+
+    # session 1 applies batch 0, then "crashes"
+    s1 = DdosBaselineState(spark, str(tmp_path / "state"), **params)
+    s1.apply_batch(spark.createDataFrame(first), 0)
+    assert s1.batch_id == 0
+
+    # session 2 recovers the pointer and continues with batch 1
+    s2 = DdosBaselineState(spark, str(tmp_path / "state"), **params)
+    assert s2.batch_id == 0
+    assert s2.baseline_path == s1.baseline_path
+    assert s2.emitted_until == s1.emitted_until
+    s2.apply_batch(spark.createDataFrame(second), 1)
+
+    expect = _sorted_pdf(
+        detection_ddos(spark.createDataFrame(pdf), **params),
+        ["window_start_ms", "dst_ip"],
+    )
+    got = _sorted_pdf(s2.alerts(), ["window_start_ms", "dst_ip"])[
+        list(expect.columns)
+    ]
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_ddos_snapshot_gc_keeps_single_snapshot(spark, tmp_path):
+    """Superseded v* snapshot dirs are deleted after each commit — disk
+    stays O(1) snapshots instead of growing per batch."""
+    from stream4flow_spark.streaming.ddos import DdosBaselineState
+
+    pdf = _ddos_flows_pdf()
+    state_dir = tmp_path / "state"
+    state = DdosBaselineState(
+        spark,
+        str(state_dir),
+        window_duration="10 seconds",
+        long_window="60 seconds",
+        network_filter=r"^10\.0\.",
+        min_ratio=3.0,
+        min_packets=50,
+    )
+    for i, lo in enumerate(range(0, len(pdf), 10)):
+        state.apply_batch(spark.createDataFrame(pdf.iloc[lo : lo + 10]), i)
+    snapshots = [p.name for p in state_dir.iterdir() if p.name.startswith("v")]
+    manifests = list((state_dir / "manifest").iterdir())
+    assert len(snapshots) == 1
+    assert len(manifests) == 1
