@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stream4flow_spark.llmdata.dedup import (
+    dedup_corpus,
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
@@ -19,7 +20,12 @@ from stream4flow_spark.llmdata.simsearch import (
     cosine_topk,
     lsh_bucketed_neighbors,
 )
-from stream4flow_spark.llmdata.textstats import fingerprints, language_id, quality_features
+from stream4flow_spark.llmdata.textstats import (
+    clean_text,
+    fingerprints,
+    language_id,
+    quality_features,
+)
 from stream4flow_spark.registry import register
 from stream4flow_spark.sources.tables import load_table
 
@@ -360,6 +366,109 @@ def q_llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         "id", F.col("component").cast("long").alias("component")
     )
+
+
+@register(
+    "llm_text_clean",
+    covers="llm:text-scrub",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                   '<EMAIL>', 'g'),
+                               'https?://[^\\s]+', '<URL>', 'g'),
+                           '[0-9]{5,}', '<NUM>', 'g'),
+                       '\\s+', ' ', 'g')) AS text_clean
+            FROM documents
+        )
+        SELECT doc_id, text_clean,
+               CAST(len(regexp_extract_all(text_clean, '<EMAIL>|<URL>|<NUM>'))
+                    AS INT) AS n_redactions
+        FROM c
+        """,
+)
+def q_llm_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus scrub: email/URL/digit-run redaction + whitespace
+    normalization, pure Column expressions (map-only at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_text(docs).select("doc_id", "text_clean", "n_redactions")
+
+
+@register(
+    "llm_corpus_select",
+    covers="llm:corpus-selection",
+    oracle=f"""
+        WITH k AS (
+            SELECT md5(text) AS fp, MIN(doc_id) AS keeper FROM documents GROUP BY 1
+        )
+        SELECT d.doc_id, d.lang, CAST(len({_W}) AS INT) AS n_tokens
+        FROM documents d
+        JOIN k ON md5(d.text) = k.fp AND d.doc_id = k.keeper
+        WHERE len({_W}) >= 20
+          AND CAST(length(regexp_replace(d.text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+              / length(d.text) >= 0.5
+        """,
+)
+def q_llm_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining selection: exact-dedup keepers only, minimum
+    length, minimum alphanumeric density — the filter chain a corpus build
+    runs before tokenization. Keeper check is a LEFT SEMI join against the
+    digest aggregate (ids-only through the shuffle); the quality predicates
+    are scan-side Column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    return (
+        quality_features(docs)
+        .join(keepers, "doc_id", "left_semi")
+        .filter((F.col("n_tokens") >= 20) & (F.col("alnum_ratio") >= 0.5))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@register(
+    "llm_dedup_corpus",
+    covers="llm:dedup-end-to-end",
+    # Oracle = the same keeper semantics over the BRUTE-FORCE Jaccard pair
+    # graph (recursive-CTE transitive closure, keeper = min reachable id,
+    # unpaired documents keep themselves). Valid against the LSH path for
+    # the same reason as llm_minhash_lsh_dedup: banded candidate recall at
+    # the 0.5 threshold is ~1-0.75^32 and pairs are verified exactly.
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id AS id, {_GRAMS3} AS grams FROM documents
+            WHERE len({_W}) >= 3
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(a.grams || b.grams)) >= 0.5
+        ),
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS id, src AS r FROM e
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+        ),
+        comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        SELECT CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS keeper_id,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        GROUP BY 1
+        """,
+)
+def q_llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline over documents: LSH pairs → transitive
+    components → keeper per cluster → deduplicated corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_corpus(docs, threshold=0.5)
 
 
 _BUCKET_SQL = (

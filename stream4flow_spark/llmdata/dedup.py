@@ -392,6 +392,39 @@ def simhash_dedup(
     )
 
 
+# ------------------------------------------------------- corpus dedup
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup corpus deduplication: one row per KEPT document.
+
+    The full pipeline a training-data run needs, composed from the tiers
+    below: MinHash-LSH candidate pairs (verified at ``threshold`` Jaccard)
+    → transitive connected components (a~b, b~c ⇒ one keeper for
+    {a,b,c}) → keeper = minimum id per component; documents in no pair
+    keep themselves. Output: keeper_id, group_size (how many documents
+    the keeper absorbed, 1 = unique).
+
+    Scale shape inherits from the parts: digest-narrow band joins with
+    hot-bucket caps, id-only component propagation, and one final
+    left join of the corpus ids against the (small) component map.
+    """
+    pairs = minhash_lsh_dedup(
+        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    )
+    comp = connected_components(pairs)
+    ids = df.select(F.col(id_col).alias("doc"))
+    labeled = ids.join(comp, ids["doc"] == comp["id"], "left").select(
+        "doc", F.coalesce(F.col("component"), F.col("doc")).alias("keeper_id")
+    )
+    return labeled.groupBy("keeper_id").agg(F.count("*").alias("group_size"))
+
+
 # ------------------------------------------------- connected components
 
 def connected_components(

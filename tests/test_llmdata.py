@@ -241,3 +241,33 @@ def test_ivf_centroids_unbiased_when_ids_correlate_with_content(spark):
         e = {p for p in exact if lo <= p[0] < hi}
         g = {p for p in got if lo <= p[0] < hi}
         assert len(g & e) / len(e) >= 0.8, (lo, hi)
+
+
+def test_clean_text_redactions(spark):
+    from stream4flow_spark.llmdata.textstats import clean_text
+
+    df = _docs(
+        spark,
+        [
+            "contact me  at bob@example.com   or https://x.io/a?b=1 now",
+            "order 1234567890 shipped",
+            "no pii here",
+        ],
+    )
+    out = {r.doc_id: r for r in clean_text(df).collect()}
+    assert out[0].text_clean == "contact me at <EMAIL> or <URL> now"
+    assert out[0].n_redactions == 2
+    assert out[1].text_clean == "order <NUM> shipped"
+    assert out[1].n_redactions == 1
+    assert out[2].text_clean == "no pii here"
+    assert out[2].n_redactions == 0
+
+
+def test_dedup_corpus_transitive_keepers(spark):
+    from stream4flow_spark.llmdata.dedup import dedup_corpus
+
+    # 0~1 and 1~2 near-dups (transitive cluster of 3); 3 unique; 4 short
+    mid = BASE.replace("today", "tonight")
+    df = _docs(spark, [BASE, NEAR, mid, FAR, "tiny"])
+    out = {r.keeper_id: r.group_size for r in dedup_corpus(df, threshold=0.5).collect()}
+    assert out == {0: 3, 3: 1, 4: 1}
