@@ -71,10 +71,12 @@ WINDOW_PRIORITY: list[str] = [
     "readside_q5_histogram_multimetric", "readside_q6_top1_per_type",
     "readside_q7_latest_per_group", "readside_q8_either_term",
     "readside_q9_ordered",
-    # LLM tier representatives, one per family (44-50)
-    "llm_exact_dedup", "llm_minhash_lsh_dedup", "llm_dedup_components",
-    "llm_ann_cosine_topk", "llm_embedding_neardup", "llm_text_stats",
-    "llm_hash_split",
+    # LLM tier (44-50): the never-driver-verified round-4 additions plus
+    # one representative per major family (the rotated-out rest are green
+    # in the r02+r03 records)
+    "llm_dedup_corpus", "llm_text_clean", "llm_corpus_select",
+    "llm_minhash_lsh_dedup", "llm_dedup_components",
+    "llm_ann_cosine_topk", "llm_embedding_neardup",
 ]
 
 

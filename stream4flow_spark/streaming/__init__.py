@@ -8,6 +8,8 @@
   the same transformation graph runs incrementally.
 - ``streaming.state``  — ``applyInPandasWithState`` suppression twin of
   ``operators.suppression`` (ST1-ST3).
+- ``streaming.llmingest`` — dedup-on-arrival for the training-data tier
+  (watermark-bounded keep-first per content hash).
 """
 
 from stream4flow_spark.streaming.runner import (  # noqa: F401
@@ -16,4 +18,7 @@ from stream4flow_spark.streaming.runner import (  # noqa: F401
     stream_flows_df,
 )
 from stream4flow_spark.streaming.ddos import detection_ddos_stream  # noqa: F401
+from stream4flow_spark.streaming.llmingest import (  # noqa: F401
+    dedup_documents_stream,
+)
 from stream4flow_spark.streaming.state import suppress_reports_stream  # noqa: F401

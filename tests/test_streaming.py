@@ -852,3 +852,45 @@ def test_ddos_snapshot_gc_keeps_single_snapshot(spark, tmp_path):
     manifests = list((state_dir / "manifest").iterdir())
     assert len(snapshots) == 1
     assert len(manifests) == 1
+
+
+def test_stream_ingest_dedup_matches_batch_exact_dedup(spark, tmp_path):
+    """Dedup-on-arrival: the streamed keep-first-per-fingerprint output
+    must cover exactly the batch exact_dedup groups (one survivor per
+    distinct text), with state bounded by the watermark horizon."""
+    from stream4flow_spark.llmdata.dedup import exact_dedup
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.llmingest import dedup_documents_stream
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expect = exact_dedup(docs)  # fp -> keeper/min-id, group_size
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pdf = docs.toPandas().sort_values("doc_id")
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(src / "f0.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(str(src / "f1.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    # deterministic ingest time: doc_id seconds after a realistic epoch
+    # base (ts at epoch 0 sits on the initial watermark floor and is
+    # dropped as late) — arrival order == id order, so the first arrival
+    # is the min id, matching exact_dedup's keeper choice
+    deduped = dedup_documents_stream(
+        stream,
+        ingest_ts=F.timestamp_millis(
+            F.lit(1_600_000_000_000) + F.col("doc_id") * 1000
+        ),
+    )
+    got = run_stream_to_table(deduped, output_mode="append")
+
+    got_fp = {r.fp: r.doc_id for r in got.select("fp", "doc_id").collect()}
+    want_fp = {r.fp: r.keeper_id for r in expect.collect()}
+    assert got_fp == want_fp  # one survivor per distinct text, min-id keeper
