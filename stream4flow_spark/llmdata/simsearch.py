@@ -292,6 +292,10 @@ def _kmeans_centroids(
             )
             .toPandas()
         )
+        # the round's centroid broadcast is consumed by the toPandas()
+        # above — release it (only the FINAL centroids stay broadcast,
+        # in ivf_topk, for the lifetime of the returned plan)
+        bc.unpersist()
         newC = C.copy()
         for _, row in combined.iterrows():
             if row["n"] > 0:

@@ -112,3 +112,39 @@ def test_suppression_chain_invariants(spark, ts_list, window):
     last = out["ts_ms"].iloc[-1]
     total = out["x"].sum()
     assert sum(1 for v in t if v < last) < total <= sum(1 for v in t if v <= last)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("L", "N", "P", "Zs"), max_codepoint=0x2FF
+            ),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_clean_text_matches_python_reference(spark, texts):
+    """clean_text must agree with a plain-Python re.sub chain (same
+    patterns, same order) and be idempotent (placeholders contain nothing
+    any pattern re-matches)."""
+    import re
+
+    from stream4flow_spark.llmdata.textstats import REDACTIONS, clean_text
+
+    def ref(t: str) -> str:
+        for pat, tok in REDACTIONS:
+            t = re.sub(pat, tok, t)
+        return re.sub(r"\s+", " ", t).strip()
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.text_clean for r in clean_text(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), repr(t)
+        assert ref(ref(t)) == ref(t)  # idempotency of the scrub
