@@ -220,33 +220,43 @@ def cosine_pairs_blocked(
 
 
 def _kmeans_centroids(
-    base: DataFrame, n_centroids: int, n_iters: int = 2
+    base: DataFrame,
+    n_centroids: int,
+    n_iters: int = 5,
+    sample_per_centroid: int = 500,
 ) -> "np.ndarray":  # noqa: F821 — numpy imported lazily
-    """Distributed deterministic spherical k-means (see ``ivf_topk``).
+    """Deterministic spherical k-means over a bounded training sample
+    (see ``ivf_topk``).
 
     ``base`` must have columns ``id`` and ``v array<double>``. Returns a
-    row-normalized (n_centroids × dim) centroid matrix. Driver traffic is
-    bounded: one 4k-candidate pull + k tiny rows per Lloyd round.
+    row-normalized (n_centroids × dim) centroid matrix.
+
+    Why sample-trained, not full-corpus Lloyd: every distributed Lloyd
+    round is a FULL corpus scan — at 100 TB, k-means over the whole
+    corpus costs n_iters extra passes before the single assignment pass
+    the index actually needs. Training on a hash-spread sample
+    (``n_centroids·sample_per_centroid`` vectors ≈ a few MB; TakeOrdered
+    on ``xxhash64(id)``, so unbiased even when ids correlate with
+    content) bounds the driver pull and makes index build cost ONE
+    distributed pass regardless of corpus size — the standard IVF
+    training shape. Init is deterministic maximin (k-means++-style
+    farthest-point) from the sample; Lloyd then runs locally in numpy.
     """
     import numpy as np
-    import pandas as pd
 
-    # 1. hash-spread candidate sample — TakeOrdered on the hash, so the
-    #    pull is bounded and content/id-order independent.
     cand = (
         base.withColumn("h", F.xxhash64(F.col("id")))
         .orderBy("h", "id")
-        .limit(n_centroids * 4)
+        .limit(n_centroids * sample_per_centroid)
         .select("v")
         .toPandas()
     )
     X = np.vstack(cand["v"].to_numpy())
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    dim = X.shape[1]
 
-    # 2. deterministic maximin init: start from the first hash-ordered
-    #    candidate, repeatedly add the candidate farthest (in cosine
-    #    distance) from every chosen seed.
+    # deterministic maximin init: start from the first hash-ordered
+    # sample row, repeatedly add the row farthest (in cosine distance)
+    # from every chosen seed.
     chosen = [0]
     min_sim = X @ X[0]
     while len(chosen) < min(n_centroids, len(X)):
@@ -255,54 +265,19 @@ def _kmeans_centroids(
         min_sim = np.maximum(min_sim, X @ X[nxt])
     C = X[chosen]
 
-    # 3. distributed Lloyd rounds
-    k = C.shape[0]
+    # local spherical Lloyd on the sample
     for _ in range(n_iters):
-        bc = base.sparkSession.sparkContext.broadcast(C)
-
-        def partial(batches):
-            Cn = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                V = np.vstack(pdf["v"].to_numpy())
-                Vn = V / np.maximum(
-                    np.linalg.norm(V, axis=1, keepdims=True), 1e-12
-                )
-                a = np.argmax(Vn @ Cn.T, axis=1)
-                sums = np.zeros((k, dim))
-                np.add.at(sums, a, Vn)
-                cnt = np.bincount(a, minlength=k)
-                yield pd.DataFrame(
-                    {
-                        "cluster": np.arange(k, dtype="int32"),
-                        "s": list(sums),
-                        "n": cnt.astype("int64"),
-                    }
-                )
-
-        parts = base.mapInPandas(partial, "cluster int, s array<double>, n long")
-        combined = (
-            parts.groupBy("cluster")
-            .agg(
-                F.array(
-                    *[F.sum(F.col("s")[i]) for i in range(dim)]
-                ).alias("s"),
-                F.sum("n").alias("n"),
-            )
-            .toPandas()
-        )
-        # the round's centroid broadcast is consumed by the toPandas()
-        # above — release it (only the FINAL centroids stay broadcast,
-        # in ivf_topk, for the lifetime of the returned plan)
-        bc.unpersist()
+        a = np.argmax(X @ C.T, axis=1)
         newC = C.copy()
-        for _, row in combined.iterrows():
-            if row["n"] > 0:
-                vec = np.asarray(row["s"]) / row["n"]
-                nrm = np.linalg.norm(vec)
+        for j in range(C.shape[0]):
+            members = X[a == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
                 if nrm > 1e-12:
-                    newC[int(row["cluster"])] = vec / nrm
+                    newC[j] = m / nrm
+        if np.allclose(newC, C):
+            break
         C = newC
     return C
 
@@ -319,24 +294,12 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF (inverted-file) probing.
 
-    Index build (a distributed spherical k-means, deterministic and
-    seed-free):
-
-    1. CANDIDATES — a hash-spread sample of ``n_centroids·4`` vectors
-       (ordered by ``xxhash64(id)``, not by id, so the sample is unbiased
-       even when ids correlate with content). Bounded driver pull.
-    2. INIT — deterministic maximin (k-means++-style farthest-point)
-       reduction of the candidates to ``n_centroids`` seeds, on the
-       driver (tiny: 4k × dim).
-    3. LLOYD ROUNDS — ``n_iters`` distributed refinement passes: assign
-       every vector to its nearest centroid with a broadcast +
-       ``mapInPandas`` argmax (map-only, BLAS batch), emit per-batch
-       partial (cluster, sum-vector, count), combine JVM-side with
-       element-wise array sums, pull back k tiny rows, renormalize.
-       Empty clusters keep their previous centroid.
-
-    Every corpus vector is then assigned to its final nearest centroid —
-    again map-only; the assignment shuffles only (id, cluster).
+    Index build: deterministic sample-trained spherical k-means
+    (``_kmeans_centroids``) — hash-spread bounded sample, maximin init,
+    local Lloyd. The FULL corpus is touched exactly once: every vector is
+    assigned to its nearest final centroid with a broadcast +
+    ``mapInPandas`` argmax (map-only, BLAS batch); the assignment
+    shuffles only (id, cluster).
 
     Query: each query probes its ``n_probe`` nearest centroids, joins the
     inverted file on cluster id, scores candidates exactly, and ranks.
