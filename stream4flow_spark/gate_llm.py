@@ -471,6 +471,36 @@ def q_llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(docs, threshold=0.5)
 
 
+@register(
+    "llm_length_stats",
+    covers="llm:corpus-profile",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(n_chars), 4) AS mean_chars,
+               ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+               ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+        FROM documents GROUP BY 1
+        """,
+)
+def q_llm_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile per language: count, mean, exact p50/p90 of
+    document length — the distribution snapshot a corpus build checks
+    before setting truncation/packing parameters. Exact ``percentile``
+    (interpolating, matches quantile_cont) rather than the sketch-based
+    ``percentile_approx``: per-group state is O(group rows) here, and the
+    oracle comparison needs exactness — at 100 TB interactive use, switch
+    to ``percentile_approx`` (t-digest, bounded state) the same way
+    host_stats switches countDistinct→HLL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+    )
+
+
 _BUCKET_SQL = (
     "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 4)) AS INT)"
 )
