@@ -75,8 +75,8 @@ WINDOW_PRIORITY: list[str] = [
     # one representative per major family (the rotated-out rest are green
     # in the r02+r03 records)
     "llm_dedup_corpus", "llm_text_clean", "llm_corpus_select",
-    "llm_minhash_lsh_dedup", "llm_dedup_components",
-    "llm_ann_cosine_topk", "llm_embedding_neardup",
+    "llm_length_stats", "llm_minhash_lsh_dedup", "llm_dedup_components",
+    "llm_ann_cosine_topk",
 ]
 
 
