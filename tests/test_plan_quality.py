@@ -121,3 +121,31 @@ def test_whole_stage_codegen_on_hot_aggregates(spark):
         df.collect()
         ep = df._jdf.queryExecution().executedPlan().toString()
         assert "*(" in ep and "HashAggregate" in ep, name
+
+
+def test_selective_scans_push_filters(spark):
+    """Selective queries must reach the parquet scan with their predicates
+    (PushedFilters) — a scan that reads everything and filters later is
+    the difference between touching 1% and 100% of 100 TB."""
+    for name in [
+        "readside_q1_range_term",   # range + term predicate on events
+        "tpch_q19ish_bracket_revenue",  # part-side brackets
+        "llm_corpus_select",        # documents quality floors
+    ]:
+        plan = _plan(spark, name)
+        assert "PushedFilters: [" in plan, name
+        # at least one scan carries a non-empty pushed-filter list
+        pushed = [
+            ln for ln in plan.splitlines()
+            if "PushedFilters" in ln and "PushedFilters: []" not in ln
+        ]
+        assert pushed, f"{name}: no non-empty PushedFilters in any scan"
+
+
+def test_documents_scans_prune_text_column(spark):
+    """Queries that never touch document text must not read it: `text` is
+    the wide column (the corpus!), and ReadSchema including it turns a
+    metadata query into a full-corpus read."""
+    plan = _plan(spark, "llm_length_stats")  # needs lang + n_chars only
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("text" not in ln for ln in reads), reads
