@@ -25,6 +25,7 @@ from stream4flow_spark.llmdata.textstats import (
     fingerprints,
     language_id,
     quality_features,
+    winnow_fingerprints,
 )
 from stream4flow_spark.registry import register
 from stream4flow_spark.sources.tables import load_table
@@ -469,6 +470,15 @@ def q_llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → keeper per cluster → deduplicated corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_corpus(docs, threshold=0.5)
+
+
+@register("llm_winnow_fingerprints", covers="llm:doc-fingerprint-rolling")
+# rows-only: the rolling k-gram hash is xxhash64 (no DuckDB equivalent);
+# the winnowing guarantee (shared substring >= window+k-1 => shared
+# fingerprint) is property-tested in tests/test_llmdata.py
+def q_llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs).select("doc_id", "n_fps", "fps")
 
 
 @register(

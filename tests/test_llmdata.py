@@ -271,3 +271,32 @@ def test_dedup_corpus_transitive_keepers(spark):
     df = _docs(spark, [BASE, NEAR, mid, FAR, "tiny"])
     out = {r.keeper_id: r.group_size for r in dedup_corpus(df, threshold=0.5).collect()}
     assert out == {0: 3, 3: 1, 4: 1}
+
+
+def test_winnow_fingerprints_guarantee_and_selectivity(spark):
+    """Winnowing guarantee: documents sharing a substring of length >=
+    window+k-1 share at least one fingerprint; unrelated documents share
+    none; fingerprint count is ~1/window of the k-gram count."""
+    from stream4flow_spark.llmdata.textstats import winnow_fingerprints
+
+    shared = "a common phrase that is plenty long enough to guarantee overlap"
+    df = _docs(
+        spark,
+        [
+            "prefix one " + shared + " suffix alpha",
+            "other start " + shared + " different tail",
+            "zq wx vk jj pf gh bn mm rr tt yy uu ii oo pp qq ss dd ff gg",
+            "xy",  # shorter than k: no k-grams at all
+        ],
+    )
+    out = {r.doc_id: r for r in winnow_fingerprints(df, k=8, window=4).collect()}
+    f0, f1, f2 = set(out[0].fps), set(out[1].fps), set(out[2].fps)
+    assert f0 & f1, "shared substring must yield a shared fingerprint"
+    assert not (f0 & f2) and not (f1 & f2)
+    assert out[3].n_fps == 0
+    # selectivity: stored fingerprints ≈ k-grams / window (loose bound)
+    n_grams = len("prefix one " + shared + " suffix alpha") - 7
+    assert out[0].n_fps < n_grams / 2
+    # determinism
+    again = {r.doc_id: set(r.fps) for r in winnow_fingerprints(df, k=8, window=4).collect()}
+    assert again[0] == f0
