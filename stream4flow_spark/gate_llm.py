@@ -472,6 +472,16 @@ def q_llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(docs, threshold=0.5)
 
 
+@register("llm_winnow_neardup", covers="llm:dedup-winnow-blocking")
+# rows-only: candidate generation depends on the engine-specific rolling
+# hash; verification exactness + the bucket cap are property-tested
+def q_llm_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream4flow_spark.llmdata.dedup import winnow_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_neardup_pairs(docs, threshold=0.5)
+
+
 @register("llm_winnow_fingerprints", covers="llm:doc-fingerprint-rolling")
 # rows-only: the rolling k-gram hash is xxhash64 (no DuckDB equivalent);
 # the winnowing guarantee (shared substring >= window+k-1 => shared

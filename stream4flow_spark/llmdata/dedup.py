@@ -488,3 +488,63 @@ def connected_components(
     finally:
         edges.unpersist()
     return labels.select("id", F.col("label").alias("component"))
+
+
+# ------------------------------------------------ winnowing blocking
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup pairs via winnowing-fingerprint blocking + exact Jaccard.
+
+    The third blocking scheme next to MinHash bands and SimHash chunks:
+    ``explode`` each document's winnowing fingerprints
+    (``textstats.winnow_fingerprints``), self-join on the fingerprint
+    value — documents sharing any substring of length ≥ window+k−1
+    collide by the winnowing guarantee — keep pairs sharing at least
+    ``min_shared`` fingerprints (cheap boilerplate filter), then verify
+    with true word-n-gram Jaccard exactly like the MinHash path.
+
+    Same scale shape as the other banded joins: the exchange carries only
+    (fingerprint, id); payloads are re-fetched per surviving candidate;
+    ``_cap_buckets`` bounds any fingerprint shared by half the corpus
+    (boilerplate headers — the common degenerate case this scheme
+    surfaces). Candidate recall is substring-structural rather than
+    probabilistic, so the gate entry is rows-only; the guarantee and the
+    verification exactness are property-tested.
+    """
+    from stream4flow_spark.llmdata.textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, text_col=text_col, id_col=id_col, k=k, window=window)
+    keyed = _cap_buckets(
+        fps.select(F.col(id_col).alias("id"), F.explode("fps").alias("fp")),
+        ["fp"],
+        max_bucket,
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    shingled = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
+    )
+    ga = shingled.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = shingled.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    return (
+        candidates.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("grams_a"), F.col("grams_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared_fps", "jaccard")
+    )

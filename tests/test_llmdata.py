@@ -300,3 +300,24 @@ def test_winnow_fingerprints_guarantee_and_selectivity(spark):
     # determinism
     again = {r.doc_id: set(r.fps) for r in winnow_fingerprints(df, k=8, window=4).collect()}
     assert again[0] == f0
+
+
+def test_winnow_neardup_finds_planted_pair(spark):
+    from stream4flow_spark.llmdata.dedup import winnow_neardup_pairs
+
+    df = _docs(spark, [BASE, NEAR, FAR, "tiny text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in winnow_neardup_pairs(df, threshold=0.5).collect()
+    }
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] > 0.6  # exact verification value, not an estimate
+
+
+def test_winnow_neardup_bucket_cap_bounds_degenerate_corpus(spark):
+    from stream4flow_spark.llmdata.dedup import winnow_neardup_pairs
+
+    df = _docs(spark, [BASE] * 500)
+    out = winnow_neardup_pairs(df, threshold=0.5, max_bucket=15).collect()
+    assert len(out) == 15 * 14 // 2
+    assert max(max(r.id_a, r.id_b) for r in out) == 14
