@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, all DataFrame-native:
+All DataFrame-native:
 
 - **Exact** — groupBy on a content hash (computed scan-side; only the
   digest shuffles). The canonical 100 TB first pass.
@@ -13,9 +13,14 @@ Four tiers, all DataFrame-native:
   cross join; verification touches only co-bucketed pairs.
 - **SimHash** — 64-bit near-dup fingerprint with hamming-distance
   banding (4×16-bit chunks: pairs within hamming ≤ 3 share ≥1 chunk).
+- **Winnowing blocking** — rolling-hash fingerprint collision as the
+  candidate key (substring-structural recall rather than probabilistic).
+- **Transitive components + corpus dedup** — min-label propagation over
+  any of the pair graphs, keeper selection, deduplicated corpus.
 
-All randomness is seed-deterministic, so results are reproducible
-run-to-run (a correctness-gate requirement and a good production property).
+Every banded self-join shares the ``_cap_buckets`` hot-bucket guard. All
+randomness is seed-deterministic, so results are reproducible run-to-run
+(a correctness-gate requirement and a good production property).
 """
 
 from __future__ import annotations
