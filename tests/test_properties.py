@@ -131,15 +131,19 @@ def test_suppression_chain_invariants(spark, ts_list, window):
 def test_clean_text_matches_python_reference(spark, texts):
     """clean_text must agree with a plain-Python re.sub chain (same
     patterns, same order) and be idempotent (placeholders contain nothing
-    any pattern re-matches)."""
+    any pattern re-matches). The reference uses re.ASCII and strips only
+    0x20: Java regex \\s and RE2 \\s are ASCII-only and Spark trim strips
+    spaces — Python's Unicode-aware defaults are the odd one out, and the
+    two engines that must agree (Spark + DuckDB oracle) both use the
+    ASCII semantics."""
     import re
 
     from stream4flow_spark.llmdata.textstats import REDACTIONS, clean_text
 
     def ref(t: str) -> str:
         for pat, tok in REDACTIONS:
-            t = re.sub(pat, tok, t)
-        return re.sub(r"\s+", " ", t).strip()
+            t = re.sub(pat, tok, t, flags=re.ASCII)
+        return re.sub(r"\s+", " ", t, flags=re.ASCII).strip(" ")
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
