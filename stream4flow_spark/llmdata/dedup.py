@@ -462,10 +462,13 @@ def connected_components(
         .distinct()
         .cache()
     )
+    # initialize each vertex with min(self, direct neighbors) — the same
+    # aggregation a propagation round would compute over self-labels, so
+    # this replaces round 1 with ONE groupBy (no join needed yet)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("min_dst"))
+        .select("id", F.least(F.col("id"), F.col("min_dst")).alias("label"))
         .localCheckpoint(eager=True)
     )
     try:
