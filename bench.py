@@ -39,6 +39,23 @@ def main() -> int:
     for t in TABLE_NAMES:
         input_rows += load_table(spark, sf_dir, t).count()
 
+    # Second untimed warm-up: exercise the three execution paths (codegen
+    # aggregate, shuffle join, Arrow/Python runner) so C2-JIT compilation
+    # of their hot loops isn't charged to the first timed query of each
+    # kind — first-run-per-session costs measured 2-5x steady state.
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").limit(50_000)
+    ev.groupBy("event_type").agg(F.sum("value")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    ev.alias("a").join(
+        ev.alias("b"), F.col("a.event_id") == F.col("b.event_id")
+    ).write.format("noop").mode("overwrite").save()
+    ev.select("event_id", "value").mapInPandas(
+        lambda it: it, "event_id long, value double"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name, fn in sorted(qs.items()):
