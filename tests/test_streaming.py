@@ -894,3 +894,50 @@ def test_stream_ingest_dedup_matches_batch_exact_dedup(spark, tmp_path):
     got_fp = {r.fp: r.doc_id for r in got.select("fp", "doc_id").collect()}
     want_fp = {r.fp: r.keeper_id for r in expect.collect()}
     assert got_fp == want_fp  # one survivor per distinct text, min-id keeper
+
+
+def test_stream_ingest_dedup_late_duplicate_reemits_past_horizon(spark, tmp_path):
+    """The documented state-bound trade: a duplicate arriving within the
+    watermark horizon is suppressed; one arriving later than the horizon
+    (its fingerprint already evicted) is re-emitted — the downstream
+    batch exact_dedup pass is the backstop."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.streaming.llmingest import dedup_documents_stream
+
+    B = 1_600_000_000_000
+    src = tmp_path / "docs"
+    src.mkdir()
+    # NB: the watermark computed from batch N's data takes effect in
+    # batch N+2 (one batch to compute, one to apply) — the spacer row
+    # makes doc 3's batch run under the watermark advanced by doc 2, so
+    # doc 0's fingerprint is evicted by then.
+    rows = [
+        (0, "same text", B),                     # original
+        (1, "same text", B + 30_000),            # dup inside 1-min horizon
+        (2, "other text", B + 10 * 60_000),      # advances the watermark
+        (9, "spacer text", B + 10 * 60_000 + 1), # lets the watermark apply
+        (3, "same text", B + 11 * 60_000),       # dup PAST the horizon
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts_ms"])
+    # one file per row, processed in order -> watermark advances between
+    for i in range(len(pdf)):
+        pdf.iloc[[i]].to_parquet(str(src / f"f{i}.parquet"), index=False)
+
+    schema = "doc_id long, text string, ts_ms long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = dedup_documents_stream(
+        stream,
+        ingest_ts=F.timestamp_millis(F.col("ts_ms")),
+        horizon="1 minute",
+    )
+    got = sorted(
+        r.doc_id
+        for r in run_stream_to_table(deduped, output_mode="append").collect()
+    )
+    # 0 kept, 1 suppressed (inside horizon), 2+spacer kept, 3 re-emitted
+    assert got == [0, 2, 3, 9]
