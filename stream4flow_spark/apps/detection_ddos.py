@@ -71,11 +71,24 @@ def ddos_window_aggregate(
     flows: DataFrame,
     window_duration: str = "30 seconds",
     network_filter: str = r"10\.0\..*",
+    skew_safe: bool = False,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Short-window per-host partials: window_start_ms, host, inc, out,
     attacker_set (array<string>). This is the merge-able unit the
-    streaming twin compacts across batches (sums add, sets union)."""
-    return (
+    streaming twin compacts across batches (sums add, sets union).
+
+    ``skew_safe`` two-stages the aggregation with an attacker-derived
+    salt: the victim of a large DDoS is BY DEFINITION the hot key — its
+    millions of distinct attacker values otherwise funnel through one
+    task's ``collect_set`` state. Stage 1 dedups within
+    (window, host, xxhash64(attacker) % salt_buckets); stage 2
+    concatenates the disjoint per-bucket sets. Sums are bucket-additive,
+    so inc/out merge exactly. Same output (results sorted either way);
+    the default stays single-stage for small deployments — at real scale
+    turn it on for the A13 set accumulation.
+    """
+    exploded = (
         with_window_start_ms(
             flows.filter(
                 F.col(S.PACKETS).isNotNull()
@@ -95,12 +108,30 @@ def ddos_window_aggregate(
             "window_start_ms",
             F.explode(_monitored_contribs(network_filter)).alias("c"),
         )
-        .groupBy("window_start_ms", F.col("c.host").alias("host"))
-        .agg(
+    )
+    if not skew_safe:
+        return exploded.groupBy(
+            "window_start_ms", F.col("c.host").alias("host")
+        ).agg(
             F.sum("c.inc").alias("inc"),
             F.sum("c.out").alias("out"),
             F.sort_array(F.collect_set("c.attacker")).alias("attacker_set"),
         )
+    salt = F.pmod(F.xxhash64(F.col("c.attacker")), F.lit(salt_buckets))
+    stage1 = exploded.groupBy(
+        "window_start_ms", F.col("c.host").alias("host"), salt.alias("__salt")
+    ).agg(
+        F.sum("c.inc").alias("inc"),
+        F.sum("c.out").alias("out"),
+        F.collect_set("c.attacker").alias("__bucket_set"),
+    )
+    return stage1.groupBy("window_start_ms", "host").agg(
+        F.sum("inc").alias("inc"),
+        F.sum("out").alias("out"),
+        # buckets are attacker-derived, hence disjoint: flatten, no re-dedup
+        F.sort_array(F.flatten(F.collect_list("__bucket_set"))).alias(
+            "attacker_set"
+        ),
     )
 
 

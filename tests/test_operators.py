@@ -291,3 +291,39 @@ def test_ddos_network_filter_is_anchored(spark):
     )
     hosts = {r.host for r in partials.collect()}
     assert hosts == {"10.0.0.1"}
+
+
+def test_ddos_skew_safe_aggregate_matches_default(spark):
+    """Salted two-stage attacker-set aggregation must produce exactly the
+    single-stage result (sums bucket-additive, salt buckets disjoint)."""
+    import pandas as pd
+
+    from stream4flow_spark.apps.detection_ddos import ddos_window_aggregate
+
+    rows = []
+    for w in range(3):
+        t = w * 10_000
+        for a in range(40):  # hot victim: many distinct attackers
+            rows.append((t + a, f"203.0.113.{a}", "10.0.0.1", 3 + a % 5))
+        rows.append((t + 99, "10.0.0.1", "203.0.113.9", 7))  # outgoing leg
+        rows.append((t + 50, "203.0.113.5", "10.0.0.2", 2))  # second host
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "ipfix_flowStartMilliseconds",
+            "ipfix_sourceIPv4Address",
+            "ipfix_destinationIPv4Address",
+            "ipfix_packetDeltaCount",
+        ],
+    )
+    df = spark.createDataFrame(pdf)
+    keys = ["window_start_ms", "host"]
+    base = (
+        ddos_window_aggregate(df, "10 seconds")
+        .toPandas().sort_values(keys).reset_index(drop=True)
+    )
+    salted = (
+        ddos_window_aggregate(df, "10 seconds", skew_safe=True, salt_buckets=4)
+        .toPandas().sort_values(keys).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(salted[base.columns], base)
