@@ -1,8 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness — runs the headline gate queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (the driver captures only the LAST ~2000 chars of stdout,
+so the final line must be small):
+- one ``{"query": name, "sec": t}`` line per query, as it finishes;
+- the full per-query map written to ``bench_queries.json`` next to this
+  script (sidecar, machine-readable regardless of stdout truncation);
+- the FINAL stdout line is a compact JSON summary — total wall, rows/s,
+  sf, n_queries, slowest-5 — guaranteed well under the tail window.
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect)."""
@@ -62,21 +68,35 @@ def main() -> int:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
     total = round(time.perf_counter() - t_all, 3)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_queries.json")
+    with open(sidecar, "w") as f:
+        json.dump({"sf": sf_val, "total_sec": total, "queries": timings}, f,
+                  indent=1, sort_keys=True)
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
     summary = json.dumps(
         {
             "metric": "gate_queries_total_wall",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "sf": sf_val,
+            "n_queries": len(timings),
             "input_rows": input_rows,
             "rows_per_sec_aggregate": round(input_rows * len(timings) / total),
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "slowest5": slowest,
+            "queries_file": "bench_queries.json",
         }
     )
     # stop Spark BEFORE printing: shutdown logs must not trail the summary
-    # — the driver captures the tail of stdout and needs this line LAST.
+    # — the driver captures the tail (~2000 chars) of stdout and needs
+    # this line LAST and SMALL (the r04 full-timings line overflowed it).
     spark.stop()
     print(summary, flush=True)
     return 0
