@@ -48,35 +48,40 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 # listed keep registration order after the pinned prefix, so nothing is
 # ever dropped from ``queries()`` itself.
 WINDOW_PRIORITY: list[str] = [
-    # flow-surface apps (1-17)
+    # flow-surface apps (1-17) — headline reference apps; detection_ddos
+    # switches to the skew-safe two-stage default this round and needs a
+    # fresh green row
     "protocols_statistics", "host_stats", "top_n_host_stats",
     "dns_statistics", "tls_classification", "host_daily_profile",
     "ssh_auth_simple", "ports_scan", "detection_ddos", "reflect_ddos",
     "dns_open_resolvers", "dns_external_resolvers", "pattern_finder",
     "domain_entropy", "iso_timestamps", "alert_suppression",
     "application_template",
-    # relational tier (18-34) — incl. the 11 never driver-verified
-    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
-    "tpch_q3_top_revenue_orders", "tpch_q5ish_revenue_per_region",
-    "rel_semi_anti_customers", "rel_pivot_order_priority",
+    # LLM tier rotated back in (18-29): their only green rows are r02,
+    # recorded under the pre-TIMESTAMP_NTZ PySpark — re-verify under 4.1.2
+    "llm_text_stats", "llm_language_id", "llm_fingerprints",
+    "llm_exact_dedup", "llm_ngram_jaccard", "llm_embedding_neardup",
+    "llm_multimodal_decode", "llm_multimodal_resize",
+    "llm_multimodal_frames", "llm_multimodal_features",
+    "llm_hash_split", "llm_stratified_sample",
+    # LLM tier r04 additions (30-36): single green round, keep for a
+    # second; llm_length_stats gets the bounded-state percentile plan
+    # this round
+    "llm_dedup_corpus", "llm_text_clean", "llm_corpus_select",
+    "llm_length_stats", "llm_minhash_lsh_dedup", "llm_dedup_components",
+    "llm_ann_cosine_topk",
+    # relational tier (37-47): the 11 first verified in r04 keep their
+    # slots for a second green round; q1/q3/q5ish/q6/semi-anti/pivot are
+    # triple-green (r01+r02+r04) and rotate out
     "rel_event_sessionization", "rel_rollup_revenue",
     "tpch_q4ish_priority_check", "tpch_q13ish_order_distribution",
     "tpch_q14ish_promo_share", "tpch_q7ish_nation_volume",
     "tpch_q8ish_market_share", "tpch_q10ish_returned_revenue",
     "tpch_q18ish_large_orders", "tpch_q19ish_bracket_revenue",
     "tpch_q22ish_dormant_customers",
-    # read-side (35-43)
-    "readside_q1_range_term", "readside_q2_histogram_terms_sum",
-    "readside_q3_global_sums", "readside_q4_per_host_sums",
-    "readside_q5_histogram_multimetric", "readside_q6_top1_per_type",
-    "readside_q7_latest_per_group", "readside_q8_either_term",
-    "readside_q9_ordered",
-    # LLM tier (44-50): the never-driver-verified round-4 additions plus
-    # one representative per major family (the rotated-out rest are green
-    # in the r02+r03 records)
-    "llm_dedup_corpus", "llm_text_clean", "llm_corpus_select",
-    "llm_length_stats", "llm_minhash_lsh_dedup", "llm_dedup_components",
-    "llm_ann_cosine_topk",
+    # 48-50: reserved for round-5 additions; unlisted queries follow in
+    # registration order (triple-green apps/readside/tpch rotate out, the
+    # rows-only five stay property-tested per the r04 verdict)
 ]
 
 
