@@ -506,18 +506,36 @@ def q_llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile per language: count, mean, exact p50/p90 of
     document length — the distribution snapshot a corpus build checks
-    before setting truncation/packing parameters. Exact ``percentile``
-    (interpolating, matches quantile_cont) rather than the sketch-based
-    ``percentile_approx``: per-group state is O(group rows) here, and the
-    oracle comparison needs exactness — at 100 TB interactive use, switch
-    to ``percentile_approx`` (t-digest, bounded state) the same way
-    host_stats switches countDistinct→HLL."""
+    before setting truncation/packing parameters. EXACT percentiles with
+    BOUNDED aggregate state: ``percentile(col, p)`` buffers every group
+    row in one aggregate state (a scale-killer when one language holds
+    billions of docs); ``n_chars`` is integer-valued, so the same
+    interpolated result comes from count-by-(lang, n_chars) + a
+    cumulative-sum window over distinct lengths — state bounded by
+    distinct lengths per language, identical values/hash to
+    quantile_cont. See operators/percentiles.py."""
+    from stream4flow_spark.operators.percentiles import (
+        grouped_exact_percentiles,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
-        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
-        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+    stats = grouped_exact_percentiles(
+        docs,
+        group_cols=["lang"],
+        value_col="n_chars",
+        percentiles={"p50_chars": 0.5, "p90_chars": 0.9},
+        extra_aggs={
+            "n_docs": F.sum("cnt").cast("long"),
+            "mean_chars": F.sum(F.col("n_chars") * F.col("cnt"))
+            / F.sum("cnt"),
+        },
+    )
+    return stats.select(
+        "lang",
+        "n_docs",
+        F.round("mean_chars", 4).alias("mean_chars"),
+        F.round("p50_chars", 4).alias("p50_chars"),
+        F.round("p90_chars", 4).alias("p90_chars"),
     )
 
 

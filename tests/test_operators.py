@@ -327,3 +327,56 @@ def test_ddos_skew_safe_aggregate_matches_default(spark):
         .toPandas().sort_values(keys).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(salted[base.columns], base)
+
+
+# ---------------------------------------------------------------------------
+# grouped_exact_percentiles (bounded-state exact percentile)
+
+
+def test_exact_percentiles_match_builtin(spark):
+    """Bounded-state percentile == Spark's own O(rows)-state percentile,
+    across ties, tiny groups, and all interpolation positions."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.operators.percentiles import (
+        grouped_exact_percentiles,
+    )
+
+    rng = random.Random(7)
+    rows = [("g1", 42)]  # n=1 group: every percentile must be 42.0
+    rows += [("g2", v) for v in (1, 1, 1, 1)]  # all-ties group
+    rows += [("g3", rng.randrange(0, 50)) for _ in range(337)]  # dense ties
+    rows += [("g4", rng.randrange(0, 10**6)) for _ in range(100)]  # sparse
+    df = spark.createDataFrame(rows, "grp string, v long")
+
+    ps = {"p0": 0.0, "p25": 0.25, "p50": 0.5, "p90": 0.9, "p100": 1.0}
+    got = (
+        grouped_exact_percentiles(df, ["grp"], "v", ps)
+        .toPandas().sort_values("grp").reset_index(drop=True)
+    )
+    want = (
+        df.groupBy("grp")
+        .agg(*[
+            F.expr(f"percentile(v, {p})").alias(name)
+            for name, p in ps.items()
+        ])
+        .toPandas().sort_values("grp").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_exact_percentiles_plan_has_no_per_row_aggregate_state(spark):
+    """The physical plan must aggregate over (group, value) counts — no
+    `percentile` aggregate (whose state is O(group rows)) anywhere."""
+    from stream4flow_spark.operators.percentiles import (
+        grouped_exact_percentiles,
+    )
+
+    df = spark.range(1000).selectExpr("id % 3 AS grp", "id % 97 AS v")
+    out = grouped_exact_percentiles(df, ["grp"], "v", {"p50": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()
