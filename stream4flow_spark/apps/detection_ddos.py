@@ -71,22 +71,22 @@ def ddos_window_aggregate(
     flows: DataFrame,
     window_duration: str = "30 seconds",
     network_filter: str = r"10\.0\..*",
-    skew_safe: bool = False,
+    skew_safe: bool = True,
     salt_buckets: int = 16,
 ) -> DataFrame:
     """Short-window per-host partials: window_start_ms, host, inc, out,
     attacker_set (array<string>). This is the merge-able unit the
     streaming twin compacts across batches (sums add, sets union).
 
-    ``skew_safe`` two-stages the aggregation with an attacker-derived
-    salt: the victim of a large DDoS is BY DEFINITION the hot key — its
-    millions of distinct attacker values otherwise funnel through one
-    task's ``collect_set`` state. Stage 1 dedups within
-    (window, host, xxhash64(attacker) % salt_buckets); stage 2
+    ``skew_safe`` (the DEFAULT) two-stages the aggregation with an
+    attacker-derived salt: the victim of a large DDoS is BY DEFINITION
+    the hot key — its millions of distinct attacker values otherwise
+    funnel through one task's ``collect_set`` state. Stage 1 dedups
+    within (window, host, xxhash64(attacker) % salt_buckets); stage 2
     concatenates the disjoint per-bucket sets. Sums are bucket-additive,
-    so inc/out merge exactly. Same output (results sorted either way);
-    the default stays single-stage for small deployments — at real scale
-    turn it on for the A13 set accumulation.
+    so inc/out merge exactly. Same output (results sorted either way).
+    ``skew_safe=False`` keeps the single-exchange plan for small
+    deployments where no host fans past one task's memory.
     """
     exploded = (
         with_window_start_ms(
@@ -193,11 +193,19 @@ def detection_ddos(
     network_filter: str = r"10\.0\..*",
     min_ratio: float = 50.0,
     min_packets: int = 100_000,
+    skew_safe: bool = True,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Output: window_start_ms, dst_ip, packets, shortratio, longratio,
     attackers (sorted ','-joined), attacker_count."""
     return ddos_score(
-        ddos_window_aggregate(flows, window_duration, network_filter),
+        ddos_window_aggregate(
+            flows,
+            window_duration,
+            network_filter,
+            skew_safe=skew_safe,
+            salt_buckets=salt_buckets,
+        ),
         window_duration=window_duration,
         long_window=long_window,
         min_ratio=min_ratio,

@@ -319,7 +319,7 @@ def test_ddos_skew_safe_aggregate_matches_default(spark):
     df = spark.createDataFrame(pdf)
     keys = ["window_start_ms", "host"]
     base = (
-        ddos_window_aggregate(df, "10 seconds")
+        ddos_window_aggregate(df, "10 seconds", skew_safe=False)
         .toPandas().sort_values(keys).reset_index(drop=True)
     )
     salted = (
@@ -327,6 +327,57 @@ def test_ddos_skew_safe_aggregate_matches_default(spark):
         .toPandas().sort_values(keys).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(salted[base.columns], base)
+
+
+def test_ddos_default_path_is_skew_safe_and_bounds_hot_victim(spark):
+    """One victim, 100k distinct attackers (the A13 hot key by
+    definition): the DEFAULT aggregation must (a) salt the first-stage
+    key so no single task accumulates the full attacker set, and (b)
+    still emit the exact full set."""
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.apps.detection_ddos import ddos_window_aggregate
+
+    n = 100_000
+    flows = spark.range(n).select(
+        F.lit(5_000).alias("ipfix_flowStartMilliseconds"),
+        # 100k distinct spoofed sources: 10.<1-255>.x.y outside the
+        # monitored /16? No — attackers must be OUTSIDE the network
+        # filter as sources of the incoming leg; any IP works as source.
+        F.concat_ws(
+            ".",
+            F.lit("203"),
+            (F.col("id") / 65536).cast("int") % 256,
+            (F.col("id") / 256).cast("int") % 256,
+            F.col("id") % 256,
+        ).alias("ipfix_sourceIPv4Address"),
+        F.lit("10.0.0.1").alias("ipfix_destinationIPv4Address"),
+        F.lit(2).alias("ipfix_packetDeltaCount"),
+    )
+    out = ddos_window_aggregate(flows, "10 seconds")  # default path
+
+    # (a) the default plan salts stage 1: the executed plan aggregates on
+    # a pmod(xxhash64(attacker)) key before the final (window, host) agg
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan or "pmod" in plan.lower()
+
+    row = out.collect()[0]
+    assert row["host"] == "10.0.0.1"
+    assert len(row["attacker_set"]) == n
+    assert row["inc"] == 2 * n
+
+    # (b) bounded per-task state: the stage-1 grouping key spreads the
+    # victim's attackers across salt buckets; with the default 16 buckets
+    # no bucket holds more than ~3x the mean (xxhash64 is uniform)
+    buckets = (
+        flows.groupBy(
+            F.pmod(F.xxhash64("ipfix_sourceIPv4Address"), F.lit(16)).alias("b")
+        )
+        .count()
+        .collect()
+    )
+    assert len(buckets) == 16
+    assert max(r["count"] for r in buckets) < 3 * (n / 16)
 
 
 # ---------------------------------------------------------------------------
