@@ -14,7 +14,7 @@ from stream4flow_spark.llmdata.dedup import (
     ngram_jaccard_pairs,
     simhash_dedup,
 )
-from stream4flow_spark.llmdata.multimodal import attach_binary_payload, decode_images
+from stream4flow_spark.llmdata.multimodal import decode_images
 from stream4flow_spark.llmdata.simsearch import (
     cosine_pairs_blocked,
     cosine_topk,
@@ -233,19 +233,41 @@ def q_llm_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_multimodal_decode",
     covers="llm:multimodal-binary llm:multimodal-decode",
+    # The oracle re-derives every column from the deterministic fixture
+    # rule (multimodal.py docstring) INCLUDING the mean over all pixels —
+    # so a green row proves the Spark side really parsed the PPM/BMP
+    # bytes and materialized the samples, byte counts and all.
     oracle="""
-        SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-               CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
-               CAST(3 AS INT) AS channels,
-               TRUE AS ok
-        FROM documents
+        WITH d AS (
+            SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+            FROM documents
+        ),
+        m AS (
+            SELECT d.doc_id,
+                   ROUND(AVG((d.doc_id + 7*r.r + 3*c.c + 11*ch.ch) % 256), 4)
+                       AS px_mean
+            FROM d, unnest(range(0, d.h)) AS r(r),
+                 unnest(range(0, d.w)) AS c(c),
+                 unnest(range(0, 3)) AS ch(ch)
+            GROUP BY d.doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+               CAST(CASE WHEN d.doc_id % 2 = 0
+                         THEN 9 + length(CAST(d.w AS VARCHAR))
+                              + length(CAST(d.h AS VARCHAR)) + 3 * d.w * d.h
+                         ELSE 54 + d.h * ((3 * d.w + 3) // 4 * 4)
+                    END AS BIGINT) AS n_bytes,
+               CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+               CAST(3 AS INT) AS channels, m.px_mean, TRUE AS ok
+        FROM d JOIN m USING (doc_id)
         """,
 )
 def q_llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream4flow_spark.llmdata.multimodal import synthesize_images
+
     docs = load_table(spark, sf_dir, "documents")
-    return decode_images(attach_binary_payload(docs))
+    return decode_images(synthesize_images(docs))
 
 
 @register(
@@ -253,63 +275,109 @@ def q_llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers="llm:multimodal-resize",
     oracle="""
         WITH d AS (
-            SELECT doc_id,
-                   octet_length(encode(text)) % 640 + 1 AS w,
-                   octet_length(encode(text)) % 480 + 1 AS h
+            SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
             FROM documents
+        ),
+        m AS (
+            SELECT d.doc_id,
+                   ROUND(AVG((d.doc_id + 7*r.r + 3*c.c + 11*ch.ch) % 256), 4)
+                       AS px_mean
+            FROM d, unnest(range(0, d.h)) AS r(r),
+                 unnest(range(0, d.w)) AS c(c),
+                 unnest(range(0, 3)) AS ch(ch)
+            GROUP BY d.doc_id
         )
-        SELECT doc_id, CAST(w AS INT) AS src_width, CAST(h AS INT) AS src_height,
-               CAST(FLOOR(w * LEAST(256.0 / w, 256.0 / h, 1.0)) AS INT) AS width,
-               CAST(FLOOR(h * LEAST(256.0 / w, 256.0 / h, 1.0)) AS INT) AS height,
-               LEAST(256.0 / w, 256.0 / h, 1.0) AS scale
-        FROM d
+        SELECT d.doc_id, CAST(d.w AS INT) AS src_width,
+               CAST(d.h AS INT) AS src_height,
+               CAST(FLOOR(d.w * LEAST(8.0 / d.w, 8.0 / d.h, 1.0)) AS INT)
+                   AS width,
+               CAST(FLOOR(d.h * LEAST(8.0 / d.w, 8.0 / d.h, 1.0)) AS INT)
+                   AS height,
+               LEAST(8.0 / d.w, 8.0 / d.h, 1.0) AS scale,
+               m.px_mean
+        FROM d JOIN m USING (doc_id)
         """,
 )
 def q_llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stream4flow_spark.llmdata.multimodal import resize_images
+    from stream4flow_spark.llmdata.multimodal import (
+        resize_images,
+        synthesize_images,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return resize_images(attach_binary_payload(docs))
+    return resize_images(synthesize_images(docs))
 
 
 @register(
     "llm_multimodal_frames",
     covers="llm:multimodal-frame-sample",
+    # per-frame mean amplitude re-derived from the WAV sample rule — a
+    # green row proves the RIFF chunks were walked and the PCM16 samples
+    # decoded, not just the header length read
     oracle="""
         WITH d AS (
-            SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS n_frames
-            FROM documents
+            SELECT doc_id, doc_id % 90 + 30 AS n FROM documents
+        ),
+        s AS (
+            SELECT d.doc_id, i.i AS i,
+                   ((d.doc_id * 13 + i.i * 17) % 65536) - 32768 AS v
+            FROM d, unnest(range(0, d.n)) AS i(i)
         )
-        SELECT doc_id, CAST(i AS INT) AS frame_idx,
-               CAST(i * 1000 // 30 AS BIGINT) AS frame_ms
-        FROM d, unnest(range(0, n_frames, 30)) AS t(i)
+        SELECT doc_id, CAST((i // 30) * 30 AS INT) AS frame_idx,
+               CAST((i // 30) * 1000 AS BIGINT) AS frame_ms,
+               ROUND(AVG(v), 4) AS frame_mean
+        FROM s GROUP BY doc_id, i // 30
         """,
 )
 def q_llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stream4flow_spark.llmdata.multimodal import sample_frames
+    from stream4flow_spark.llmdata.multimodal import (
+        sample_frames,
+        synthesize_audio,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(attach_binary_payload(docs), fps_out=1)
+    return sample_frames(synthesize_audio(docs))
 
 
 @register(
     "llm_multimodal_features",
     covers="llm:multimodal-feature-extract",
-    # the array column is projected to scalar f0..f7 for the compare —
-    # array-valued cells stringify differently between engines
-    oracle="SELECT doc_id, "
-    + ", ".join(
-        f"CAST((octet_length(encode(text)) * 31 + {j} * 7) % 997 AS DOUBLE)"
-        f" / 997.0 AS f{j}"
-        for j in range(8)
-    )
-    + " FROM documents",
+    # features = pixel statistics of the decoded array:
+    # [mean_ch0, mean_ch1, mean_ch2, min, max, mean, width, height];
+    # projected to scalar f0..f7 for the compare — array-valued cells
+    # stringify differently between engines
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, d.w, d.h, ch.ch,
+                   (d.doc_id + 7*r.r + 3*c.c + 11*ch.ch) % 256 AS v
+            FROM d, unnest(range(0, d.h)) AS r(r),
+                 unnest(range(0, d.w)) AS c(c),
+                 unnest(range(0, 3)) AS ch(ch)
+        )
+        SELECT doc_id,
+               ROUND(AVG(v) FILTER (WHERE ch = 0), 4) AS f0,
+               ROUND(AVG(v) FILTER (WHERE ch = 1), 4) AS f1,
+               ROUND(AVG(v) FILTER (WHERE ch = 2), 4) AS f2,
+               CAST(MIN(v) AS DOUBLE) AS f3,
+               CAST(MAX(v) AS DOUBLE) AS f4,
+               ROUND(AVG(v), 4) AS f5,
+               CAST(MAX(w) AS DOUBLE) AS f6,
+               CAST(MAX(h) AS DOUBLE) AS f7
+        FROM px GROUP BY doc_id
+        """,
 )
 def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stream4flow_spark.llmdata.multimodal import extract_features
+    from stream4flow_spark.llmdata.multimodal import (
+        extract_features,
+        synthesize_images,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = extract_features(attach_binary_payload(docs), dim=8)
+    feats = extract_features(synthesize_images(docs))
     return feats.select(
         "doc_id", *[F.col("features")[j].alias(f"f{j}") for j in range(8)]
     )

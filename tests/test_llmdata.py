@@ -73,11 +73,80 @@ def test_cosine_topk_identity_and_orthogonal(spark):
     assert ranked[2] == (2, 0.0)
 
 
-def test_multimodal_decode_shapes(spark):
-    df = _docs(spark, ["abc", "x" * 1000])
-    out = {r.doc_id: r for r in decode_images(attach_binary_payload(df)).collect()}
-    assert out[0].n_bytes == 3 and out[0].width == 4 and out[0].height == 4
-    assert out[1].n_bytes == 1000 and out[1].width == 361 and out[1].ok
+def test_multimodal_decode_real_payloads(spark):
+    """Synthesized PPM/BMP payloads decode to the generation-rule dims
+    and pixel means; undecodable payloads surface as ok=False."""
+    import numpy as np
+
+    from stream4flow_spark.llmdata.multimodal import (
+        _image_array,
+        synthesize_images,
+    )
+
+    df = spark.range(6).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r for r in decode_images(synthesize_images(df)).collect()}
+    for d in range(6):
+        arr = _image_array(d)
+        assert out[d].ok
+        assert out[d].fmt == ("ppm" if d % 2 == 0 else "bmp")
+        assert (out[d].height, out[d].width, out[d].channels) == arr.shape
+        assert out[d].px_mean == round(float(np.mean(arr)), 4)
+
+    # text bytes are no decodable container -> ok=False, fmt None
+    bad = decode_images(attach_binary_payload(_docs(spark, ["abc"]))).collect()
+    assert bad[0].ok is False and bad[0].fmt is None
+
+
+def test_codec_roundtrips():
+    """Every pure-numpy codec must round-trip arbitrary arrays exactly."""
+    import numpy as np
+
+    from stream4flow_spark.llmdata import codecs
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 7), (16, 5), (13, 13)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_pnm(codecs.encode_ppm(img)), img)
+        assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+        gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_pnm(codecs.encode_pgm(gray)), gray)
+    for n, ch in [(1, 1), (100, 1), (37, 2)]:
+        pcm = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+        rate, back = codecs.decode_wav(codecs.encode_wav(pcm, rate=8000))
+        assert rate == 8000 and np.array_equal(back, pcm)
+    # PNM comments and multi-whitespace headers parse per spec
+    img = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    data = b"P6\n# a comment\n 3  2\n255\n" + img.tobytes()
+    assert np.array_equal(codecs.decode_pnm(data), img)
+
+
+def test_codec_box_resize_matches_reference():
+    """box_resize must equal an independent per-box mean computed with
+    explicit floor(i*in/out) edges."""
+    import numpy as np
+
+    from stream4flow_spark.llmdata.codecs import box_resize
+
+    rng = np.random.default_rng(5)
+    for (h, w), (oh, ow) in [((12, 17), (8, 8)), ((5, 5), (5, 5)), ((9, 4), (3, 2))]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = box_resize(img, ow, oh)
+        for R in range(oh):
+            for C in range(ow):
+                r0, r1 = R * h // oh, (R + 1) * h // oh
+                c0, c1 = C * w // ow, (C + 1) * w // ow
+                want = img[r0:r1, c0:c1].astype(float).mean(axis=(0, 1))
+                assert np.allclose(got[R, C], want)
+
+
+def test_codec_rejects_malformed():
+    import pytest as _pytest
+
+    from stream4flow_spark.llmdata import codecs
+
+    for data in [b"", b"P6\n", b"BMxx", b"RIFFxxxxWAVE", b"P6\n4 4\n255\n\x00"]:
+        with _pytest.raises((codecs.CodecError, NotImplementedError)):
+            codecs.decode_image(data)
 
 
 def test_ivf_topk_recall_vs_exact(spark):
