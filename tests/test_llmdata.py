@@ -390,3 +390,33 @@ def test_winnow_neardup_bucket_cap_bounds_degenerate_corpus(spark):
     out = winnow_neardup_pairs(df, threshold=0.5, max_bucket=15).collect()
     assert len(out) == 15 * 14 // 2
     assert max(max(r.id_a, r.id_b) for r in out) == 14
+
+
+def test_winnow_blocking_recall_vs_exact_jaccard(spark):
+    """Quantified recall gate (r04 verdict item 6): at sf0.01 the winnow
+    blocking + verify path must recover >=90% of the exact O(N^2)
+    Jaccard pairs above threshold. Measured 100% (25/25 at t=0.5 and
+    t=0.7) — recorded in SCALE.md; the margin guards the default-tuning
+    knobs (bottom-64 sketch, bucket cap 500) against silent recall
+    regressions."""
+    from stream4flow_spark.llmdata.dedup import (
+        ngram_jaccard_pairs,
+        winnow_neardup_pairs,
+    )
+    from stream4flow_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    winnow = {
+        (r.id_a, r.id_b)
+        for r in winnow_neardup_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(exact & winnow) / len(exact)
+    assert recall >= 0.9, f"winnow recall {recall:.2%} below gate"
+    # verified winnow pairs are a subset of the exact pairs by
+    # construction (same verify predicate)
+    assert winnow <= exact
