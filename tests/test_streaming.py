@@ -941,3 +941,67 @@ def test_stream_ingest_dedup_late_duplicate_reemits_past_horizon(spark, tmp_path
     )
     # 0 kept, 1 suppressed (inside horizon), 2+spacer kept, 3 re-emitted
     assert got == [0, 2, 3, 9]
+
+
+def test_stream_suppression_restart_recovers_state_from_checkpoint(
+    spark, tmp_path
+):
+    """Kill/restart for the ST1 twin (r04 verdict item 8): a SECOND
+    streaming query over the same checkpoint must resume the suppression
+    chain from the applyInPandasWithState state store — report_seq keeps
+    counting and the pending sums carried into the restart are credited
+    to the first post-restart report. Without recovery the restarted run
+    would re-report immediately at seq=0."""
+    from stream4flow_spark.operators.suppression import suppress_reports
+
+    src = tmp_path / "alerts_restart"
+    src.mkdir()
+    out = str(tmp_path / "reports")
+    ck = str(tmp_path / "ck_suppress")
+
+    # run 1: t=0..40s; chain with window 25s reports at t=0 and t=30,
+    # leaving next_report_at=55s, seq=2, pending=1.0 (the t=40 alert)
+    p1 = pd.DataFrame(
+        [("k", t * 10_000, 1.0) for t in range(5)],
+        columns=["key", "ts_ms", "flows"],
+    )
+    # run 2 (after restart): t=50..90s; t=50 must fold into pending
+    # (50 < 55), t=60 reports with carried pending credited
+    p2 = pd.DataFrame(
+        [("k", 50_000 + t * 10_000, 1.0) for t in range(5)],
+        columns=["key", "ts_ms", "flows"],
+    )
+    schema = "key string, ts_ms long, flows double"
+
+    def run_once():
+        stream_alerts = spark.readStream.schema(schema).parquet(f"{src}/f*")
+        got = suppress_reports_stream(
+            stream_alerts, ["key"], "ts_ms", 25_000, ["flows"]
+        )
+        q = (
+            got.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(p1).coalesce(1).write.parquet(str(src / "f1"))
+    run_once()
+    first = spark.read.parquet(out).toPandas()
+    assert sorted(first["report_seq"]) == [0, 1]
+
+    spark.createDataFrame(p2).coalesce(1).write.parquet(str(src / "f2"))
+    run_once()  # fresh query, same checkpoint = driver restart
+
+    got = _sorted_pdf(spark.read.parquet(out), ["key", "report_seq"])
+    batch_alerts = spark.read.parquet(f"{src}/f*")
+    expect = _sorted_pdf(
+        suppress_reports(batch_alerts, ["key"], "ts_ms", 25_000, ["flows"]),
+        ["key", "report_seq"],
+    )
+    pd.testing.assert_frame_equal(got[expect.columns], expect)
+    # the restarted run continued the chain, not restarted it
+    assert sorted(got["report_seq"]) == [0, 1, 2, 3]
