@@ -1,14 +1,19 @@
-"""Per-query performance budget (VERDICT r1 item 10, r3 item 10).
+"""Per-query performance budget (VERDICT r1 item 10, r3 item 10, r4 item 5).
 
 Runs the real bench harness at sf0.1 and fails if any gate query
-regresses more than 2x against its best recorded time across ALL
-BENCH_r{N}.json artifacts — locking each round's performance as the next
-round's floor. A small absolute slack absorbs single-VM noise (the box's
-run-to-run jitter is ~1.5x on sub-second queries when another JVM is
-active); a true structural regression (wrong join order, lost pushdown,
-driver collect) is way past 2x + slack. Queries new since the last
-recorded bench are skipped — they get a budget when the next BENCH_r{N}
-lands. ``_OVERRIDES`` hand-tightens queries whose only recorded round
+regresses more than 2x against its best recorded time — locking each
+round's performance as the next round's floor. Baselines come from (a)
+``tests/bench_baselines.json``, a committed min-of-two-solo-runs
+snapshot covering EVERY gate query (refreshed each round), and (b) any
+parseable ``BENCH_r{N}.json`` driver artifacts; the per-query min wins.
+A small absolute slack absorbs single-VM noise (the box's run-to-run
+jitter is ~1.5x on sub-second queries when another JVM is active); a
+true structural regression (wrong join order, lost pushdown, driver
+collect) is way past 2x + slack. ``_SEMANTICS_RESET`` names queries
+whose implementation legitimately changed work content (r5: real codec
+decode, bounded-state percentiles, two-stage DDoS) — their pre-change
+records are not comparable floors, so only the committed snapshot
+applies. ``_OVERRIDES`` hand-tightens queries whose only recorded round
 was itself a known-bad plan (r2's forced-broadcast q7ish/q8ish)."""
 
 from __future__ import annotations
@@ -31,14 +36,23 @@ _OVERRIDES = {
     "tpch_q8ish_market_share": 5.0,
 }
 
+# r5 semantics changes: multimodal now really decodes (more work than the
+# metadata fake it replaced), length_stats pays two exchanges for bounded
+# state, detection_ddos defaults to the two-stage skew-safe plan.
+_SEMANTICS_RESET = {
+    "llm_multimodal_decode", "llm_multimodal_resize",
+    "llm_multimodal_frames", "llm_multimodal_features",
+    "llm_length_stats", "detection_ddos",
+}
+
 
 def _baseline_queries() -> dict[str, float]:
-    """Best recorded per-query time across every BENCH_r{N}.json.
-
-    Each artifact is the driver's wrapper: the bench's own JSON line
-    lives (escaped) inside its `tail` field (rc!=0 rounds carry no
-    parseable line and are skipped)."""
-    best: dict[str, float] = {}
+    """Best recorded per-query time across the committed snapshot and
+    every parseable BENCH_r{N}.json driver artifact."""
+    snapshot = json.loads(
+        (REPO / "tests" / "bench_baselines.json").read_text()
+    )["queries"]
+    best = dict(snapshot)
     for path in sorted(REPO.glob("BENCH_r*.json")):
         doc = json.loads(path.read_text())
         try:
@@ -50,6 +64,8 @@ def _baseline_queries() -> dict[str, float]:
         except (KeyError, ValueError):
             continue  # failed round (rc!=0): no numbers recorded
         for name, took in qs.items():
+            if name in _SEMANTICS_RESET:
+                continue  # pre-change floor, not comparable
             best[name] = min(best.get(name, float("inf")), took)
     best.update(_OVERRIDES)
     return best
@@ -68,8 +84,23 @@ def _run_bench(only: list[str] | None = None) -> dict[str, float]:
         timeout=1800,
         check=True,
     )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)["queries"]
+    # per-query timings are emitted one JSON record per line; the final
+    # line is the compact summary (no per-query map)
+    timings: dict[str, float] = {}
+    for ln in out.stdout.strip().splitlines():
+        if ln.startswith('{"query"'):
+            rec = json.loads(ln)
+            timings[rec["query"]] = rec["sec"]
+    return timings
+
+
+def test_every_gate_query_has_a_budget():
+    """The committed snapshot must cover the full registry — a new query
+    without a budget row would dodge regression CI (r4 verdict item 5)."""
+    from stream4flow_spark.registry import queries
+
+    missing = set(queries()) - set(_baseline_queries())
+    assert not missing, f"queries without a bench budget: {sorted(missing)}"
 
 
 def _over_budget(
