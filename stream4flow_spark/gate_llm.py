@@ -647,3 +647,183 @@ def q_llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return stratified_sample(docs, {"en": 0.2, "de": 0.5}, strata_col="lang")
+
+
+# ------------------------------------------- round-5: lexical search tier
+
+_BIGRAMS = (
+    f"list_transform(range(1, greatest(len({_W}) - 1, 0) + 1), "
+    f"i -> {_W}[i] || ' ' || {_W}[i+1])"
+)
+
+
+@register(
+    "llm_tfidf_terms",
+    covers="llm:tfidf llm:vocab-build A10",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_W}) AS term FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term <> '' GROUP BY 1, 2
+        )
+        SELECT term,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM per_doc GROUP BY 1
+        ORDER BY total_tf DESC, term ASC LIMIT 40
+        """,
+)
+def q_llm_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-40 terms by total occurrences with
+    document frequencies (llmdata/lexsearch.py corpus_term_stats).
+    Explode → two partial-combining aggregates; shuffle is O(partitions
+    × vocab), not O(tokens); the limit lowers to TakeOrderedAndProject."""
+    from stream4flow_spark.llmdata.lexsearch import top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms(docs, k=40)
+
+
+@register(
+    "llm_bm25_topk",
+    covers="llm:bm25 llm:lexical-search A10",
+    oracle=f"""
+        WITH pd AS (
+            SELECT doc_id, len({_W}) AS dl,
+                   len(list_filter({_W}, t -> t = 'join')) AS tf_0,
+                   len(list_filter({_W}, t -> t = 'window')) AS tf_1,
+                   len(list_filter({_W}, t -> t = 'scan')) AS tf_2
+            FROM documents
+        ),
+        c AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                   SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                   SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                   SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+            FROM pd
+        )
+        SELECT doc_id,
+               ROUND(
+                 ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+                   * (CAST(tf_0 AS DOUBLE) * 2.2)
+                   / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+                   * (CAST(tf_1 AS DOUBLE) * 2.2)
+                   / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+                   * (CAST(tf_2 AS DOUBLE) * 2.2)
+                   / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                 6) AS score
+        FROM pd, c
+        WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+        ORDER BY score DESC, doc_id ASC LIMIT 50
+        """,
+)
+def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 for the query ["join", "window", "scan"]
+    (llmdata/lexsearch.py bm25_topk, k1=1.2 b=0.75). The query terms
+    pivot into conditional-aggregate columns — one pass keyed by doc_id,
+    1-row broadcast of (N, avgdl, df) — and the fixed-order score
+    expression makes the double arithmetic engine-reproducible, so the
+    top-k boundary is deterministic (measured min score gap in the top
+    60 at sf0.01 is 3e-6, far above double noise)."""
+    from pyspark.sql import functions as SF
+
+    from stream4flow_spark.llmdata.lexsearch import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, ["join", "window", "scan"], k=50)
+    return ranked.select("doc_id", SF.round("score", 6).alias("score"))
+
+
+@register(
+    "llm_decontaminate",
+    covers="llm:decontamination A15 J1",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, unnest(list_distinct({_GRAMS3})) AS gram
+            FROM documents WHERE len({_W}) >= 3
+        ),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 20 <> 0
+        GROUP BY 1 HAVING COUNT(*) >= 5
+        """,
+)
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: every 20th document plays the
+    held-out benchmark; training docs sharing ≥5 distinct word 3-grams
+    with it are flagged with their overlap counts
+    (llmdata/decontaminate.py). Gate runs ``hash_grams=False`` so the
+    DuckDB oracle reproduces counts string-exactly; the xxhash64 path
+    (8 bytes/gram on the wire — the 100 TB default) is asserted
+    count-identical in tests/test_llmdata.py."""
+    from stream4flow_spark.llmdata.decontaminate import contamination_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    counts = contamination_counts(train, bench, n=3, hash_grams=False)
+    return counts.filter(F.col("n_contaminated_grams") >= 5)
+
+
+@register(
+    "llm_repetition",
+    covers="llm:repetition-filter llm:quality-score",
+    oracle=f"""
+        WITH pb AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM (
+                SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM documents
+            ) GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+               CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_bigram_frac,
+               CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+        FROM pb GROUP BY 1
+        """,
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (duplicate-bigram fraction,
+    top-bigram share — the Gopher-style boilerplate filters) from
+    llmdata/textstats.py repetition_features. Two partial-combining
+    aggregates; per-group state bounded by one document's distinct
+    bigrams. The oracle's docs all have ≥2 tokens, so the zero-bigram
+    guard path is exercised in tests instead."""
+    from stream4flow_spark.llmdata.textstats import repetition_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_features(docs)
+
+
+@register(
+    "llm_source_cap",
+    covers="llm:source-cap A9",
+    oracle="""
+        SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
+        FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || 's4f-cap')
+                   ) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= 10
+        """,
+)
+def q_llm_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (≤10 per source), chosen by the
+    deterministic md5 order so the retained subset is engine- and
+    run-reproducible (llmdata/sampling.py cap_per_group) — the
+    per-domain cap every web corpus applies so giant crawls can't
+    dominate training."""
+    from stream4flow_spark.llmdata.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, group_col="source", cap=10)

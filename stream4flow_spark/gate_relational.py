@@ -727,3 +727,204 @@ def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@register(
+    "rel_asof_join",
+    covers="rel:asof-join J4",
+    oracle="""
+        WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS click_ms
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id, epoch_ms(ts) AS purchase_ms,
+                          MAX(value) AS purchase_value
+                   FROM events WHERE event_type = 'purchase'
+                   GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, c.click_ms,
+               p.purchase_ms, p.purchase_value
+        FROM c ASOF JOIN p
+          ON c.user_id = p.user_id AND c.click_ms >= p.purchase_ms
+        """,
+)
+def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the latest at-or-before
+    purchase by the same user (operators/asof_join.py — union + one
+    keyed sort + running last(ignorenulls), no range explosion; the
+    oracle is DuckDB's native ASOF JOIN). The right side is
+    pre-aggregated per (user, ts) so "latest" is well-defined. Reference
+    analogue: the J4 time-proximity join of dns_external_resolvers
+    (dns_external_resolvers.py:149-166), directional instead of |Δt|."""
+    from stream4flow_spark.operators.asof_join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("click_ms")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_millis("ts").alias("purchase_ms"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_ms",
+        right_ts="purchase_ms",
+    )
+
+
+@register(
+    "tpch_q17ish_small_quantity_revenue",
+    covers="rel:correlated-scalar-subquery rel:decimal-exact J1 A4 F10",
+    oracle=f"""
+        WITH threshold AS (
+            SELECT l_partkey, 0.5 * AVG(l_quantity) AS qty_cap
+            FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(CAST(SUM({_PRICE}) / 7 AS DECIMAL(38,6)) AS STRING)
+                 AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN threshold t ON t.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#12' AND l.l_quantity < t.qty_cap
+        """,
+)
+def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue from unusually small orders of one brand's parts.
+    The correlated scalar subquery (per-part average quantity) is
+    decorrelated into a pre-aggregate + equi-join — the plan every
+    engine should run: lineitem is scanned twice but shuffles only
+    (partkey, sum, count) for the threshold side, and the brand filter
+    prunes the probe side before the join. No broadcast hint on the
+    threshold: it is O(|part|), scale-growing, so AQE decides."""
+    li = _li(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    threshold = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    brand_parts = part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    return (
+        li.join(brand_parts, li.l_partkey == brand_parts.p_partkey)
+        .join(threshold, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                / F.lit(7)
+            )
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("avg_yearly"),
+        )
+    )
+
+
+@register(
+    "tpch_q15ish_top_supplier",
+    covers="rel:scalar-subquery-max rel:decimal-exact J1 A1 F2",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM({_PRICE} * {_DISC1}) AS DECIMAL(38,4))
+                     AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_revenue AS STRING) AS total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """,
+)
+def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the supplier(s) with the maximum quarterly revenue. The
+    uncorrelated MAX subquery becomes a 1-row aggregate broadcast-joined
+    back onto the revenue relation (truly constant size → explicit
+    hint); revenue itself aggregates in exact DECIMAL so the max / the
+    equality are deterministic across engines. The shipdate filter
+    reaches the parquet scan on the fact table."""
+    li = _li(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            )
+            .cast("decimal(38,4)")
+            .alias("total_revenue")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(sup, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("string").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q11ish_important_parts",
+    covers="rel:global-share-filter rel:decimal-exact A1 F10",
+    oracle=f"""
+        WITH part_value AS (
+            SELECT l_partkey,
+                   CAST(SUM({_PRICE} * {_DISC1}) AS DECIMAL(38,4)) AS value
+            FROM lineitem GROUP BY 1
+        ),
+        total AS (
+            SELECT CAST(SUM(value) AS DECIMAL(38,4)) AS total_value
+            FROM part_value
+        )
+        SELECT pv.l_partkey AS partkey, CAST(pv.value AS STRING) AS value
+        FROM part_value pv, total
+        WHERE pv.value > total.total_value * 0.001
+        """,
+)
+def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: parts representing a significant share of total revenue.
+    One fact-side aggregate, re-aggregated to a single global total that
+    broadcasts back as the HAVING threshold — the two-level "share of
+    global sum" shape. Catalyst does not share the part_value subplan
+    between the total and the probe, so the fact table is scanned twice;
+    at interactive scale one would localCheckpoint/cache the O(|part|)
+    aggregate first — the exchange-level cost (two narrow aggregates +
+    one broadcast) is unchanged."""
+    li = _li(spark, sf_dir)
+    part_value = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+        )
+        .cast("decimal(38,4)")
+        .alias("value")
+    )
+    total = part_value.agg(
+        F.sum("value").cast("decimal(38,4)").alias("total_value")
+    )
+    return (
+        part_value.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value")
+            > (F.col("total_value") * F.lit(0.001)).cast("decimal(38,6)")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value").cast("string").alias("value"),
+        )
+    )

@@ -1,0 +1,99 @@
+"""Train/test decontamination — flag training documents that share word
+n-grams with a held-out benchmark set.
+
+The standard contamination check for LLM training corpora (n-gram
+overlap against evaluation benchmarks): build the distinct n-gram set of
+the benchmark documents, then count, for every training document, how
+many of its distinct n-grams appear in that set. Documents above a
+threshold are quarantined.
+
+Scale design:
+
+- N-grams are formed with ``transform(sequence(...))`` over the token
+  array — pure Column ops, map-only, no UDF.
+- Each side dedupes its (doc, gram) pairs map-side before the exchange
+  (``distinct`` inside the aggregate), so the join carries distinct
+  grams only.
+- The overlap is a semi-ish inner join keyed on the gram; the benchmark
+  side is the small side by construction (benchmarks are MBs, corpora
+  are TBs) — AQE broadcast-joins it when it fits, else it's a shuffled
+  hash join on the gram key. Counting happens on the join output grouped
+  by doc_id: ids + grams travel, never text.
+- ``hash_grams=True`` (the 100 TB default) replaces each gram string by
+  ``xxhash64(gram)`` before the join, cutting shuffle bytes to 8/gram at
+  a 2^-64 collision false-positive rate. The driver gate runs with
+  ``hash_grams=False`` so the DuckDB oracle can reproduce counts
+  string-exactly; the hashed path is asserted equal in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stream4flow_spark.llmdata.textstats import whitespace_tokens
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text`` as an array<string> (empty when
+    the document has fewer than n tokens)."""
+    toks = whitespace_tokens(text)
+    # sequence(1, stop) DESCENDS when stop < 1 (it never returns empty),
+    # so documents shorter than n tokens need an explicit empty branch
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def contamination_counts(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Per-corpus-document count of distinct n-grams that also occur in
+    ``benchmark``. Documents with zero overlap are absent from the
+    output (join semantics — the caller left-joins if it wants zeros)."""
+    def grams_of(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        g = df.select(
+            *cols, F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        )
+        if hash_grams:
+            g = g.withColumn("gram", F.xxhash64("gram"))
+        return g
+
+    corpus_grams = grams_of(corpus, keep_id=True)
+    bench_grams = grams_of(benchmark, keep_id=False).distinct()
+    return (
+        corpus_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Drop corpus documents sharing ≥ ``min_overlap`` distinct n-grams
+    with the benchmark (anti-join against the flagged id set — only ids
+    shuffle)."""
+    flagged = contamination_counts(
+        corpus, benchmark, n, text_col, id_col, hash_grams
+    ).filter(F.col("n_contaminated_grams") >= min_overlap)
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")

@@ -1,0 +1,137 @@
+"""Lexical (sparse/keyword) search over a document corpus — TF-IDF term
+statistics and BM25 ranked retrieval.
+
+Complements the dense-embedding tier (llmdata/simsearch.py): a training-
+data pipeline needs both — embeddings for semantic near-dup and
+retrieval, term statistics for vocabulary building, quality filtering,
+and classic BM25 search over trillions of tokens. The reference's text
+machinery stops at entropy/whitelists (SURVEY §2.7 C6/C7/C12); this tier
+is part of the beyond-reference LLM-data mandate.
+
+Scale design:
+
+- ``corpus_term_stats`` is explode → one hash aggregate keyed by term.
+  Partial (map-side) aggregation collapses each partition's token stream
+  to its local vocabulary before the exchange, so shuffle volume is
+  O(partitions × vocab), not O(tokens) — the only viable shape at 100 TB
+  of text. Top-k terms use TakeOrderedAndProject, never a global sort.
+- ``bm25_score`` pivots the (small, fixed) query term list into
+  conditional-aggregate columns: ONE pass over the token stream keyed by
+  doc_id, then a 1-row broadcast of the corpus constants (N, avgdl,
+  per-term document frequencies). No per-term join, no driver collect.
+  The score expression is a FIXED-ORDER sum over query terms, so the
+  double arithmetic is bit-reproducible across engines and runs —
+  shuffle-order-independent, which makes top-k boundaries deterministic
+  (ties broken by doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stream4flow_spark.llmdata.textstats import whitespace_tokens
+
+
+def _tokens(text_col: str) -> Column:
+    """The tier-wide whitespace tokenization (textstats.whitespace_tokens),
+    mirroring the DuckDB-side ``string_split_regex(trim(text), '\\s+')``."""
+    return whitespace_tokens(F.col(text_col))
+
+
+def corpus_term_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-term corpus statistics: total occurrences (``total_tf``) and
+    document frequency (``df`` — number of distinct docs containing the
+    term). One explode + one aggregate; ``df`` avoids a count-distinct
+    by pre-deduping (term, doc) pairs map-side via the two-level
+    aggregate (distinct per doc happens inside the same shuffle)."""
+    toks = docs.select(
+        F.col(id_col).alias("__doc"), F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = toks.groupBy("__doc", "term").agg(F.count("*").alias("tf"))
+    return per_doc.groupBy("term").agg(
+        F.sum("tf").alias("total_tf"),
+        F.count("*").alias("df"),
+    )
+
+
+def top_terms(
+    docs: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k corpus terms by total occurrences (vocabulary head).
+    Deterministic tiebreak on the term itself; the limit lowers to
+    TakeOrderedAndProject so no partition materializes a global sort."""
+    stats = corpus_term_stats(docs, text_col, id_col)
+    return stats.orderBy(F.desc("total_tf"), F.asc("term")).limit(k)
+
+
+def bm25_score(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 score of every document containing ≥1 query term.
+
+    Returns (id_col, score). idf is the standard Robertson/Sparck-Jones
+    smooth form ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — positive even
+    for terms in more than half the corpus.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = docs.select(
+        F.col(id_col),
+        F.size(_tokens(text_col)).alias("dl"),
+        F.explode(_tokens(text_col)).alias("term"),
+    )
+    # one pass: per-doc tf for each query term as pivoted columns
+    per_doc = toks.groupBy(id_col, "dl").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    # corpus constants: N, avgdl, df per query term — a single 1-row agg
+    consts = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(consts))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+    matched = F.lit(False)
+    for i in range(len(terms)):
+        matched = matched | (F.col(f"tf_{i}") > 0)
+    return scored.filter(matched).select(F.col(id_col), score.alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 retrieval; score desc, id asc tiebreak,
+    TakeOrderedAndProject physical plan."""
+    scored = bm25_score(docs, terms, text_col, id_col, k1, b)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -65,3 +65,37 @@ def stratified_sample(
             (F.col(strata_col) == stratum) & (v < int(frac * _BUCKETS))
         )
     return df.filter(cond)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str = "doc_id",
+    salt: str = "s4f-cap",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically.
+
+    Rows within a group are ordered by md5(key, salt) — an
+    engine/run/partitioning-independent shuffle of the group — and the
+    first ``cap`` survive, so the retained subset is uniform-ish and
+    reproducible (same rows on every run and engine, verifiable by the
+    DuckDB oracle). This is the per-domain/source cap every web-scale
+    corpus applies so a handful of giant crawls can't dominate training.
+
+    Adds ``rank_col`` (1-based position in the group's hash order).
+    Plan: one exchange keyed by the group + an in-partition sort — a
+    rank window, no collect. A group too hot for one task is pre-capped
+    by a two-stage variant: cap within (group, salted-bucket) at ``cap``
+    first, then re-cap the survivors — the standard skew guard; at the
+    default cap sizes (≤ millions) the single window is the right plan.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= cap)
+    )

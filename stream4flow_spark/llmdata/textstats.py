@@ -223,3 +223,58 @@ def winnow_fingerprints(
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} {id_t}, fps array<bigint>, n_fps int"
     )
+
+
+# ------------------------------------------- repetition / boilerplate
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters):
+    the fraction of word bigrams that are duplicates of an earlier bigram
+    in the same document, and the share of the single most frequent
+    bigram. Repetitive machine-generated / boilerplate text scores high
+    on both; natural prose stays low.
+
+    Output: (id_col, n_bigrams, n_distinct_bigrams, dup_bigram_frac,
+    top_bigram_frac). Documents with < 2 tokens emit 0 bigrams and
+    0.0 fractions.
+
+    Plan: explode bigrams → one aggregate keyed (doc, bigram) → one
+    keyed (doc). Both aggregates partial-combine map-side; the second
+    input is already ≤ distinct-bigrams per doc. State is O(distinct
+    bigrams of one document) — bounded by document length, independent
+    of corpus size.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    # sequence(1, stop) DESCENDS when stop < 1, so guard sub-bigram docs
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i.cast("int")),
+            F.element_at(toks, (i + 1).cast("int")),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(bigrams).alias("bigram")
+    )
+    per_bigram = exploded.groupBy(id_col, "bigram").agg(
+        F.count("bigram").alias("c")
+    )
+    zero_safe = lambda num: F.when(  # noqa: E731
+        F.sum("c") > 0, num.cast("double") / F.sum("c")
+    ).otherwise(F.lit(0.0))
+    return per_bigram.groupBy(id_col).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(
+            F.sum((F.col("c") > 0).cast("long")), F.lit(0)
+        ).alias("n_distinct_bigrams"),
+        zero_safe(F.sum("c") - F.sum((F.col("c") > 0).cast("long"))).alias(
+            "dup_bigram_frac"
+        ),
+        zero_safe(F.coalesce(F.max("c"), F.lit(0))).alias("top_bigram_frac"),
+    )

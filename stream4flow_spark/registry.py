@@ -79,9 +79,15 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q8ish_market_share", "tpch_q10ish_returned_revenue",
     "tpch_q18ish_large_orders", "tpch_q19ish_bracket_revenue",
     "tpch_q22ish_dormant_customers",
-    # 48-50: reserved for round-5 additions; unlisted queries follow in
-    # registration order (triple-green apps/readside/tpch rotate out, the
-    # rows-only five stay property-tested per the r04 verdict)
+    # 48-50: round-5 additions — the as-of join operator, benchmark
+    # decontamination, and BM25 retrieval get their first driver rows.
+    # The other six round-5 queries (llm_tfidf_terms, llm_repetition,
+    # llm_source_cap, tpch_q17ish/q15ish/q11ish) follow in registration
+    # order after the window and rotate in next round; all nine are
+    # oracle-parity-tested locally (tests/test_gate_parity.py). Unlisted
+    # triple-green apps/readside/tpch rotate out; the rows-only five
+    # stay property-tested per the r04 verdict.
+    "rel_asof_join", "llm_decontaminate", "llm_bm25_topk",
 ]
 
 

@@ -420,3 +420,92 @@ def test_winnow_blocking_recall_vs_exact_jaccard(spark):
     # verified winnow pairs are a subset of the exact pairs by
     # construction (same verify predicate)
     assert winnow <= exact
+
+
+def test_decontaminate_planted_overlap_and_hash_parity(spark):
+    from stream4flow_spark.llmdata.decontaminate import (
+        contamination_counts,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sat still"),       # shares 2 3-grams
+            (2, "a completely different sentence here entirely"),
+            (3, "quick brown fox jumps over everything"),  # shares 3
+            (4, "xy"),                                   # < 3 tokens
+        ],
+        "doc_id long, text string",
+    )
+    plain = {
+        (r.doc_id, r.n_contaminated_grams)
+        for r in contamination_counts(corpus, bench, n=3, hash_grams=False).collect()
+    }
+    assert plain == {(1, 2), (3, 3)}
+    hashed = {
+        (r.doc_id, r.n_contaminated_grams)
+        for r in contamination_counts(corpus, bench, n=3, hash_grams=True).collect()
+    }
+    assert hashed == plain  # 8-byte gram path must not change counts
+
+    kept = {r.doc_id for r in decontaminate(corpus, bench, n=3, min_overlap=3).collect()}
+    assert kept == {1, 2, 4}
+
+
+def test_repetition_features_goldens(spark):
+    from stream4flow_spark.llmdata.textstats import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+            (2, "w x y z"),       # 3 distinct bigrams, no repeats
+            (3, "solo"),          # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(docs).collect()}
+    assert rows[1].n_bigrams == 5 and rows[1].n_distinct_bigrams == 2
+    assert abs(rows[1].dup_bigram_frac - 3 / 5) < 1e-12
+    assert abs(rows[1].top_bigram_frac - 3 / 5) < 1e-12
+    assert rows[2].n_bigrams == 3 and rows[2].dup_bigram_frac == 0.0
+    assert rows[3].n_bigrams == 0 and rows[3].dup_bigram_frac == 0.0
+    assert rows[3].top_bigram_frac == 0.0
+
+
+def test_cap_per_group_deterministic_across_partitioning(spark):
+    from stream4flow_spark.llmdata.sampling import cap_per_group
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df1 = spark.createDataFrame(rows, "doc_id long, source string")
+    df8 = df1.repartition(8)
+    got1 = {(r.doc_id, r.sample_rank) for r in cap_per_group(df1, "source", 5).collect()}
+    got8 = {(r.doc_id, r.sample_rank) for r in cap_per_group(df8, "source", 5).collect()}
+    assert got1 == got8  # md5 order is partitioning-independent
+    per_src = {}
+    for doc_id, rank in got1:
+        per_src.setdefault(doc_id % 3, []).append(rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_src.values())
+
+
+def test_bm25_ranks_heavier_term_use_higher(spark):
+    from stream4flow_spark.llmdata.lexsearch import bm25_topk, top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark shuffle"),
+            (2, "spark shuffle join join join join"),
+            (3, "join alone here"),
+            (4, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ranked = bm25_topk(docs, ["spark"], k=10).collect()
+    assert [r.doc_id for r in ranked][0] == 1  # highest tf, shortest doc
+    assert {r.doc_id for r in ranked} == {1, 2}  # doc 3/4 contain no "spark"
+
+    terms = {(r.term, r.total_tf, r.df) for r in top_terms(docs, k=3).collect()}
+    assert ("join", 5, 2) in terms and ("spark", 4, 2) in terms

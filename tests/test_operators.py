@@ -431,3 +431,56 @@ def test_exact_percentiles_plan_has_no_per_row_aggregate_state(spark):
     out = grouped_exact_percentiles(df, ["grp"], "v", {"p50": 0.5})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "percentile" not in plan.lower()
+
+
+def test_asof_join_matches_brute_force(spark):
+    from stream4flow_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame(
+        [("k1", 1000, "a"), ("k1", 5000, "b"), ("k1", 200, "c"),
+         ("k2", 3000, "d"), ("k3", 700, "e")],
+        "k string, lt long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 1000, 1.0), ("k1", 4000, 2.0), ("k1", 6000, 3.0),
+         ("k2", 3500, 4.0), ("k4", 100, 5.0)],
+        "k string, rt long, v double",
+    )
+    got = {
+        (r.k, r.lt): (r.rt, r.v)
+        for r in asof_join(left, right, ["k"], "lt", "rt").collect()
+    }
+    # latest right with rt <= lt per key; equal timestamps match (k1@1000);
+    # k2's click precedes its only purchase -> dropped; k3 has no right rows
+    assert got == {
+        ("k1", 1000): (1000, 1.0),
+        ("k1", 5000): (4000, 2.0),
+    }
+
+    left_how = asof_join(left, right, ["k"], "lt", "rt", how="left")
+    rows = {(r.k, r.lt): (r.rt, r.v) for r in left_how.collect()}
+    assert len(rows) == 5
+    assert rows[("k2", 3000)] == (None, None)
+    assert rows[("k3", 700)] == (None, None)
+    assert rows[("k1", 200)] == (None, None)
+
+    tol = asof_join(left, right, ["k"], "lt", "rt", tolerance=500)
+    assert {(r.k, r.lt) for r in tol.collect()} == {("k1", 1000)}
+
+
+def test_asof_join_single_exchange_no_join_blowup(spark):
+    """The plan must be union + ONE hash exchange + window — not a join
+    node (no SortMergeJoin/BroadcastHashJoin/CartesianProduct): the
+    shuffle carries each input row exactly once at any scale."""
+    from stream4flow_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame([("k", 1, "x")], "k string, lt long, t string")
+    right = spark.createDataFrame([("k", 1, 1.0)], "k string, rt long, v double")
+    plan = (
+        asof_join(left, right, ["k"], "lt", "rt")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "Cartesian",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
