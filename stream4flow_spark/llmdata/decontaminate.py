@@ -31,25 +31,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stream4flow_spark.llmdata.dedup import word_grams_from_tokens
 from stream4flow_spark.llmdata.textstats import whitespace_tokens
 
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Distinct word n-grams of ``text`` as an array<string> (empty when
-    the document has fewer than n tokens)."""
-    toks = whitespace_tokens(text)
-    # sequence(1, stop) DESCENDS when stop < 1 (it never returns empty),
-    # so documents shorter than n tokens need an explicit empty branch
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(gram)
+    the document has fewer than n tokens). Delegates to the shared
+    zip-with shingle builder (llmdata/dedup.py)."""
+    return word_grams_from_tokens(whitespace_tokens(text), n)
 
 
 def contamination_counts(
@@ -65,8 +55,15 @@ def contamination_counts(
     output (join semantics — the caller left-joins if it wants zeros)."""
     def grams_of(df: DataFrame, keep_id: bool) -> DataFrame:
         cols = [F.col(id_col)] if keep_id else []
-        g = df.select(
-            *cols, F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        # tokenize into a real column BEFORE the gram lambdas — an
+        # inlined split() re-evaluates per slice (see dedup.py
+        # word_grams_from_tokens)
+        toked = df.select(
+            *cols, whitespace_tokens(F.col(text_col)).alias("__toks")
+        )
+        g = toked.select(
+            *cols,
+            F.explode(word_grams_from_tokens(F.col("__toks"), n)).alias("gram"),
         )
         if hash_grams:
             g = g.withColumn("gram", F.xxhash64("gram"))

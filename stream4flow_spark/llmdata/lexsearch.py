@@ -84,9 +84,11 @@ def bm25_score(
     if not terms:
         raise ValueError("terms must be non-empty")
     toks = docs.select(
+        F.col(id_col), _tokens(text_col).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.size(_tokens(text_col)).alias("dl"),
-        F.explode(_tokens(text_col)).alias("term"),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
     )
     # one pass: per-doc tf for each query term as pivoted columns
     per_doc = toks.groupBy(id_col, "dl").agg(

@@ -246,20 +246,15 @@ def repetition_features(
     bigrams of one document) — bounded by document length, independent
     of corpus size.
     """
-    toks = whitespace_tokens(F.col(text_col))
-    # sequence(1, stop) DESCENDS when stop < 1, so guard sub-bigram docs
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i.cast("int")),
-            F.element_at(toks, (i + 1).cast("int")),
-        ),
+    from stream4flow_spark.llmdata.dedup import word_grams_from_tokens
+
+    # tokenize into a real column first; an inlined split() would
+    # re-evaluate inside the gram lambdas (dedup.word_grams_from_tokens)
+    toked = df.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__toks")
     )
-    exploded = df.select(
+    bigrams = word_grams_from_tokens(F.col("__toks"), n=2, distinct=False)
+    exploded = toked.select(
         F.col(id_col), F.explode_outer(bigrams).alias("bigram")
     )
     per_bigram = exploded.groupBy(id_col, "bigram").agg(
