@@ -74,6 +74,7 @@ def cap_per_group(
     key_col: str = "doc_id",
     salt: str = "s4f-cap",
     rank_col: str = "sample_rank",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group, chosen deterministically.
 
@@ -86,14 +87,29 @@ def cap_per_group(
 
     Adds ``rank_col`` (1-based position in the group's hash order).
     Plan: one exchange keyed by the group + an in-partition sort — a
-    rank window, no collect. A group too hot for one task is pre-capped
-    by a two-stage variant: cap within (group, salted-bucket) at ``cap``
-    first, then re-cap the survivors — the standard skew guard; at the
-    default cap sizes (≤ millions) the single window is the right plan.
+    rank window, no collect. When one group is too hot for a single
+    task's sort, pass ``salt_buckets``: a first rank window caps within
+    (group, md5-derived bucket) — bounding any task at roughly
+    group/buckets rows — and the final window ranks only the ≤
+    cap × salt_buckets survivors. The global lowest-``cap`` rows of a
+    group are each lowest-``cap`` within their own bucket, so the
+    two-stage result is IDENTICAL to the single-window one (asserted in
+    tests), same trick as the DDoS salted collect_set
+    (operators/skew.py).
     """
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    if salt_buckets is not None:
+        bucket = (
+            F.conv(F.substring(h, 29, 4), 16, 10).cast("long") % salt_buckets
+        )
+        pre = Window.partitionBy(F.col(group_col), bucket).orderBy(h)
+        df = (
+            df.withColumn("__pre_rank", F.row_number().over(pre))
+            .filter(F.col("__pre_rank") <= cap)
+            .drop("__pre_rank")
+        )
     w = Window.partitionBy(group_col).orderBy(h)
     return (
         df.withColumn(rank_col, F.row_number().over(w))

@@ -509,3 +509,19 @@ def test_bm25_ranks_heavier_term_use_higher(spark):
 
     terms = {(r.term, r.total_tf, r.df) for r in top_terms(docs, k=3).collect()}
     assert ("join", 5, 2) in terms and ("spark", 4, 2) in terms
+
+
+def test_cap_per_group_two_stage_matches_single_window(spark):
+    from stream4flow_spark.llmdata.sampling import cap_per_group
+
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+    single = {
+        (r.doc_id, r.sample_rank)
+        for r in cap_per_group(df, "source", 7).collect()
+    }
+    salted = {
+        (r.doc_id, r.sample_rank)
+        for r in cap_per_group(df, "source", 7, salt_buckets=16).collect()
+    }
+    assert salted == single  # bucket pre-cap must not change the result
