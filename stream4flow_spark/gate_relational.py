@@ -928,3 +928,173 @@ def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("string").alias("value"),
         )
     )
+
+
+@register(
+    "tpch_q9ish_nation_year_profit",
+    covers="rel:multiway-join rel:date-extract rel:decimal-exact J1 A1",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(CAST(SUM({_PRICE} * {_DISC1}) AS DECIMAL(38,4)) AS STRING)
+                 AS revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_type = 'PROMO'
+        GROUP BY 1, 2
+        """,
+)
+def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: revenue by supplier nation and order year for one product
+    line — the widest join tree in the relational tier (lineitem ⋈ part
+    ⋈ supplier ⋈ nation ⋈ orders). The p_type filter prunes the part
+    side BEFORE its join (semi-join-sized build), supplier/nation are
+    O(1)-ish dims AQE broadcasts at runtime, and orders—the only
+    scale-growing side—joins on the fact's own key so it shuffles
+    hash-partitioned with the fact. No broadcast hints on scale-growing
+    tables (tests/test_plan_quality.py guards that invariant)."""
+    li = _li(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+            )
+            .cast("decimal(38,4)")
+            .cast("string")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "rel_funnel_conversion",
+    covers="rel:funnel rel:conditional-window W2",
+    oracle="""
+        WITH stage AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+                     AS t_signup
+            FROM events GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, s.t_signup,
+                   MIN(CASE WHEN e.event_type = 'click'
+                            AND epoch_ms(e.ts) > s.t_signup
+                            THEN epoch_ms(e.ts) END) AS t_click
+            FROM events e JOIN stage s USING (user_id)
+            GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT e.user_id, c.t_signup, c.t_click,
+                   MIN(CASE WHEN e.event_type = 'purchase'
+                            AND epoch_ms(e.ts) > c.t_click
+                            THEN epoch_ms(e.ts) END) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+               CAST(COUNT(t_click) AS BIGINT) AS n_click_after_signup,
+               CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase_after_click
+        FROM p
+        """,
+)
+def q_rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then clicked AFTER the
+    signup, then purchased AFTER that click. The ordering constraint
+    makes each stage's timestamp depend on the previous stage's — three
+    chained conditional mins over the SAME user partition, which Spark
+    plans as one exchange keyed by user plus window passes (no
+    self-joins; the oracle's equivalent join-per-stage formulation is
+    the portable SQL spelling). Output is one row of stage counts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id")
+    t_signup = F.min(
+        F.when(F.col("event_type") == "signup", F.col("t"))
+    ).over(w)
+    staged = ev.withColumn("t_signup", t_signup)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("t") > F.col("t_signup")),
+            F.col("t"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("t") > F.col("t_click")),
+            F.col("t"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_signup").alias("t_signup"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_click").alias("n_click_after_signup"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+    )
+
+
+@register(
+    "rel_retention_cohorts",
+    covers="rel:cohort-retention rel:distinct-count A3",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, MIN(epoch_ms(ts)) AS t0 FROM events GROUP BY 1
+        )
+        SELECT CAST(f.t0 // 604800000 AS BIGINT) AS cohort_week,
+               CAST((epoch_ms(e.ts) - f.t0) // 604800000 AS BIGINT)
+                 AS weeks_since,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+        """,
+)
+def q_rel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their first event,
+    counted as active in each subsequent week. First-touch timestamps
+    come from a window min over the SAME user-keyed exchange the cohort
+    aggregation needs (no join back); the distinct count dedups
+    (cohort, week, user) map-side. Weeks are integer epoch-week indexes
+    so every output column is exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id")
+    week_ms = 604_800_000
+    cohorted = ev.withColumn("t0", F.min("t").over(w)).select(
+        "user_id",
+        (F.col("t0") / week_ms).cast("long").alias("cohort_week"),
+        ((F.col("t") - F.col("t0")) / week_ms).cast("long").alias("weeks_since"),
+    )
+    return cohorted.groupBy("cohort_week", "weeks_since").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )

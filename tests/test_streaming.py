@@ -1005,3 +1005,96 @@ def test_stream_suppression_restart_recovers_state_from_checkpoint(
     pd.testing.assert_frame_equal(got[expect.columns], expect)
     # the restarted run continued the chain, not restarted it
     assert sorted(got["report_seq"]) == [0, 1, 2, 3]
+
+
+def test_stream_asof_enrich_matches_batch_asof_join(spark, tmp_path):
+    """Single-batch parity: with both sides in one micro-batch the
+    streaming as-of enrichment must equal the batch as-of join (the
+    in-batch kernel processes rows in event-time order)."""
+    from stream4flow_spark.operators.asof_join import asof_join
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.asof import asof_enrich_stream
+
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("t")
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("t").alias("lt")
+    )
+    purch_b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t").alias("rt"), F.col("event_id").alias("p_id")
+    )
+    want = {
+        (r.event_id, r.rt, r.p_id)
+        for r in asof_join(
+            clicks_b, purch_b, ["user_id"], "lt", "rt", how="left"
+        ).collect()
+    }
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ev.toPandas().to_parquet(str(src / "all.parquet"), index=False)
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    clicks_s = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("t").alias("lt")
+    )
+    purch_s = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t").alias("rt"), F.col("event_id").alias("p_id")
+    )
+    got_df = run_stream_to_table(
+        asof_enrich_stream(
+            clicks_s, purch_s, ["user_id"], "lt", "rt", how="left"
+        ),
+        output_mode="append",
+    )
+    got = {(r.event_id, r.rt, r.p_id) for r in got_df.collect()}
+    assert got == want
+
+
+def test_stream_asof_enrich_matches_from_cross_batch_state(spark, tmp_path):
+    """Rights in batch 1, lefts in batch 2: the stored latest-right state
+    must enrich later batches; a left older than the stored right stays
+    unmatched (the documented O(1)-state trade)."""
+    from stream4flow_spark.streaming.asof import asof_enrich_stream
+
+    import pandas as pd
+
+    src = tmp_path / "s"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {"k": ["a", "a"], "side": ["r", "r"], "id": [0, 0],
+         "t": [1000, 2000], "v": [1.0, 2.0]}
+    )
+    b2 = pd.DataFrame(
+        {"k": ["a", "a", "a"], "side": ["l", "l", "l"], "id": [1, 2, 3],
+         "t": [1500, 2500, 500], "v": [0.0, 0.0, 0.0]}
+    )
+    b1.to_parquet(str(src / "f0.parquet"), index=False)
+    b2.to_parquet(str(src / "f1.parquet"), index=False)
+
+    import pyspark.sql.functions as F
+
+    stream = (
+        spark.readStream.schema("k string, side string, id long, t long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    lefts = stream.filter(F.col("side") == "l").select("k", "id", F.col("t").alias("lt"))
+    rights = stream.filter(F.col("side") == "r").select(
+        "k", F.col("t").alias("rt"), F.col("v").alias("rv")
+    )
+    got = run_stream_to_table(
+        asof_enrich_stream(lefts, rights, ["k"], "lt", "rt", how="left"),
+        output_mode="append",
+    )
+    rows = {r.id: (r.rt, r.rv) for r in got.collect()}
+    # state after batch 1 = (2000, 2.0): the 2500 left matches it; the
+    # 1500 left precedes it (older right 1000 was NOT kept -> unmatched);
+    # the 500 left precedes everything
+    assert rows == {
+        1: (None, None),
+        2: (2000, 2.0),
+        3: (None, None),
+    }
