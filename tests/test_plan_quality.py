@@ -23,6 +23,10 @@ _NESTED_LOOP_OK = {
     # probe side broadcasts that single row — the correct plan for a
     # scalar predicate (what Catalyst itself emits for scalar subqueries)
     "tpch_q22ish_dormant_customers",
+    # r5, same shape: 1-row corpus constants (N, avgdl, df) / 1-row
+    # global revenue total broadcast into the scoring projection
+    "llm_bm25_topk",
+    "tpch_q11ish_important_parts",
 }
 
 
@@ -93,6 +97,9 @@ def test_no_broadcast_hint_on_scale_growing_tables():
     allowed = {
         # fixed-size dims and bounded builds, by variable name
         "n", "r", "cn", "sn", "dim", "avg_bal", "q", "routing",
+        # r5: nation dim; 1-row scalar aggregates (corpus constants /
+        # max-revenue / global-total) — constant size at every sf
+        "nat", "consts", "top", "total",
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []
@@ -149,3 +156,44 @@ def test_documents_scans_prune_text_column(spark):
     plan = _plan(spark, "llm_length_stats")  # needs lang + n_chars only
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert reads and all("text" not in ln for ln in reads), reads
+
+
+def test_repetition_plan_has_zero_exchanges(spark):
+    """Repetition signals fold inside each row — any Exchange in this
+    plan means someone reintroduced the exploded (doc, bigram) shuffle."""
+    plan = _plan(spark, "llm_repetition")
+    assert "Exchange" not in plan, plan
+
+
+def test_tfidf_plan_has_single_vocab_exchange(spark):
+    """Corpus term stats must exchange once, at vocabulary granularity
+    (map-side partial aggregate → one hash exchange keyed by term,
+    followed by TakeOrderedAndProject); a second exchange means the
+    (doc, term) two-level form came back."""
+    import re
+
+    plan = _plan(spark, "llm_tfidf_terms")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_funnel_reuses_user_partitioning_across_window_and_group(spark):
+    """The three chained conditional window mins AND the per-user
+    collapse must share ONE user-keyed exchange; only the final 1-row
+    stage-count aggregate adds its SinglePartition exchange. Per-stage
+    self-joins or repartitions would multiply the hash exchanges."""
+    import re
+
+    plan = _plan(spark, "rel_funnel_conversion")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert plan.count("SinglePartition") == 1, plan
+
+
+def test_decontaminate_joins_on_grams_without_text_shuffle(spark):
+    """Only (id, gram) rows may reach the overlap join: the document
+    text column must not appear in any exchange."""
+    plan = _plan(spark, "llm_decontaminate")
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0), m.group(0)
