@@ -827,3 +827,87 @@ def q_llm_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return cap_per_group(docs, group_col="source", cap=10)
+
+
+_CLEAN_SQL = """
+    SELECT doc_id, lang,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                   '[0-9]{5,}', '<NUM>', 'g'),
+               '\\s+', ' ', 'g')) AS tc
+    FROM documents
+"""
+_WC = "string_split_regex(trim(tc), '\\s+')"
+_GRAMS3_C = (
+    f"list_distinct(list_transform(range(1, greatest(len({_WC}) - 1, 1)), "
+    f"i -> {_WC}[i] || ' ' || {_WC}[i+1] || ' ' || {_WC}[i+2]))"
+)
+
+
+@register(
+    "llm_prepare_corpus",
+    covers="llm:pipeline-end-to-end llm:text-scrub llm:corpus-selection "
+    "llm:decontamination llm:hash-split A15",
+    oracle=f"""
+        WITH c AS ({_CLEAN_SQL}),
+        q AS (
+            SELECT doc_id, lang, tc, CAST(len({_WC}) AS INT) AS n_tokens
+            FROM c
+            WHERE doc_id % 20 <> 0
+              AND len({_WC}) >= 20
+              AND CAST(length(regexp_replace(tc, '[^a-zA-Z0-9]', '', 'g'))
+                       AS DOUBLE) / length(tc) >= 0.5
+        ),
+        k AS (SELECT md5(tc) AS fp, MIN(doc_id) AS keeper FROM q GROUP BY 1),
+        kept AS (
+            SELECT q.* FROM q
+            JOIN k ON md5(q.tc) = k.fp AND q.doc_id = k.keeper
+        ),
+        kept_grams AS (
+            SELECT doc_id, unnest({_GRAMS3_C}) AS gram FROM kept
+            WHERE len({_WC}) >= 3
+        ),
+        bench_grams AS (
+            SELECT DISTINCT gram FROM (
+                SELECT unnest({_GRAMS3_C}) AS gram FROM c
+                WHERE doc_id % 20 = 0 AND len({_WC}) >= 3
+            )
+        ),
+        flagged AS (
+            SELECT kg.doc_id FROM kept_grams kg
+            JOIN bench_grams USING (gram)
+            GROUP BY 1 HAVING COUNT(*) >= 5
+        )
+        SELECT kept.doc_id, kept.lang, kept.n_tokens,
+               CASE WHEN {_BUCKET_SQL.format(salt='s4f-split')} < 52428
+                      THEN 'train'
+                    WHEN {_BUCKET_SQL.format(salt='s4f-split')} < 58982
+                      THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept
+        WHERE kept.doc_id NOT IN (SELECT doc_id FROM flagged)
+        """,
+)
+def q_llm_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus build as ONE lazy plan
+    (llmdata/pipeline.py prepare_corpus): scrub → quality floors →
+    exact dedup → benchmark decontamination → deterministic split, with
+    every 20th document playing the held-out benchmark. All exchanges
+    are id/digest/gram-keyed — the text column never shuffles (the
+    pipeline plan is audited in tests/test_plan_quality.py). Gate runs
+    ``hash_grams=False`` so the DuckDB CTE chain reproduces the gram
+    join string-exactly; production uses the 8-byte xxhash64 path."""
+    from stream4flow_spark.llmdata.pipeline import prepare_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    out = prepare_corpus(corpus, bench, hash_grams=False)
+    return out.select("doc_id", "lang", "n_tokens", "split")

@@ -1098,3 +1098,60 @@ def test_stream_asof_enrich_matches_from_cross_batch_state(spark, tmp_path):
         2: (2000, 2.0),
         3: (None, None),
     }
+
+
+def test_stream_sessionization_matches_batch_lag_sessions(spark, tmp_path):
+    """Native session_window streaming sessions must equal the batch
+    lag-based sessionizer's (user, start, n_events, duration) set on the
+    events table (no exact-gap boundary collisions in the data — the
+    two formulations differ only when a gap equals the threshold
+    exactly)."""
+    from stream4flow_spark.registry import REGISTRY, queries
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.sessions import sessionize_stream
+
+    queries()
+    want = {
+        (r.user_id, r.session_start_ms, r.n_events, r.duration_ms)
+        for r in REGISTRY["rel_event_sessionization"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+
+    import pyspark.sql.functions as F
+
+    # ship ts as unix-ms longs (pandas parquet writes TIMESTAMP(NANOS),
+    # which Spark 4 won't read back as a timestamp column)
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.unix_millis("ts").alias("tms")
+    )
+    src = tmp_path / "ev"
+    src.mkdir()
+    pdf = ev.toPandas().sort_values("tms")
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(src / "f0.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(str(src / "f1.parquet"), index=False)
+    # sentinel far past every real session: the event-time watermark is
+    # global, so one future row lets the final no-data micro-batch close
+    # (and emit) the last real session of every user
+    import pandas as pd
+
+    pd.DataFrame(
+        {"user_id": [-1], "tms": [int(pdf["tms"].max()) + 86_400_000]}
+    ).to_parquet(str(src / "f2.parquet"), index=False)
+    stream = (
+        spark.readStream.schema("user_id long, tms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("user_id", F.timestamp_millis(F.col("tms")).alias("ts"))
+    )
+    sessions = sessionize_stream(
+        stream, ["user_id"], "ts", gap="30 minutes", watermark="0 seconds"
+    )
+    got_df = run_stream_to_table(sessions, output_mode="append")
+    got = {
+        (r.user_id, r.session_start_ms, r.n_events, r.duration_ms)
+        for r in got_df.collect()
+        if r.user_id >= 0  # drop the sentinel's own session
+    }
+    assert got == want
