@@ -190,6 +190,7 @@ def minhash_lsh_dedup(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
+    cache_intermediate: bool = False,
 ) -> DataFrame:
     """MinHash/LSH near-dup pairs, verified by true n-gram Jaccard.
 
@@ -222,6 +223,16 @@ def minhash_lsh_dedup(
         F.col(id_col).alias("id"),
         word_ngrams(F.col(text_col), n).alias("grams"),
     )
+    if cache_intermediate:
+        # referenced by the signature aggregate AND both verify-stage
+        # gram fetches — without materialization Catalyst re-tokenizes
+        # the corpus once per branch. Off by default: an
+        # InMemoryRelation also blocks AQE's runtime re-planning below
+        # it, and at bench scale the lost join conversions cost as much
+        # as the recompute saved (measured: winnow 3.9→8.5 s WITH cache,
+        # simhash 3.0→5.0 s, minhash a wash). At cluster scale,
+        # checkpoint this boundary to a table instead of caching.
+        shingled = shingled.persist()
     signed = minhash_table(shingled, num_perm)
 
     banded = signed.select(
@@ -252,6 +263,11 @@ def minhash_lsh_dedup(
         ["band", "bucket"],
         max_bucket,
     )
+    if cache_intermediate:
+        # the self-join's two branches would otherwise each recompute
+        # the 64-column signature aggregate; the cached relation is
+        # narrow (id, band, bucket)
+        banded = banded.persist()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -358,6 +374,7 @@ def simhash_dedup(
     n: int = 3,
     max_hamming: int = 3,
     max_bucket: int | None = 10_000,
+    cache_intermediate: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -388,6 +405,10 @@ def simhash_dedup(
         ).alias("cv"),
     ).select("id", "sh", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
     chunked = _cap_buckets(chunked, ["chunk", "val"], max_bucket)
+    if cache_intermediate:
+        # self-join branches otherwise each recompute the 64-sum
+        # simhash aggregate; (id, sh, chunk, val) rows are narrow
+        chunked = chunked.persist()
     a = chunked.alias("a")
     b = chunked.alias("b")
     pairs = (
@@ -527,6 +548,7 @@ def winnow_neardup_pairs(
     threshold: float = 0.5,
     max_fps_per_doc: int | None = 64,
     max_bucket: int | None = 500,
+    cache_intermediate: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via winnowing-fingerprint blocking + exact Jaccard.
 
@@ -568,6 +590,10 @@ def winnow_neardup_pairs(
         ["fp"],
         max_bucket,
     )
+    if cache_intermediate:
+        # the collision self-join would otherwise run the Arrow
+        # winnowing kernel over the corpus once per branch
+        keyed = keyed.persist()
     a, b = keyed.alias("a"), keyed.alias("b")
     candidates = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
@@ -578,6 +604,8 @@ def winnow_neardup_pairs(
     shingled = df.select(
         F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
     )
+    if cache_intermediate:
+        shingled = shingled.persist()
     ga = shingled.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = shingled.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     return (
