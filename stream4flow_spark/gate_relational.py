@@ -1098,3 +1098,47 @@ def q_rel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohorted.groupBy("cohort_week", "weeks_since").agg(
         F.countDistinct("user_id").alias("active_users")
     )
+
+
+@register(
+    "rel_json_props",
+    covers="rel:semi-structured S2",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+               CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k,
+               CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_high
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        GROUP BY 1
+        """,
+)
+def q_rel_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` payload with
+    an explicit schema (``from_json`` — typed, vectorized, NULL on
+    malformed input; the relational twin of the flow stream's S2 JSON
+    parse) and aggregate the extracted field per event type. The parse
+    is a scan-side Column expression — no UDF, no second pass — and the
+    aggregate shuffles only (event_type, partial sums)."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    k = F.from_json(F.col("props"), schema)["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+            F.sum((F.col("k") >= 50).cast("long")).alias("n_high"),
+        )
+    )

@@ -1155,3 +1155,52 @@ def test_stream_sessionization_matches_batch_lag_sessions(spark, tmp_path):
         if r.user_id >= 0  # drop the sentinel's own session
     }
     assert got == want
+
+
+def test_stream_asof_enrich_restart_recovers_latest_state(spark, tmp_path):
+    """Kill/restart for the as-of twin: a SECOND query over the same
+    checkpoint must recover the stored latest-right state — a left event
+    arriving after the restart matches the right row ingested BEFORE the
+    restart. Without recovery it would go unmatched."""
+    from stream4flow_spark.streaming.asof import asof_enrich_stream
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "s"
+    src.mkdir()
+    out = str(tmp_path / "enriched")
+    ck = str(tmp_path / "ck_asof")
+    schema = "k string, side string, id long, t long, v double"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(f"{src}/f*")
+        lefts = stream.filter(F.col("side") == "l").select(
+            "k", "id", F.col("t").alias("lt")
+        )
+        rights = stream.filter(F.col("side") == "r").select(
+            "k", F.col("t").alias("rt"), F.col("v").alias("rv")
+        )
+        q = (
+            asof_enrich_stream(lefts, rights, ["k"], "lt", "rt", how="left")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pd.DataFrame(
+        {"k": ["a"], "side": ["r"], "id": [0], "t": [1000], "v": [7.5]}
+    ).to_parquet(str(src / "f1"), index=False)
+    run_once()
+
+    pd.DataFrame(
+        {"k": ["a"], "side": ["l"], "id": [1], "t": [2000], "v": [0.0]}
+    ).to_parquet(str(src / "f2"), index=False)
+    run_once()  # fresh query, same checkpoint = driver restart
+
+    rows = {r.id: (r.rt, r.rv) for r in spark.read.parquet(out).collect()}
+    assert rows == {1: (1000, 7.5)}
