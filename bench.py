@@ -69,6 +69,14 @@ def main() -> int:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
+        # per-query isolation: drop any frames a query persisted so later
+        # queries aren't charged for its cache memory (or helped by it);
+        # localCheckpoint blocks are RDD-level (clearCache misses them),
+        # so sweep the BlockManager's persistent-RDD map too
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist(False)
     total = round(time.perf_counter() - t_all, 3)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -46,7 +46,11 @@ def get_spark(
         # normalize in sources.tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode puts executors IN the driver JVM: the whole bench's
+        # working set lives in this one heap, and 8g showed 2-4× GC
+        # inflation on late queries in an 81-query sequence (the box has
+        # 128 GiB — undersizing the heap is the bottleneck, not memory)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -484,3 +484,23 @@ def test_asof_join_single_exchange_no_join_blowup(spark):
                  "BroadcastNestedLoopJoin"):
         assert node not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_registry_window_priority_names_are_valid():
+    """Every WINDOW_PRIORITY name must exist in the registry (a typo
+    silently reorders the driver's 50-query verification window), with
+    no duplicates, and the pinned window must be exactly the driver's
+    window size so slot arithmetic stays honest."""
+    from stream4flow_spark.registry import REGISTRY, WINDOW_PRIORITY, queries
+
+    queries()
+    assert len(WINDOW_PRIORITY) == len(set(WINDOW_PRIORITY))
+    unknown = [n for n in WINDOW_PRIORITY if n not in REGISTRY]
+    assert not unknown, f"WINDOW_PRIORITY names not in registry: {unknown}"
+    assert len(WINDOW_PRIORITY) == 50
+    # the driver hash-verifies the window: every pinned query should
+    # carry an oracle (rows-only entries would waste a verified slot)
+    no_oracle = [
+        n for n in WINDOW_PRIORITY if REGISTRY[n].oracle is None
+    ]
+    assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
