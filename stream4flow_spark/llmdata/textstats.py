@@ -192,8 +192,9 @@ def winnow_fingerprints(
     base = np.uint64(1_099_511_628_211)  # FNV-prime base, mod 2^64 wraparound
     powers = np.empty(k, dtype=np.uint64)
     powers[-1] = np.uint64(1)
-    for j in range(k - 2, -1, -1):
-        powers[j] = powers[j + 1] * base
+    with np.errstate(over="ignore"):  # wraparound is the hash, not a bug
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * base
 
     def run(batches):
         swv = np.lib.stride_tricks.sliding_window_view
@@ -206,7 +207,8 @@ def winnow_fingerprints(
                 if len(b) < k:
                     fps = []
                 else:
-                    gh = (swv(b, k) * powers).sum(axis=1)  # rolling k-gram hash
+                    with np.errstate(over="ignore"):  # 2^64 wraparound hash
+                        gh = (swv(b, k) * powers).sum(axis=1)
                     mins = (
                         swv(gh, window).min(axis=1)
                         if len(gh) >= window

@@ -49,18 +49,24 @@ def asof_join(
     right_ts: str,
     how: str = "inner",
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Join each left row to the latest right row with
-    ``right.right_ts <= left.left_ts`` per ``on`` key.
+    """Join each left row to the nearest right row per ``on`` key:
+    ``direction='backward'`` (default) picks the LATEST right with
+    ``right_ts <= left_ts``; ``direction='forward'`` the EARLIEST right
+    with ``right_ts >= left_ts`` (the mirror — implemented by negating
+    the numeric sort key, so the timestamp columns must be numeric).
 
     Output columns: every left column, then every non-key right column
     (including ``right_ts``). ``how`` is ``inner`` (drop unmatched left
     rows) or ``left`` (keep them with NULL right columns). ``tolerance``
-    (same unit as the ts columns) additionally requires
-    ``left_ts - right_ts <= tolerance``.
+    (same unit as the ts columns) additionally bounds
+    ``|left_ts - right_ts| <= tolerance`` on the matched side.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     right_payload_cols = [c for c in right.columns if c not in on]
     if right_ts not in right_payload_cols:
@@ -86,9 +92,14 @@ def asof_join(
         payload.alias("__payload"),
     )
 
+    order_key = (
+        F.col("__asof_t")
+        if direction == "backward"
+        else -F.col("__asof_t")
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy("__asof_t", "__side")
+        .orderBy(order_key, "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -98,11 +109,11 @@ def asof_join(
     )
 
     if tolerance is not None:
-        in_range = (
-            F.col("__asof_t") - F.col(f"__match.{right_ts}")
-        ) <= F.lit(tolerance)
+        delta = F.col("__asof_t") - F.col(f"__match.{right_ts}")
+        if direction == "forward":
+            delta = -delta
         matched = matched.withColumn(
-            "__match", F.when(in_range, F.col("__match"))
+            "__match", F.when(delta <= F.lit(tolerance), F.col("__match"))
         )
     if how == "inner":
         matched = matched.filter(F.col("__match").isNotNull())

@@ -504,3 +504,33 @@ def test_registry_window_priority_names_are_valid():
         n for n in WINDOW_PRIORITY if REGISTRY[n].oracle is None
     ]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
+
+
+def test_asof_join_forward_direction(spark):
+    from stream4flow_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 1000), ("k", 3500), ("k", 9000)], "k string, lt long"
+    )
+    right = spark.createDataFrame(
+        [("k", 1000, 1.0), ("k", 2000, 2.0), ("k", 4000, 3.0)],
+        "k string, rt long, v double",
+    )
+    fwd = {
+        (r.lt): (r.rt, r.v)
+        for r in asof_join(
+            left, right, ["k"], "lt", "rt", direction="forward"
+        ).collect()
+    }
+    # earliest right with rt >= lt; equal timestamps match; lt=9000 has
+    # no future right -> dropped (inner)
+    assert fwd == {1000: (1000, 1.0), 3500: (4000, 3.0)}
+
+    tol = {
+        r.lt
+        for r in asof_join(
+            left, right, ["k"], "lt", "rt",
+            direction="forward", tolerance=400,
+        ).collect()
+    }
+    assert tol == {1000}  # 4000-3500=500 > 400 drops the second match
