@@ -1142,3 +1142,93 @@ def q_rel_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("k") >= 50).cast("long")).alias("n_high"),
         )
     )
+
+
+@register(
+    "rel_cube_mktsegment_year",
+    covers="rel:cube rel:grouping-sets",
+    oracle="""
+        SELECT COALESCE(c_mktsegment, '__ALL__') AS segment,
+               COALESCE(CAST(year(o_orderdate) AS VARCHAR), '__ALL__')
+                 AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    AS DECIMAL(38,2)) AS STRING) AS total_value,
+               CAST(GROUPING(c_mktsegment) * 2
+                    + GROUPING(year(o_orderdate)) AS INT) AS grouping_level
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY CUBE(c_mktsegment, year(o_orderdate))
+        """,
+)
+def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (market segment × order year): all four grouping sets in
+    ONE pass via Catalyst's Expand — the cross-classified complement of
+    the ROLLUP hierarchy (rel_rollup_revenue). Money stays DECIMAL."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment",
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    return (
+        joined.cube("c_mktsegment", "yr")
+        .agg(
+            F.count("*").alias("orders"),
+            F.sum("price").cast("decimal(38,2)").cast("string").alias(
+                "total_value"
+            ),
+            (
+                F.grouping("c_mktsegment") * 2 + F.grouping("yr")
+            ).cast("int").alias("grouping_level"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("__ALL__")).alias("segment"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("__ALL__")).alias(
+                "order_year"
+            ),
+            "orders",
+            "total_value",
+            "grouping_level",
+        )
+    )
+
+
+@register(
+    "rel_moving_order_value",
+    covers="rel:rows-frame-window rel:decimal-exact W2",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS DECIMAL(38,2)) AS STRING) AS trailing3_value,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS INT) AS order_seq
+        FROM orders
+        """,
+)
+def q_rel_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3-orders spend per customer — a ROWS frame over the
+    customer partition (the RANGE-frame cousin lives in detection_ddos'
+    baseline). One exchange keyed by customer; the deterministic
+    (orderdate, orderkey) sort makes the frame engine-reproducible; money
+    stays DECIMAL."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(frame)
+        .cast("decimal(38,2)")
+        .cast("string")
+        .alias("trailing3_value"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )
