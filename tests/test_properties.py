@@ -152,3 +152,40 @@ def test_clean_text_matches_python_reference(spark, texts):
     for i, t in enumerate(texts):
         assert got[i] == ref(t), repr(t)
         assert ref(ref(t)) == ref(t)  # idempotency of the scrub
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_brute_force_property(spark, lrows, rrows):
+    """Backward as-of: for every left row the matched right timestamp
+    must equal the Python-computed max{rt : rt <= lt} for the key (right
+    rows deduped per (key, ts) as the operator contract requires)."""
+    from stream4flow_spark.operators.asof_join import asof_join
+
+    rdedup = {}
+    for i, (k, t) in enumerate(rrows):
+        rdedup[(k, t)] = float(i)
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k string, lt long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rdedup.items()], "k string, rt long, v double"
+    )
+    got = {
+        r.lid: r.rt
+        for r in asof_join(left, right, ["k"], "lt", "rt", how="left").collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        cands = [rt for (rk, rt) in rdedup if rk == k and rt <= t]
+        assert got[i] == (max(cands) if cands else None), (k, t, cands)
