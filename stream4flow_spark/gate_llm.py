@@ -911,3 +911,72 @@ def q_llm_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     out = prepare_corpus(corpus, bench, hash_grams=False)
     return out.select("doc_id", "lang", "n_tokens", "split")
+
+
+@register(
+    "llm_knn_label_vote",
+    covers="llm:label-propagation llm:similarity-search A9",
+    oracle="""
+        WITH nb AS (
+            SELECT a.vec_id, b.label
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        ),
+        votes AS (
+            SELECT vec_id, label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM nb GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT vec_id, label, c,
+                   SUM(c) OVER (PARTITION BY vec_id) AS n_neighbors,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY c DESC, label ASC
+                   ) AS rn
+            FROM votes
+        )
+        SELECT vec_id, CAST(label AS INT) AS predicted_label,
+               c AS n_votes, CAST(n_neighbors AS BIGINT) AS n_neighbors
+        FROM ranked WHERE rn = 1
+        """,
+)
+def q_llm_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation for data curation: each vector
+    takes the majority label of its cosine-neighborhood (sim ≥ 0.3,
+    ties to the smallest label). Neighbor pairs come from the tiled
+    block-pair BLAS product (simsearch.cosine_pairs_blocked,
+    round_digits=None so the double arithmetic matches the oracle's;
+    measured min boundary margin at sf0.01 is 7e-5 — far above float
+    noise). The vote itself is ids+labels only: one join against the
+    label table, one grouped count, one rank window."""
+    from pyspark.sql import Window
+
+    from stream4flow_spark.llmdata.simsearch import cosine_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(emb, threshold=0.3, round_digits=None)
+    directed = pairs.select(
+        F.col("id_a").alias("vec_id"), F.col("id_b").alias("nb")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("nb"))
+    )
+    labels = emb.select(F.col("vec_id").alias("nb"), "label")
+    votes = directed.join(labels, "nb").groupBy("vec_id", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w = Window.partitionBy("vec_id")
+    ranked = votes.withColumn(
+        "n_neighbors", F.sum("n_votes").over(w)
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(
+                F.desc("n_votes"), F.asc("label")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "vec_id",
+        F.col("label").cast("int").alias("predicted_label"),
+        "n_votes",
+        "n_neighbors",
+    )
