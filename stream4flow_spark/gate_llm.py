@@ -980,3 +980,90 @@ def q_llm_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_votes",
         "n_neighbors",
     )
+
+
+@register(
+    "llm_pack_sequences",
+    covers="llm:sequence-packing llm:prefix-sum",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                     AS n_tokens,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                       || 's4f-pack'), 1, 4)) AS INT) % 256 AS bucket
+            FROM documents
+        ), o AS (
+            SELECT *, COALESCE(SUM(n_tokens) OVER (
+                ORDER BY bucket, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS token_offset
+            FROM t
+        )
+        SELECT doc_id, n_tokens, CAST(bucket AS INT) AS bucket, token_offset,
+               CAST(FLOOR(token_offset / 2048) AS BIGINT) AS seq_first,
+               CAST(FLOOR((token_offset + n_tokens - 1) / 2048) AS BIGINT)
+                 AS seq_last,
+               CAST(FLOOR((token_offset + n_tokens - 1) / 2048)
+                    - FLOOR(token_offset / 2048) + 1 AS BIGINT) AS n_seqs
+        FROM o
+        """,
+)
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-and-chunk sequence assignment at 2048 tokens/sequence. The
+    oracle is the naive single-window global prefix sum; the Spark plan
+    is the two-level distributed prefix sum (256-way parallel in-bucket
+    cumsums + a 256-row base-offset broadcast) — identical output,
+    scale-safe plan (`llmdata/packing.py`)."""
+    from stream4flow_spark.llmdata.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=2048, n_buckets=256)
+
+
+@register(
+    "llm_mixture_resample",
+    covers="llm:mixture-reweight llm:deterministic-sample",
+    oracle="""
+        WITH c AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_group,
+                   CASE source
+                       WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                       WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                       ELSE CAST(0.2 AS DOUBLE) END AS target_w
+            FROM documents WHERE source IN ('src0', 'src1', 'src2')
+            GROUP BY 1
+        ), t AS (
+            SELECT source,
+                   CAST(LEAST(CAST(65536 AS DOUBLE),
+                        CAST(FLOOR(target_w
+                             * (SELECT MIN(n_group / target_w) FROM c)
+                             / n_group * 65536) AS DOUBLE)) AS INT)
+                     AS keep_thresh
+            FROM c
+        )
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               ANY_VALUE(t.keep_thresh) AS keep_thresh
+        FROM documents d
+        JOIN t ON d.source = t.source
+        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)
+              || 's4f-mix'), 1, 4)) AS INT) < t.keep_thresh
+        GROUP BY 1
+        """,
+)
+def q_llm_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample three sources to a 50/30/20 output mixture with the
+    deterministic md5 coin — per-source keep thresholds derive from a
+    tiny count aggregate (broadcast back; keep-filter is map-side). The
+    result row set is engine-reproducible, unlike `df.sample`
+    (`llmdata/sampling.py mixture_resample`)."""
+    from stream4flow_spark.llmdata.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_resample(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, group_col="source"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.first("keep_thresh").alias("keep_thresh"),
+    )

@@ -1232,3 +1232,260 @@ def q_rel_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing3_value"),
         F.row_number().over(w).cast("int").alias("order_seq"),
     )
+
+
+@register(
+    "tpch_q2ish_min_cost_supplier",
+    covers="rel:window-argmin rel:agg-then-join J1 A9",
+    oracle=f"""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM({_PRICE}) AS DECIMAL(38,2)) AS total_cost
+            FROM lineitem GROUP BY 1, 2
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY total_cost ASC, l_suppkey ASC) AS rk
+            FROM cost
+        )
+        SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name AS nation,
+               CAST(r.total_cost AS STRING) AS total_cost
+        FROM ranked r
+        JOIN part p ON r.l_partkey = p.p_partkey AND p.p_size <= 15
+        JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE r.rk = 1
+        """,
+)
+def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (ref has no relational tier; engine-generality query):
+    per-part argmin supplier. The classic formulation is a correlated
+    MIN subquery re-scanning partsupp; here the aggregate is computed
+    once and the argmin is a rank-1 window over it — one exchange keyed
+    by part for both the aggregate and the window (Catalyst reuses the
+    partitioning), then dimension joins. Cost stays DECIMAL (double sums
+    are shuffle-order-dependent); ties break on suppkey so the kept row
+    is deterministic. `part` is O(sf): no forced broadcast, AQE picks."""
+    from pyspark.sql import Window
+
+    li = _li(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.expr(_PRICE)).cast("decimal(38,2)").alias("total_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("total_cost").asc(), F.col("l_suppkey").asc()
+    )
+    best = cost.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("total_cost").cast("string").alias("total_cost"),
+        )
+    )
+
+
+@register(
+    "tpch_q16ish_supplier_variety",
+    covers="rel:not-in-anti rel:distinct-agg A3 J1",
+    oracle="""
+        SELECT p.p_brand, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#11'
+          AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2
+        """,
+)
+def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: supplier variety per part attribute, excluding a
+    NOT-IN set (reference Q16's complaint suppliers → negative-balance
+    suppliers here, partsupp → lineitem as the bridge). The NOT IN is a
+    left-anti join against the (selective, but O(sf)) supplier subset —
+    no forced broadcast; the distinct count shuffles once on the group
+    key after the anti-join prunes. Dim predicates sit on the part scan
+    so parquet row groups prune."""
+    li = _li(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20ish_excess_suppliers",
+    covers="rel:nested-agg-semi-join rel:semi-join J1",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY 1, 2
+        ), pt AS (
+            SELECT l_partkey, SUM(l_quantity) AS part_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY 1
+        )
+        SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name AS nation
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (
+            SELECT ps.l_suppkey FROM ps
+            JOIN pt ON ps.l_partkey = pt.l_partkey
+            WHERE ps.supp_qty > 0.5 * pt.part_qty)
+        """,
+)
+def q_tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers holding >50% of a part's 1995 volume — a
+    nested aggregate (per part-supplier vs per part) compared within the
+    same grouping, then a semi-join up to supplier. Both aggregates come
+    from ONE filtered scan: the per-part total is a window sum over the
+    per-(part,supplier) aggregate, so lineitem is read and shuffled once
+    (keyed by part) instead of twice. Quantities are integral-valued so
+    double sums are exact. The qualifying-supplier set drives a left-semi
+    join (no row multiplication)."""
+    from pyspark.sql import Window
+
+    li = _li(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    part_tot = Window.partitionBy("l_partkey")
+    excess = (
+        ps.withColumn("part_qty", F.sum("supp_qty").over(part_tot))
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@register(
+    "tpch_q21ish_sole_supplier",
+    covers="rel:self-anti-join rel:exists-not-exists A9",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT l.l_orderkey, l.l_suppkey
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM pairs p1
+        JOIN supplier s ON p1.l_suppkey = s.s_suppkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pairs p2
+            WHERE p2.l_orderkey = p1.l_orderkey
+              AND p2.l_suppkey <> p1.l_suppkey)
+        GROUP BY 1
+        ORDER BY numwait DESC, s.s_name ASC
+        LIMIT 20
+        """,
+)
+def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (no commit/receipt dates in this schema, so 'kept
+    waiting' becomes 'sole supplier on a failed order'): the signature
+    NOT-EXISTS self-correlation survives — distinct (order, supplier)
+    pairs anti-joined against themselves on same-order/other-supplier.
+    The pair set is aggregated BEFORE the self-join (distinct shrinks
+    the anti-join input to one row per order-supplier), both sides hash
+    on l_orderkey so the anti-join co-partitions, and top-20 is
+    TakeOrderedAndProject. Name ties can't occur (s_name is unique)."""
+    li = _li(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    p2 = pairs.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+    )
+    sole = pairs.join(
+        p2,
+        (pairs.l_orderkey == p2.r_orderkey) & (pairs.l_suppkey != p2.r_suppkey),
+        "left_anti",
+    )
+    return (
+        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "rel_setops_customer_years",
+    covers="rel:intersect rel:except rel:set-ops",
+    oracle="""
+        WITH y94 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE year(o_orderdate) = 1994),
+             y95 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE year(o_orderdate) = 1995)
+        SELECT
+            CAST((SELECT COUNT(*) FROM (SELECT * FROM y94 INTERSECT
+                                        SELECT * FROM y95)) AS BIGINT)
+              AS n_both,
+            CAST((SELECT COUNT(*) FROM (SELECT * FROM y94 EXCEPT
+                                        SELECT * FROM y95)) AS BIGINT)
+              AS n_94_only,
+            CAST((SELECT COUNT(*) FROM (SELECT * FROM y95 EXCEPT
+                                        SELECT * FROM y94)) AS BIGINT)
+              AS n_95_only
+        """,
+)
+def q_rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer-activity key sets (1994 vs 1995
+    buyers) — the set operators the join tier doesn't otherwise touch.
+    Spark plans both as hash joins over pre-distinct inputs (the year
+    filter pushes to the scan; each side is distinct before the set op so
+    the join carries keys only). Three 1-row aggregates cross-joined into
+    one row — each input is scanned from the same cached year-filtered
+    projection."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    )
+    y94 = o.filter(F.col("yr") == 1994).select("o_custkey").distinct()
+    y95 = o.filter(F.col("yr") == 1995).select("o_custkey").distinct()
+    n_both = y94.intersect(y95).agg(F.count("*").alias("n_both"))
+    n_94 = y94.subtract(y95).agg(F.count("*").alias("n_94_only"))
+    n_95 = y95.subtract(y94).agg(F.count("*").alias("n_95_only"))
+    return n_both.crossJoin(n_94).crossJoin(n_95)

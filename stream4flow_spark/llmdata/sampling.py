@@ -15,7 +15,7 @@ map-side Column math on the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 65536
@@ -114,4 +114,58 @@ def cap_per_group(
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= cap)
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "s4f-mix",
+) -> DataFrame:
+    """Deterministically downsample groups to a target mixture.
+
+    ``targets`` maps group → desired share of the OUTPUT corpus (need
+    not sum to 1; groups not listed are dropped). The largest corpus
+    achievable without upsampling keeps every row of the scarcest group
+    relative to its target (scale K = min over groups of count/target);
+    every other group is thinned to ``target × K`` rows via the same
+    md5-bucket coin as `hash_split` — so the result is reproducible on
+    any engine/partitioning and the driver's DuckDB oracle can verify
+    the exact surviving row set, which `df.sample()` can never offer.
+
+    Plan shape at 100 TB: one tiny per-group count aggregate (≤ groups
+    rows) carries the threshold math; it broadcast-joins back onto the
+    scan and the keep-filter is map-side Column arithmetic. No O(data)
+    shuffle beyond the count's partial aggregate.
+    """
+    tmap = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    in_scope = df.filter(F.col(group_col).isin(*targets))
+    counts = (
+        in_scope.groupBy(group_col)
+        .agg(F.count("*").alias("n_group"))
+        .withColumn("target_w", tmap[F.col(group_col)])
+    )
+    whole = Window.partitionBy()
+    thresh = (
+        counts.withColumn(
+            "scale_k", F.min(F.col("n_group") / F.col("target_w")).over(whole)
+        )
+        .withColumn(
+            "keep_thresh",
+            F.least(
+                F.lit(float(_BUCKETS)),
+                F.floor(
+                    F.col("target_w") * F.col("scale_k") / F.col("n_group")
+                    * _BUCKETS
+                ).cast("double"),
+            ).cast("int"),
+        )
+        .select(group_col, "keep_thresh")
+    )
+    return in_scope.join(F.broadcast(thresh), group_col).filter(
+        hash_bucket(F.col(key_col), salt) < F.col("keep_thresh")
     )

@@ -525,3 +525,77 @@ def test_cap_per_group_two_stage_matches_single_window(spark):
         for r in cap_per_group(df, "source", 7, salt_buckets=16).collect()
     }
     assert salted == single  # bucket pre-cap must not change the result
+
+
+def test_pack_sequences_is_exact_prefix_sum(spark):
+    """Two-level distributed offsets must equal the naive global cumsum
+    over the (bucket, doc_id) order, partition the token stream without
+    gaps, and span the right sequence ids."""
+    from stream4flow_spark.llmdata.packing import pack_sequences
+
+    texts = [f"word {'tok ' * (i % 7)}end" for i in range(50)]
+    df = _docs(spark, texts).repartition(7)
+    out = (
+        pack_sequences(df, budget=16, n_buckets=8)
+        .orderBy("bucket", "doc_id")
+        .collect()
+    )
+    run = 0
+    for r in out:
+        assert r.token_offset == run, (r.doc_id, r.token_offset, run)
+        run += r.n_tokens
+        assert r.seq_first == r.token_offset // 16
+        assert r.seq_last == (r.token_offset + r.n_tokens - 1) // 16
+        assert r.n_seqs == r.seq_last - r.seq_first + 1
+    # every sequence id up to the last is populated (chunking leaves no
+    # empty sequences)
+    covered = set()
+    for r in out:
+        covered.update(range(r.seq_first, r.seq_last + 1))
+    assert covered == set(range(max(covered) + 1))
+
+
+def test_pack_sequences_offsets_independent_of_partitioning(spark):
+    from stream4flow_spark.llmdata.packing import pack_sequences
+
+    texts = [f"{'a ' * (i % 5)}b" for i in range(40)]
+    one = {
+        r.doc_id: r.token_offset
+        for r in pack_sequences(_docs(spark, texts).coalesce(1), 32).collect()
+    }
+    many = {
+        r.doc_id: r.token_offset
+        for r in pack_sequences(
+            _docs(spark, texts).repartition(13), 32
+        ).collect()
+    }
+    assert one == many
+
+
+def test_mixture_resample_hits_target_shares(spark):
+    """With ample data per group the kept counts must track the target
+    mixture; the scarcest-relative group keeps ~all its rows; untargeted
+    groups are dropped; assignment is deterministic."""
+    from stream4flow_spark.llmdata.sampling import mixture_resample
+
+    rows = []
+    sizes = {"big": 3000, "mid": 1000, "rare": 200, "skip": 500}
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {"big": 0.5, "mid": 0.3, "rare": 0.2}
+    kept = mixture_resample(df, targets).collect()
+    by_src = {}
+    for r in kept:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert "skip" not in by_src
+    # rare is the binding group: 200/0.2 = 1000 = K → keeps ~all rows
+    assert by_src["rare"] >= 190
+    total = sum(by_src.values())
+    for src, w in targets.items():
+        assert abs(by_src[src] / total - w) < 0.05, (src, by_src, total)
+    again = mixture_resample(df, targets).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in kept}
