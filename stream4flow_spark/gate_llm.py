@@ -994,10 +994,10 @@ def q_llm_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
                        || 's4f-pack'), 1, 4)) AS INT) % 256 AS bucket
             FROM documents
         ), o AS (
-            SELECT *, COALESCE(SUM(n_tokens) OVER (
+            SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
                 ORDER BY bucket, doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                AS token_offset
+                AS BIGINT) AS token_offset
             FROM t
         )
         SELECT doc_id, n_tokens, CAST(bucket AS INT) AS bucket, token_offset,
@@ -1067,3 +1067,173 @@ def q_llm_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.first("keep_thresh").alias("keep_thresh"),
     )
+
+
+@register(
+    "llm_embedding_stats",
+    covers="llm:vector-stats llm:higher-order-array",
+    oracle="""
+        WITH norms AS (
+            SELECT label, vec_id,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     AS l2_norm,
+                   len(embedding) AS dims
+            FROM embeddings
+        ), centroid AS (
+            SELECT label, (u.u).pos AS pos, AVG((u.u).v) AS c
+            FROM (SELECT label, unnest(list_transform(embedding,
+                      (x, i) -> {'pos': i, 'v': CAST(x AS DOUBLE)})) AS u
+                  FROM embeddings) u
+            GROUP BY 1, 2
+        ), cnorm AS (
+            SELECT label, sqrt(SUM(c * c)) AS centroid_norm
+            FROM centroid GROUP BY 1
+        )
+        SELECT n.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MAX(n.dims) AS INT) AS dims,
+               ROUND(AVG(n.l2_norm), 6) AS mean_norm,
+               ROUND(ANY_VALUE(cn.centroid_norm), 6) AS centroid_norm
+        FROM norms n JOIN cnorm cn ON n.label = cn.label
+        GROUP BY 1
+        """,
+)
+def q_llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding diagnostics (count, dims, mean L2 norm,
+    centroid norm) with ZERO Python in the plan: per-row norms are
+    higher-order array functions (`aggregate`/`transform`, JVM codegen),
+    and the cross-row centroid is posexplode → per-(label, dim) average.
+    The explode looks like an O(N×d) shuffle but partial aggregation
+    combines map-side, so the wire carries tasks × labels × dims rows —
+    the same bounded-vocabulary trick as corpus_term_stats. Float math
+    is cast to double pre-sum and rounded at 1e-6 on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label",
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "embedding", lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("l2_norm"),
+        F.size("embedding").alias("dims"),
+    )
+    centroid = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("centroid_norm"))
+    )
+    return (
+        norms.join(centroid, "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.max("dims").cast("int").alias("dims"),
+            F.round(F.avg("l2_norm"), 6).alias("mean_norm"),
+            F.round(F.first("centroid_norm"), 6).alias("centroid_norm"),
+        )
+    )
+
+
+@register(
+    "llm_length_floor",
+    covers="llm:dynamic-selection llm:bounded-percentile",
+    oracle="""
+        WITH bounds AS (
+            SELECT lang,
+                   ROUND(quantile_cont(n_chars, 0.10), 4) AS p10,
+                   ROUND(quantile_cont(n_chars, 0.90), 4) AS p90
+            FROM documents GROUP BY 1
+        )
+        SELECT d.lang, ANY_VALUE(b.p10) AS p10, ANY_VALUE(b.p90) AS p90,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM documents d
+        JOIN bounds b ON d.lang = b.lang
+        WHERE d.n_chars >= b.p10 AND d.n_chars <= b.p90
+        GROUP BY 1
+        """,
+)
+def q_llm_length_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic per-language length selection: keep the p10–p90 band of
+    document lengths, bounds computed per language. The percentile comes
+    from `operators/percentiles.grouped_exact_percentiles` — exact
+    interpolated quantiles with state bounded by DISTINCT lengths, not
+    rows (the naive `percentile()` buffers the whole group) — and the
+    tiny per-lang bounds table broadcast-joins back onto the scan, so
+    selection is map-side."""
+    from stream4flow_spark.operators.percentiles import (
+        grouped_exact_percentiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = grouped_exact_percentiles(
+        docs, ["lang"], "n_chars", {"p10": 0.10, "p90": 0.90}
+    ).select(
+        "lang",
+        F.round("p10", 4).alias("p10"),
+        F.round("p90", 4).alias("p90"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .filter(
+            (F.col("n_chars") >= F.col("p10"))
+            & (F.col("n_chars") <= F.col("p90"))
+        )
+        .groupBy("lang")
+        .agg(
+            F.first("p10").alias("p10"),
+            F.first("p90").alias("p90"),
+            F.count("*").alias("n_kept"),
+        )
+        .select("lang", "p10", "p90", "n_kept")
+    )
+
+
+@register(
+    "llm_segment_dedup",
+    covers="llm:segment-dedup llm:boilerplate-removal",
+    oracle="""
+        WITH segs AS (
+            SELECT doc_id, (u.u).pos AS pos, (u.u).seg AS seg,
+                   doc_id * 1000000 + (u.u).pos AS pk
+            FROM (SELECT doc_id,
+                         unnest(list_transform(string_split(text, ' '),
+                             (x, i) -> {'pos': i - 1, 'seg': x})) AS u
+                  FROM documents) u
+        ), first AS (
+            SELECT seg, CAST(MIN(pk) AS BIGINT) AS first_pk
+            FROM segs GROUP BY 1
+        ), kept AS (
+            SELECT s.* FROM segs s
+            JOIN first f ON s.seg = f.seg AND s.pk = f.first_pk
+        ), rebuilt AS (
+            SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY 1
+        ), totals AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments
+            FROM segs GROUP BY 1
+        )
+        SELECT t.doc_id, COALESCE(r.text, '') AS text, t.n_segments,
+               COALESCE(r.n_kept, 0) AS n_kept
+        FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        """,
+)
+def q_llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-occurrence segment dedup
+    (`llmdata/dedup.py segment_dedup`). The production separator is the
+    newline (boilerplate-line removal); this corpus is single-line, so
+    the gate runs the same operator at its degenerate extreme — token
+    segments — which exercises the identical plan (explode → min-key
+    agg → semi-join → ordered reassembly) with a clean SQL oracle.
+    Newline semantics are property-tested on multi-line fixtures."""
+    from stream4flow_spark.llmdata.dedup import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, sep=" ")

@@ -1475,17 +1475,71 @@ def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT over customer-activity key sets (1994 vs 1995
     buyers) — the set operators the join tier doesn't otherwise touch.
-    Spark plans both as hash joins over pre-distinct inputs (the year
-    filter pushes to the scan; each side is distinct before the set op so
-    the join carries keys only). Three 1-row aggregates cross-joined into
-    one row — each input is scanned from the same cached year-filtered
-    projection."""
+    Spark plans both as hash joins over pre-distinct inputs. The naive
+    formulation (filter-then-distinct per year, per branch) scans the
+    fact table SIX times — one per set-op input; instead ONE grouped
+    pass computes per-customer year flags, and all six branch inputs are
+    filters over that single aggregate, so the orders scan + custkey
+    exchange deduplicate via ReusedExchange. Three 1-row aggregates
+    cross-join (broadcast) into one row."""
     o = load_table(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("yr"), "o_custkey"
+    ).filter(F.col("yr").isin(1994, 1995))
+    keys = o.groupBy("o_custkey").agg(
+        F.max(F.col("yr") == 1994).alias("h94"),
+        F.max(F.col("yr") == 1995).alias("h95"),
     )
-    y94 = o.filter(F.col("yr") == 1994).select("o_custkey").distinct()
-    y95 = o.filter(F.col("yr") == 1995).select("o_custkey").distinct()
+    y94 = keys.filter("h94").select("o_custkey")
+    y95 = keys.filter("h95").select("o_custkey")
     n_both = y94.intersect(y95).agg(F.count("*").alias("n_both"))
     n_94 = y94.subtract(y95).agg(F.count("*").alias("n_94_only"))
     n_95 = y95.subtract(y94).agg(F.count("*").alias("n_95_only"))
     return n_both.crossJoin(n_94).crossJoin(n_95)
+
+
+@register(
+    "rel_spend_deciles",
+    covers="rel:ntile rel:percent-rank rel:distribution-windows",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                        AS DECIMAL(38,2)) AS total_spend
+            FROM orders GROUP BY 1
+        )
+        SELECT o_custkey,
+               CAST(total_spend AS STRING) AS total_spend,
+               CAST(NTILE(10) OVER w AS INT) AS decile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               CAST(RANK() OVER w AS BIGINT) AS rnk
+        FROM spend
+        WINDOW w AS (ORDER BY total_spend DESC, o_custkey ASC)
+        """,
+)
+def q_rel_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (NTILE / PERCENT_RANK / CUME_DIST /
+    RANK) over per-customer lifetime spend. The unpartitioned window is
+    inherent to a global ranking — but it runs over the per-customer
+    AGGREGATE (|customers| rows, not |orders|), which is the part that
+    matters at scale; a truly giant customer dimension would switch to
+    the range-partitioned global-rank composition in `operators/topk.py`.
+    Ties in spend are broken by custkey so every engine emits identical
+    rank columns."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
+    return spend.select(
+        "o_custkey",
+        F.col("total_spend").cast("string").alias("total_spend"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+    )

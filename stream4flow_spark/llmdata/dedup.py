@@ -621,3 +621,62 @@ def winnow_neardup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "shared_fps", "jaccard")
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    sep: str = "\n",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide segment-level dedup (RefinedWeb-style line/paragraph
+    boilerplate removal): split every document on ``sep``, keep only the
+    FIRST occurrence of each distinct segment across the whole corpus
+    (lowest (doc, position)), and rebuild documents from their surviving
+    segments in original order.
+
+    Scale shape: the first-occurrence winner per segment is a
+    `min(composite key)` aggregate keyed by the segment — map-side
+    partial mins bound the state at one row per distinct segment, so a
+    boilerplate line repeated a billion times costs its partial-agg
+    merges, never a window sort over the repeats. Keepers then left-semi
+    join back (ids + positions only — segment text rides the semi-join
+    key hash, not the payload) and documents reassemble with one
+    doc-keyed exchange.
+
+    Returns (key_col, text: rebuilt text, n_segments, n_kept).
+    """
+    # composite first-occurrence key; assumes < 1M segments per doc
+    segs = docs.select(
+        key_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "seg"),
+    ).withColumn("pk", F.col(key_col) * 1_000_000 + F.col("pos"))
+    # the winner pk per segment is globally unique, so the semi-join can
+    # key on pk alone (joining seg too would be ambiguous self-lineage)
+    first = segs.groupBy("seg").agg(F.min("pk").alias("first_pk"))
+    kept = segs.join(
+        first.select(F.col("first_pk").alias("pk")), "pk", "left_semi"
+    )
+    n_total = segs.groupBy(key_col).agg(F.count("*").alias("n_segments"))
+    rebuilt = (
+        kept.groupBy(key_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s.seg,
+                ),
+                sep,
+            ).alias("text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        n_total.join(rebuilt, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -35,3 +35,14 @@ def assert_matches_oracle(spark_df, duck_con, oracle: str, float_tol: float = 1e
                 )
             else:
                 assert gv == wv, f"{col}[{i}]: spark={gv!r} oracle={wv!r}"
+    # The driver's actual gate hashes STRINGIFIED values — a column that
+    # is numerically equal but dtype-divergent (DuckDB SUM(BIGINT) →
+    # INT128 → pandas float64 vs Spark int64: "123.0" vs "123") passes
+    # the tolerant loop above yet fails the driver. Mirror the strict
+    # compare too so that trap is caught at sf0.001 in CI.
+    g_str = sorted(tuple(str(v) for v in r) for r in got.itertuples(index=False))
+    w_str = sorted(tuple(str(v) for v in r) for r in want.itertuples(index=False))
+    assert g_str == w_str, (
+        "driver-style stringified compare mismatch (dtype divergence? "
+        "check int-vs-float column dtypes on both sides)"
+    )

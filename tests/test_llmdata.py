@@ -599,3 +599,37 @@ def test_mixture_resample_hits_target_shares(spark):
         assert abs(by_src[src] / total - w) < 0.05, (src, by_src, total)
     again = mixture_resample(df, targets).collect()
     assert {r.doc_id for r in again} == {r.doc_id for r in kept}
+
+
+def test_segment_dedup_keeps_first_occurrence_lines(spark):
+    """Line-level boilerplate removal: the first (doc, position)
+    occurrence of a line survives, every later copy is dropped, docs
+    rebuild in original order, and a fully-deduped doc becomes empty."""
+    from stream4flow_spark.llmdata.dedup import segment_dedup
+
+    docs = _docs(
+        spark,
+        [
+            "cookie banner\nreal content one\nfooter",
+            "cookie banner\nreal content two\nfooter",
+            "cookie banner\nfooter",
+        ],
+    )
+    out = {r.doc_id: r for r in segment_dedup(docs).collect()}
+    assert out[0].text == "cookie banner\nreal content one\nfooter"
+    assert (out[0].n_segments, out[0].n_kept) == (3, 3)
+    assert out[1].text == "real content two"
+    assert (out[1].n_segments, out[1].n_kept) == (3, 1)
+    assert out[2].text == ""
+    assert (out[2].n_segments, out[2].n_kept) == (2, 0)
+
+
+def test_segment_dedup_within_doc_repeats(spark):
+    """A line repeated INSIDE one document also collapses to its first
+    position (pk ordering is (doc, pos), not doc-distinct)."""
+    from stream4flow_spark.llmdata.dedup import segment_dedup
+
+    docs = _docs(spark, ["a\nb\na\nc\nb"])
+    out = segment_dedup(docs).collect()[0]
+    assert out.text == "a\nb\nc"
+    assert (out.n_segments, out.n_kept) == (5, 3)
