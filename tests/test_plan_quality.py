@@ -27,6 +27,9 @@ _NESTED_LOOP_OK = {
     # global revenue total broadcast into the scoring projection
     "llm_bm25_topk",
     "tpch_q11ish_important_parts",
+    # three 1-row count aggregates cross-joined into the single output
+    # row — each side of every join is exactly one row
+    "rel_setops_customer_years",
 }
 
 
@@ -100,6 +103,10 @@ def test_no_broadcast_hint_on_scale_growing_tables():
         # r5: nation dim; 1-row scalar aggregates (corpus constants /
         # max-revenue / global-total) — constant size at every sf
         "nat", "consts", "top", "total",
+        # r5 later additions, all bounded by construction: packing base
+        # offsets (n_buckets rows), mixture thresholds (one row per
+        # targeted group), percentile bounds (one row per language)
+        "base", "thresh", "bounds",
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []
@@ -197,3 +204,47 @@ def test_decontaminate_joins_on_grams_without_text_shuffle(spark):
 
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "text#" not in m.group(0), m.group(0)
+
+
+def test_pack_sequences_bounds_the_serial_window(spark):
+    """The distributed prefix sum must keep the only unpartitioned
+    (single-task) window on the n_buckets-row totals table: exactly one
+    SinglePartition exchange, plus a hash exchange on the bucket for the
+    parallel in-bucket cumsums. A refactor that collapses the offsets to
+    one global window would show a second data-sized single-partition
+    sort."""
+    plan = _plan(spark, "llm_pack_sequences")
+    assert plan.count("SinglePartition") == 1, plan[:2000]
+    assert "hashpartitioning(bucket" in plan
+
+
+def test_segment_dedup_has_no_window_and_semi_joins_on_pk(spark):
+    """First-occurrence selection must be the min-key AGGREGATE (state
+    bounded by distinct segments), never a rank window over segment
+    occurrences (a billion-copy boilerplate line would sort in one
+    task); survivors return via a semi-join."""
+    plan = _plan(spark, "llm_segment_dedup")
+    assert "Window" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_mixture_resample_broadcasts_thresholds(spark):
+    """The per-group threshold table (≤ targeted groups rows) must be
+    the broadcast side; the corpus scan must not shuffle for the keep
+    filter."""
+    plan = _plan(spark, "llm_mixture_resample")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q16ish_anti_join_before_distinct_count(spark):
+    plan = _plan(spark, "tpch_q16ish_supplier_variety")
+    assert "LeftAnti" in plan
+
+
+def test_q20ish_single_lineitem_scan(spark):
+    """The nested aggregate (per part-supplier vs per part) must come
+    from ONE scan of lineitem — the per-part total is a window over the
+    per-(part,supplier) aggregate, not a second scan+join."""
+    plan = _plan(spark, "tpch_q20ish_excess_suppliers")
+    # formatted mode prints each scan node twice (tree + details)
+    assert plan.count("Scan parquet") // 2 <= 3, plan[:1500]
