@@ -48,46 +48,48 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 # listed keep registration order after the pinned prefix, so nothing is
 # ever dropped from ``queries()`` itself.
 WINDOW_PRIORITY: list[str] = [
-    # flow-surface apps (1-17) — headline reference apps; detection_ddos
-    # switches to the skew-safe two-stage default this round and needs a
-    # fresh green row
-    "protocols_statistics", "host_stats", "top_n_host_stats",
-    "dns_statistics", "tls_classification", "host_daily_profile",
-    "ssh_auth_simple", "ports_scan", "detection_ddos", "reflect_ddos",
-    "dns_open_resolvers", "dns_external_resolvers", "pattern_finder",
-    "domain_entropy", "iso_timestamps", "alert_suppression",
-    "application_template",
-    # LLM tier rotated back in (18-29): their only green rows are r02,
-    # recorded under the pre-TIMESTAMP_NTZ PySpark — re-verify under 4.1.2
+    # Never-driver-verified oracle queries come first (the window's own
+    # policy). 1-12: the round-5 LLM-pipeline additions — lexical/TF-IDF
+    # stats, BM25, decontamination, repetition signals, source caps,
+    # end-to-end corpus prep, kNN label vote, sequence packing, mixture
+    # resampling, length-band selection, embedding diagnostics, segment
+    # dedup.
+    "llm_tfidf_terms", "llm_bm25_topk", "llm_decontaminate",
+    "llm_repetition", "llm_source_cap", "llm_prepare_corpus",
+    "llm_knn_label_vote", "llm_pack_sequences", "llm_mixture_resample",
+    "llm_length_floor", "llm_embedding_stats", "llm_segment_dedup",
+    # 13-28: the round-5 relational additions — as-of join, the q2/q9/
+    # q11/q15/q16/q17/q20/q21 TPC-H shapes, funnel/retention, JSON
+    # extraction, CUBE, ROWS-frame window, set ops, distribution windows.
+    "rel_asof_join", "tpch_q2ish_min_cost_supplier",
+    "tpch_q9ish_nation_year_profit", "tpch_q11ish_important_parts",
+    "tpch_q15ish_top_supplier", "tpch_q16ish_supplier_variety",
+    "tpch_q17ish_small_quantity_revenue", "tpch_q20ish_excess_suppliers",
+    "tpch_q21ish_sole_supplier", "rel_funnel_conversion",
+    "rel_retention_cohorts", "rel_json_props",
+    "rel_cube_mktsegment_year", "rel_moving_order_value",
+    "rel_setops_customer_years", "rel_spend_deciles",
+    # 29-30: semantics changed in round 5 — the two-stage skew-safe DDoS
+    # default and the bounded-state exact percentile plan need rows that
+    # match the CURRENT implementation.
+    "detection_ddos", "llm_length_stats",
+    # 31-42: LLM tier whose only green rows are r02, recorded under the
+    # pre-TIMESTAMP_NTZ PySpark — re-verify under 4.1.2 (r4 verdict
+    # item 2).
     "llm_text_stats", "llm_language_id", "llm_fingerprints",
     "llm_exact_dedup", "llm_ngram_jaccard", "llm_embedding_neardup",
     "llm_multimodal_decode", "llm_multimodal_resize",
     "llm_multimodal_frames", "llm_multimodal_features",
     "llm_hash_split", "llm_stratified_sample",
-    # LLM tier r04 additions (30-36): single green round, keep for a
-    # second; llm_length_stats gets the bounded-state percentile plan
-    # this round
-    "llm_dedup_corpus", "llm_text_clean", "llm_corpus_select",
-    "llm_length_stats", "llm_minhash_lsh_dedup", "llm_dedup_components",
-    "llm_ann_cosine_topk",
-    # relational tier (37-47): the 11 first verified in r04 keep their
-    # slots for a second green round; q1/q3/q5ish/q6/semi-anti/pivot are
-    # triple-green (r01+r02+r04) and rotate out
+    # 43-50: single-green (r04-only) relational queries get a second
+    # round; q18ish/q19ish/q22ish (also r04-green) rotate next round.
+    # The 13 apps + readside + q1/q3/q5ish/q6 are multi-round green
+    # (r01+r02+r04) and rotate out with their recorded signal; the
+    # rows-only five stay property-tested per the r04 verdict.
     "rel_event_sessionization", "rel_rollup_revenue",
     "tpch_q4ish_priority_check", "tpch_q13ish_order_distribution",
     "tpch_q14ish_promo_share", "tpch_q7ish_nation_volume",
     "tpch_q8ish_market_share", "tpch_q10ish_returned_revenue",
-    "tpch_q18ish_large_orders", "tpch_q19ish_bracket_revenue",
-    "tpch_q22ish_dormant_customers",
-    # 48-50: round-5 additions — the as-of join operator, benchmark
-    # decontamination, and BM25 retrieval get their first driver rows.
-    # The other six round-5 queries (llm_tfidf_terms, llm_repetition,
-    # llm_source_cap, tpch_q17ish/q15ish/q11ish) follow in registration
-    # order after the window and rotate in next round; all nine are
-    # oracle-parity-tested locally (tests/test_gate_parity.py). Unlisted
-    # triple-green apps/readside/tpch rotate out; the rows-only five
-    # stay property-tested per the r04 verdict.
-    "rel_asof_join", "llm_decontaminate", "llm_bm25_topk",
 ]
 
 
