@@ -1237,3 +1237,73 @@ def q_llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return segment_dedup(docs, sep=" ")
+
+
+@register(
+    "llm_pii_stats",
+    covers="llm:pii-audit llm:text-scrub",
+    oracle="""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))
+                   AS BIGINT) AS n_emails,
+               CAST(SUM(len(regexp_extract_all(text, 'https?://[^\\s]+')))
+                   AS BIGINT) AS n_urls,
+               CAST(SUM(len(regexp_extract_all(text, '[0-9]{5,}')))
+                   AS BIGINT) AS n_digit_runs,
+               CAST(SUM(CASE WHEN
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                   + len(regexp_extract_all(text, '[0-9]{5,}')) > 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+        FROM documents GROUP BY 1
+        """,
+)
+def q_llm_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure audit with the SAME patterns `clean_text`
+    redacts (`llmdata/textstats.py pii_stats`) — counts fold map-side,
+    one row per source crosses the wire."""
+    from stream4flow_spark.llmdata.textstats import pii_stats
+
+    return pii_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_incremental_dedup",
+    covers="llm:incremental-dedup llm:snapshot-merge",
+    oracle=f"""
+        WITH b AS (
+            SELECT *, {_BUCKET_SQL.format(salt='s4f-split')} AS bk
+            FROM documents
+        ), corpus AS (
+            SELECT * FROM b WHERE bk < 52428
+        ), delta AS (
+            SELECT * FROM b WHERE bk >= 52428
+        ), keeper AS (
+            SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+            FROM delta GROUP BY 1
+        ), fresh AS (
+            SELECT k.doc_id FROM keeper k
+            LEFT JOIN (SELECT DISTINCT md5(text) AS fp FROM corpus) c
+              ON k.fp = c.fp
+            WHERE c.fp IS NULL
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM delta d JOIN fresh f ON d.doc_id = f.doc_id
+        """,
+)
+def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup (`llmdata/dedup.py incremental_dedup`):
+    the corpus/delta split here is the deterministic 80/20 md5 bucket, so
+    the oracle can replay it; in production the corpus side is the
+    maintained digest index. Only digests shuffle; survivors return by a
+    key semi-join."""
+    from stream4flow_spark.llmdata.dedup import incremental_dedup
+    from stream4flow_spark.llmdata.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    bk = hash_bucket(F.col("doc_id"), "s4f-split")
+    corpus = docs.filter(bk < 52428)
+    delta = docs.filter(bk >= 52428)
+    return incremental_dedup(corpus, delta).select("doc_id", "lang", "source")

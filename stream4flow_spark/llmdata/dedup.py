@@ -680,3 +680,33 @@ def segment_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an incoming snapshot against an existing corpus — the
+    incremental form of `exact_dedup` a continuously-crawled corpus needs
+    (re-deduping 100 TB from scratch per snapshot is the naive
+    alternative).
+
+    Two stages, both digest-only on the wire:
+    1. within-delta: keep the lowest-key row per md5(text) (partial-agg
+       min, state = one row per distinct new digest);
+    2. against-corpus: anti-join the surviving digests against the
+       corpus' distinct digest set. In production the corpus side is a
+       maintained fingerprint index (digests only) rather than a re-scan;
+       either way text never shuffles — the delta's survivors return via
+       a key semi-join.
+
+    Returns the delta rows that genuinely enter the corpus.
+    """
+    fp = F.md5(F.col(text_col))
+    corpus_fps = corpus.select(fp.alias("fp")).distinct()
+    d_fp = delta.select(key_col, fp.alias("fp"))
+    keeper = d_fp.groupBy("fp").agg(F.min(key_col).alias(key_col))
+    fresh = keeper.join(corpus_fps, "fp", "left_anti").select(key_col)
+    return delta.join(fresh, key_col, "left_semi")

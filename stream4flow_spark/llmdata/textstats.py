@@ -294,3 +294,37 @@ def repetition_features(
         zero_safe(total - folded["distinct"]).alias("dup_bigram_frac"),
         zero_safe(folded["maxrun"]).alias("top_bigram_frac"),
     )
+
+
+def pii_stats(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group PII exposure audit: how many email / URL / long-digit-run
+    matches each group's documents contain, and how many documents carry
+    at least one — the report a privacy review wants BEFORE `clean_text`
+    redacts (same patterns, so the audit and the scrub can't drift).
+
+    Map-side `regexp_extract_all` counts fold into one grouped sum —
+    shuffle carries one row per group, text never leaves the scan."""
+    email, url, num = (p for p, _ in REDACTIONS)
+    n_email = F.size(F.regexp_extract_all(F.col(text_col), F.lit(email), 0))
+    n_url = F.size(F.regexp_extract_all(F.col(text_col), F.lit(url), 0))
+    n_num = F.size(F.regexp_extract_all(F.col(text_col), F.lit(num), 0))
+    return (
+        df.select(
+            group_col,
+            n_email.alias("_e"),
+            n_url.alias("_u"),
+            n_num.alias("_n"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_e").alias("n_emails"),
+            F.sum("_u").alias("n_urls"),
+            F.sum("_n").alias("n_digit_runs"),
+            F.sum(
+                ((F.col("_e") + F.col("_u") + F.col("_n")) > 0).cast("long")
+            ).alias("n_docs_with_pii"),
+        )
+    )

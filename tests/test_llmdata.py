@@ -633,3 +633,37 @@ def test_segment_dedup_within_doc_repeats(spark):
     out = segment_dedup(docs).collect()[0]
     assert out.text == "a\nb\nc"
     assert (out.n_segments, out.n_kept) == (5, 3)
+
+
+def test_incremental_dedup_planted_cases(spark):
+    """Delta rows collapse within the delta (min key wins) AND against
+    the corpus (already-seen text never re-enters)."""
+    from stream4flow_spark.llmdata.dedup import incremental_dedup
+
+    corpus = _docs(spark, [BASE, FAR])
+    delta = spark.createDataFrame(
+        [(10, BASE), (11, NEAR), (12, NEAR), (13, "brand new text here")],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in incremental_dedup(corpus, delta).collect())
+    # 10 drops (exact dup of corpus BASE); 12 drops (within-delta dup of
+    # 11); 11 and 13 survive
+    assert got == [11, 13]
+
+
+def test_pii_stats_counts_planted_pii(spark):
+    from stream4flow_spark.llmdata.textstats import pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "s1", "mail me at a.b@example.com or c@d.org today"),
+            (1, "s1", "see https://example.com/x and id 1234567"),
+            (2, "s1", "clean text"),
+            (3, "s2", "short 1234 is not a long digit run"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in pii_stats(df).collect()}
+    assert (out["s1"].n_emails, out["s1"].n_urls, out["s1"].n_digit_runs) == (2, 1, 1)
+    assert out["s1"].n_docs_with_pii == 2
+    assert (out["s2"].n_docs, out["s2"].n_docs_with_pii) == (1, 0)
