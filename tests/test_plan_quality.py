@@ -248,3 +248,22 @@ def test_q20ish_single_lineitem_scan(spark):
     plan = _plan(spark, "tpch_q20ish_excess_suppliers")
     # formatted mode prints each scan node twice (tree + details)
     assert plan.count("Scan parquet") // 2 <= 3, plan[:1500]
+
+
+def test_embedding_stats_partial_aggs_the_explode(spark):
+    """The centroid's posexplode looks like an O(N×d) shuffle, but the
+    per-(label, dim) average must partially aggregate map-side so the
+    wire carries tasks × labels × dims rows. A plan where the Generate
+    feeds the exchange directly re-shuffles every exploded element."""
+    df = REGISTRY["llm_embedding_stats"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    gen = plan.index("Generate posexplode")
+    # the partial aggregate on (label, pos) sits between the explode and
+    # its exchange — i.e. it appears BEFORE the explode in the printed
+    # top-down tree, and no Exchange line sits between them
+    upstream = plan[:gen].rsplit("Exchange", 1)
+    assert "partial_avg" in upstream[-1], plan[:gen]

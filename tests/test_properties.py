@@ -189,3 +189,77 @@ def test_asof_join_matches_brute_force_property(spark, lrows, rrows):
     for i, (k, t) in enumerate(lrows):
         cands = [rt for (rk, rt) in rdedup if rk == k and rt <= t]
         assert got[i] == (max(cands) if cands else None), (k, t, cands)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=60),
+    st.integers(4, 64),
+    st.integers(1, 8),
+)
+def test_pack_sequences_matches_python_prefix_sum(spark, sizes, budget, nb):
+    """For ANY token-count multiset, budget, and bucket count, the
+    two-level distributed offsets must equal the sequential Python scan
+    over the same (bucket, doc_id) order."""
+    import hashlib
+
+    from stream4flow_spark.llmdata.packing import pack_sequences
+
+    texts = [("tok " * n).strip() for n in sizes]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.bucket, r.token_offset, r.seq_first, r.seq_last)
+        for r in pack_sequences(df, budget=budget, n_buckets=nb).collect()
+    }
+
+    def bucket(i):
+        h = hashlib.md5(f"{i}s4f-pack".encode()).hexdigest()
+        return int(h[:4], 16) % nb
+
+    order = sorted(range(len(sizes)), key=lambda i: (bucket(i), i))
+    off = 0
+    for i in order:
+        b, t_off, s_first, s_last = got[i]
+        assert b == bucket(i)
+        assert t_off == off, (i, t_off, off)
+        assert s_first == off // budget
+        assert s_last == (off + sizes[i] - 1) // budget
+        off += sizes[i]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(50, 400),
+        min_size=2,
+        max_size=4,
+    ),
+)
+def test_mixture_resample_never_upsamples_and_is_subset(spark, sizes):
+    """Every kept group stays within its original rows (subset, no
+    upsampling) and the binding group loses at most the md5 rounding."""
+    from stream4flow_spark.llmdata.sampling import mixture_resample
+
+    targets = {s: w for s, w in zip(sizes, [0.4, 0.3, 0.2, 0.1])}
+    rows, i = [], 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mixture_resample(df, targets).collect()
+    orig = {r[0]: r[1] for r in rows}
+    by = {}
+    for r in kept:
+        assert orig[r.doc_id] == r.source  # subset, source unchanged
+        by[r.source] = by.get(r.source, 0) + 1
+    k = min(sizes[s] / targets[s] for s in sizes)
+    for s in sizes:
+        expect = targets[s] * k
+        assert by.get(s, 0) <= sizes[s]
+        # md5 coin keeps ~expect of the group (binomial-ish tolerance)
+        assert abs(by.get(s, 0) - expect) <= max(6, 0.35 * expect), (
+            s, by.get(s, 0), expect)
