@@ -82,3 +82,23 @@ def write_result_stream(
         .outputMode(output_mode)
         .start()
     )
+
+
+def read_flow_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Live TCP JSON-lines flow stream → typed flow DataFrame.
+
+    Same S2 parse contract as the Kafka path, over Spark's built-in
+    socket source — the dev/demo live-network ingest (and, in this
+    brokerless test container, the closest runnable stand-in for S1:
+    tests/test_streaming.py drives it against a real local TCP server).
+    Not for production (no replay/offsets); the Kafka source is the
+    production path."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return raw.select(parse_flow_json(F.col("value")).alias("flow")).select(
+        "flow.*"
+    )

@@ -1204,3 +1204,65 @@ def test_stream_asof_enrich_restart_recovers_latest_state(spark, tmp_path):
 
     rows = {r.id: (r.rt, r.rv) for r in spark.read.parquet(out).collect()}
     assert rows == {1: (1000, 7.5)}
+
+
+def test_socket_source_parses_live_flow_stream(spark):
+    """S1 stand-in over a REAL network hop: a local TCP server streams
+    reference-style dotted-key JSON lines; the socket source + the same
+    S2 parse used by the Kafka path must deliver typed rows. (The file
+    harness proves the pipelines; this proves live-network ingest
+    end-to-end in a brokerless container.)"""
+    import json
+    import socket
+    import socketserver
+    import threading
+    import time
+
+    lines = [
+        json.dumps(
+            {
+                "ipfix.sourceIPv4Address": f"10.0.0.{i}",
+                "ipfix.protocolIdentifier": 6,
+                "ipfix.packetDeltaCount": i,
+            }
+        )
+        for i in range(1, 6)
+    ]
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            self.request.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(8)  # keep the connection open while Spark polls
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from stream4flow_spark.streaming.kafka import read_flow_socket
+
+        flows = read_flow_socket(spark, "127.0.0.1", port)
+        q = (
+            flows.writeStream.format("memory")
+            .queryName("socket_flows")
+            .start()
+        )
+        try:
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                got = spark.sql(
+                    "SELECT ipfix_sourceIPv4Address AS ip,"
+                    " ipfix_packetDeltaCount AS pkts FROM socket_flows"
+                ).collect()
+                if len(got) >= 5:
+                    break
+                time.sleep(0.5)
+            assert len(got) >= 5, got
+            by_ip = {r.ip: r.pkts for r in got}
+            assert by_ip["10.0.0.3"] == 3
+        finally:
+            q.stop()
+    finally:
+        srv.shutdown()
+        srv.server_close()
