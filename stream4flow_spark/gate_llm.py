@@ -1307,3 +1307,20 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(bk < 52428)
     delta = docs.filter(bk >= 52428)
     return incremental_dedup(corpus, delta).select("doc_id", "lang", "source")
+
+
+@register("llm_bpe_tokenize", covers="llm:bpe-tokenizer llm:token-count")
+# rows-only: the learned vocabulary is the fixed point of an iterative
+# global argmax — not SQL-expressible. Trainer/encoder exactness is
+# asserted against an independent reference loop and cross-partitioning
+# determinism in tests/test_llmdata.py.
+def q_llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a real BPE vocabulary on the corpus (exact distributed word
+    counts; bounded driver-side merge loop — the IVF-centroid pattern)
+    and emit exact per-document subword token counts via the map-only
+    Arrow encoder (`llmdata/bpe.py`)."""
+    from stream4flow_spark.llmdata.bpe import encode_with_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=100, max_words=5_000)
+    return encode_with_bpe(docs, merges)

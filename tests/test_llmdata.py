@@ -667,3 +667,56 @@ def test_pii_stats_counts_planted_pii(spark):
     assert (out["s1"].n_emails, out["s1"].n_urls, out["s1"].n_digit_runs) == (2, 1, 1)
     assert out["s1"].n_docs_with_pii == 2
     assert (out["s2"].n_docs, out["s2"].n_docs_with_pii) == (1, 0)
+
+
+def test_bpe_trains_expected_merges_and_encodes(spark):
+    """Classic BPE behavior on a handcrafted corpus: frequent character
+    pairs merge first; encoding matches an independent reference loop;
+    untrained words fall back to characters."""
+    from stream4flow_spark.llmdata.bpe import (
+        encode_with_bpe,
+        segment_word,
+        train_bpe,
+    )
+
+    corpus = ["low low low low low lower lower newest newest newest"] * 3
+    df = _docs(spark, corpus)
+    merges = train_bpe(df, num_merges=12, max_words=100)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # 'low' occurs 15x: its full merge chain must be learned
+    assert segment_word("low", ranks) == ["low</w>"]
+    # reference re-implementation: repeatedly apply the ranked merges
+    def ref_segment(word):
+        sym = list(word) + ["</w>"]
+        changed = True
+        while changed:
+            changed = False
+            best = None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is not None:
+                i = best[1]
+                sym[i : i + 2] = [sym[i] + sym[i + 1]]
+                changed = True
+        return sym
+
+    for w in ["low", "lower", "newest", "night", "xyz"]:
+        assert segment_word(w, ranks) == ref_segment(w), w
+
+    out = {r.doc_id: r for r in encode_with_bpe(df, merges).collect()}
+    expect = sum(len(ref_segment(w)) for w in corpus[0].split())
+    assert out[0].n_tokens_bpe_exact == expect
+    assert out[0].max_word_subwords == max(
+        len(ref_segment(w)) for w in corpus[0].split()
+    )
+
+
+def test_bpe_training_is_deterministic_across_partitioning(spark):
+    from stream4flow_spark.llmdata.bpe import train_bpe
+
+    texts = [f"alpha beta gamma delta{i % 3} epsilon" for i in range(40)]
+    m1 = train_bpe(_docs(spark, texts).coalesce(1), num_merges=20)
+    m2 = train_bpe(_docs(spark, texts).repartition(13), num_merges=20)
+    assert m1 == m2
