@@ -1324,3 +1324,30 @@ def q_llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe(docs, num_merges=100, max_words=5_000)
     return encode_with_bpe(docs, merges)
+
+
+@register("llm_quality_model", covers="llm:model-quality-filter")
+# rows-only: LBFGS coefficients depend on float reduction order — the
+# learned scores are not engine-reproducible by construction. Separation
+# power is asserted on a planted-vocabulary corpus in tests
+# (test_quality_classifier_separates_planted_signal).
+def q_llm_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-label learned quality filter (`llmdata/quality_model.py`):
+    train tokenize→hashingTF→LR with lang=='en' as the weak label, then
+    score every doc map-only and report per-source mean predicted
+    probability — the source-level curation signal a mixture step
+    consumes."""
+    from stream4flow_spark.llmdata.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "weak_label", (F.col("lang") == "en").cast("int")
+    )
+    model = train_quality_classifier(docs, "weak_label", max_iter=10)
+    scored = score_quality(model, docs, id_cols=["doc_id", "source"])
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality_prob"), 3).alias("mean_quality_prob"),
+    )

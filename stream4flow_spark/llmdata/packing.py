@@ -42,20 +42,30 @@ def pack_sequences(
     n_buckets: int = 256,
     key_col: str = "doc_id",
     text_col: str = "text",
+    token_col: str | None = None,
     salt: str = "s4f-pack",
 ) -> DataFrame:
     """Assign every document its global token offset and the training
     sequences it spans under pack-and-chunk with ``budget`` tokens per
     sequence.
 
+    ``token_col`` names a precomputed per-doc token count (e.g. the
+    exact BPE counts from `llmdata/bpe.encode_with_bpe`); default is the
+    whitespace count derived from ``text_col``.
+
     Returns the input keyed columns plus: n_tokens, bucket, token_offset
     (global prefix sum over the (bucket, key) total order), seq_first,
     seq_last, n_seqs. A doc spans floor(offset/B)..floor((offset+n-1)/B).
     """
     key = F.col(key_col)
+    n_tok = (
+        F.col(token_col).cast("long")
+        if token_col is not None
+        else whitespace_tokens(text_col)
+    )
     t = docs.select(
         key.alias(key_col),
-        whitespace_tokens(text_col).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         (hash_bucket(key, salt) % n_buckets).alias("bucket"),
     )
 

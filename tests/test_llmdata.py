@@ -720,3 +720,58 @@ def test_bpe_training_is_deterministic_across_partitioning(spark):
     m1 = train_bpe(_docs(spark, texts).coalesce(1), num_merges=20)
     m2 = train_bpe(_docs(spark, texts).repartition(13), num_merges=20)
     assert m1 == m2
+
+
+def test_pack_sequences_accepts_precomputed_token_counts(spark):
+    """BPE-exact counts drive packing through token_col; offsets follow
+    the provided counts, not the whitespace heuristic."""
+    from stream4flow_spark.llmdata.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "irrelevant", 10), (1, "text", 20), (2, "here", 30)],
+        "doc_id long, text string, n_bpe int",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.token_offset)
+        for r in pack_sequences(df, budget=16, n_buckets=4,
+                                token_col="n_bpe").collect()
+    }
+    assert {v[0] for v in out.values()} == {10, 20, 30}
+    assert sorted(v[1] for v in out.values())[0] == 0
+    total = sum(v[0] for v in out.values())
+    assert max(v[0] + v[1] for v in out.values()) == total
+
+
+def test_quality_classifier_separates_planted_signal(spark):
+    """Weak-label LR on hashed tokens must cleanly separate a planted
+    vocabulary split on held-out docs (the DCLM/FineWeb-style learned
+    quality filter, minus the fancy teacher)."""
+    import random
+
+    from stream4flow_spark.llmdata.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(7)
+    good_vocab = ["insight", "method", "result", "careful", "evidence"]
+    bad_vocab = ["spam", "click", "buy", "winner", "free"]
+    rows = []
+    for i in range(300):
+        good = i % 2 == 0
+        vocab = good_vocab if good else bad_vocab
+        words = [rng.choice(vocab) for _ in range(20)] + [
+            rng.choice(["the", "and", "of"]) for _ in range(10)
+        ]
+        rng.shuffle(words)
+        rows.append((i, " ".join(words), 1 if good else 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    train = df.filter(F.col("doc_id") % 5 != 0)
+    test = df.filter(F.col("doc_id") % 5 == 0)
+    model = train_quality_classifier(train, "label")
+    scored = score_quality(model, test, id_cols=["doc_id", "label"])
+    got = scored.collect()
+    acc = sum(
+        1 for r in got if (r.quality_prob > 0.5) == (r.label == 1)
+    ) / len(got)
+    assert acc > 0.95, acc
