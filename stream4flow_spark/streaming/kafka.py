@@ -102,3 +102,27 @@ def read_flow_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
     return raw.select(parse_flow_json(F.col("value")).alias("flow")).select(
         "flow.*"
     )
+
+
+def parse_flow_json_with_quarantine(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """S2 with a bad-records lane: parse the JSON value PERMISSIVEly and
+    keep the raw line of anything malformed in ``_corrupt_record`` so a
+    quarantine sink can persist it for replay — at ingest scale, dropping
+    unparseable lines silently is how gaps become unexplainable.
+
+    Returns the typed flow columns plus ``_corrupt_record`` (NULL for
+    clean rows). Split with ``.filter(col("_corrupt_record").isNull())``
+    / ``.isNotNull()`` — both lanes stay map-side."""
+    from pyspark.sql import types as T
+
+    from stream4flow_spark.schema import FLOW_SCHEMA
+
+    schema_q = T.StructType(
+        FLOW_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = F.from_json(
+        F.regexp_replace(F.col(value_col).cast("string"), r'"ipfix\.', '"ipfix_'),
+        schema_q,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return df.select(parsed.alias("flow")).select("flow.*")

@@ -92,3 +92,28 @@ def test_result_contract_round_trip_protocols_statistics(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_quarantine_lane_separates_corrupt_records(spark):
+    """Malformed JSON lands in _corrupt_record with the raw line intact;
+    clean rows parse typed with a NULL quarantine column."""
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.streaming.kafka import (
+        parse_flow_json_with_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ('{"ipfix.sourceIPv4Address": "10.0.0.1", "ipfix.packetDeltaCount": 3}',),
+            ('{"ipfix.sourceIPv4Address": "10.0.0.2", OOPS',),
+            ("not json at all",),
+        ],
+        "value string",
+    )
+    out = parse_flow_json_with_quarantine(df).collect()
+    clean = [r for r in out if r["_corrupt_record"] is None]
+    bad = [r for r in out if r["_corrupt_record"] is not None]
+    assert len(clean) == 1 and clean[0].ipfix_sourceIPv4Address == "10.0.0.1"
+    assert len(bad) == 2
+    assert any("OOPS" in r["_corrupt_record"] for r in bad)

@@ -1266,3 +1266,46 @@ def test_socket_source_parses_live_flow_stream(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_observed_metrics_report_quarantine_rate(spark, tmp_path):
+    """`observe()` rides the streaming query at zero extra cost and
+    surfaces per-batch data-quality counters (rows, corrupt rows) in
+    QueryProgress — the production hook an ingest monitor alerts on."""
+    import json as _json
+    import time
+
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.streaming.kafka import (
+        parse_flow_json_with_quarantine,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [
+        _json.dumps({"ipfix.sourceIPv4Address": "10.0.0.1"}),
+        "BROKEN {",
+        _json.dumps({"ipfix.sourceIPv4Address": "10.0.0.2"}),
+    ]
+    (src / "batch0.txt").write_text("\n".join(lines) + "\n")
+
+    raw = spark.readStream.format("text").load(str(src)).withColumnRenamed(
+        "value", "value"
+    )
+    flows = parse_flow_json_with_quarantine(raw).observe(
+        "ingest_quality",
+        F.count(F.lit(1)).alias("rows"),
+        F.count("_corrupt_record").alias("corrupt_rows"),
+    )
+    q = (
+        flows.writeStream.format("memory")
+        .queryName("observed_flows")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    progress = [p for p in q.recentProgress if p.get("observedMetrics")]
+    assert progress, "no observedMetrics in any progress event"
+    m = progress[-1]["observedMetrics"]["ingest_quality"]
+    assert m["rows"] == 3 and m["corrupt_rows"] == 1, m
