@@ -1351,3 +1351,19 @@ def q_llm_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.avg("quality_prob"), 3).alias("mean_quality_prob"),
     )
+
+
+@register("llm_ann_quantized_topk", covers="llm:ann-quantized llm:similarity-topk")
+# rows-only: half-way rounding of the int8 codes can differ across
+# engines at exact .5 boundaries, so the code table is not
+# hash-portable; recall@5 vs the float exact path is gated ≥0.9 in
+# tests (test_quantized_topk_recall_vs_float_exact).
+def q_llm_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine over the int8-quantized corpus
+    (`llmdata/simsearch.py quantize_embeddings` — per-vector symmetric
+    scaling divides out of every cosine, so distance runs on raw codes
+    at a quarter of the scan bytes)."""
+    from stream4flow_spark.llmdata.simsearch import cosine_topk_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_quantized(emb, emb.filter(F.col("vec_id") < 10), k=5)

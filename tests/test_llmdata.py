@@ -775,3 +775,38 @@ def test_quality_classifier_separates_planted_signal(spark):
         1 for r in got if (r.quality_prob > 0.5) == (r.label == 1)
     ) / len(got)
     assert acc > 0.95, acc
+
+
+def test_quantized_topk_recall_vs_float_exact(spark):
+    """int8 codes must preserve cosine ranking: recall@5 vs the float
+    exact path ≥ 0.9 on the real embedding fixture, and the codes table
+    must actually be tinyint."""
+    from stream4flow_spark.llmdata.simsearch import (
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+    from stream4flow_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    quant = cosine_topk_quantized(emb, queries, k=5).collect()
+    want = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in quant}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
+    dtype = dict(quantize_embeddings(emb).dtypes)["codes"]
+    assert dtype == "array<tinyint>", dtype
+
+
+def test_quantize_embeddings_codes_bounded_and_zero_safe(spark):
+    from stream4flow_spark.llmdata.simsearch import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r.codes for r in quantize_embeddings(df).collect()}
+    assert rows[0] == [64, -127, 32]
+    assert rows[1] == [0, 0, 0]
