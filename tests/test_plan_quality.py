@@ -19,6 +19,8 @@ queries()  # force registration
 _NESTED_LOOP_OK = {
     "llm_ngram_jaccard",
     "llm_ann_cosine_topk",
+    # same intended plan over the int8 code arrays
+    "llm_ann_quantized_topk",
     # scalar-subquery threshold: a 1-row aggregate cross-joined into the
     # probe side broadcasts that single row — the correct plan for a
     # scalar predicate (what Catalyst itself emits for scalar subqueries)

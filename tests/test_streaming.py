@@ -1309,3 +1309,48 @@ def test_observed_metrics_report_quarantine_rate(spark, tmp_path):
     assert progress, "no observedMetrics in any progress event"
     m = progress[-1]["observedMetrics"]["ingest_quality"]
     assert m["rows"] == 3 and m["corrupt_rows"] == 1, m
+
+
+def test_learned_quality_filter_scores_streaming_docs(spark, tmp_path):
+    """The weak-label quality model is map-only, so the SAME fitted
+    pipeline scores documents in-stream (train batch, filter on ingest —
+    the production deployment shape)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.llmdata.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rows = [
+        (i, ("good insight method " if i % 2 == 0 else "spam click buy ") * 5,
+         1 if i % 2 == 0 else 0)
+        for i in range(80)
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    model = train_quality_classifier(batch, "label", max_iter=10)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    batch.select("doc_id", "text").coalesce(1).write.json(str(src / "b0"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src / "b0"))
+    )
+    scored = score_quality(model, stream, id_cols=["doc_id"])
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("stream_scored")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM stream_scored").collect()
+    assert len(got) == 80
+    by_id = {r.doc_id: r.quality_prob for r in got}
+    assert all(0.0 <= p <= 1.0 for p in by_id.values())
+    # the planted split survives the stream boundary
+    assert sum(by_id[i] > 0.5 for i in range(0, 80, 2)) >= 36
+    assert sum(by_id[i] < 0.5 for i in range(1, 80, 2)) >= 36
