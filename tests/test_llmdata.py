@@ -810,3 +810,34 @@ def test_quantize_embeddings_codes_bounded_and_zero_safe(spark):
     rows = {r.vec_id: r.codes for r in quantize_embeddings(df).collect()}
     assert rows[0] == [64, -127, 32]
     assert rows[1] == [0, 0, 0]
+
+
+def test_write_shards_balanced_deterministic_with_manifest(spark, tmp_path):
+    """Sharded export: stable assignment across runs, one parquet file
+    per shard, rough balance, and a manifest whose counts match."""
+    import glob
+    import json as _json
+
+    from stream4flow_spark.llmdata.export import assign_shards, write_shards
+    from stream4flow_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "shards")
+    manifest = write_shards(docs, out, n_shards=8)
+    assert manifest["total_rows"] == docs.count()
+    assert len(manifest["shards"]) == 8
+    mean = manifest["total_rows"] / 8
+    assert all(abs(v - mean) < 0.5 * mean for v in manifest["shards"].values())
+    for s in range(8):
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1, (s, files)
+    disk = _json.load(open(f"{out}/manifest.json"))
+    assert disk == manifest
+    # assignment is a pure function of the key: identical across runs
+    # and partitionings
+    a = {r.doc_id: r.shard for r in assign_shards(docs, 8).collect()}
+    b = {
+        r.doc_id: r.shard
+        for r in assign_shards(docs.repartition(13), 8).collect()
+    }
+    assert a == b
