@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
         "--sink", default="console", help="console | noop | parquet:<path>"
     )
     runp.add_argument("--limit", type=int, default=20, help="console row cap")
+    docp = sub.add_parser(
+        "doctor", help="static plan audit of one query (scale anti-patterns)"
+    )
+    docp.add_argument("query", choices=sorted(qs))
+    docp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     args = p.parse_args(argv)
 
     if args.cmd == "list":
@@ -44,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"s4f-{args.query}")
     df = qs[args.query](spark, args.sf_dir)
+    if args.cmd == "doctor":
+        from stream4flow_spark.plans.doctor import diagnose, format_findings
+
+        print(format_findings(diagnose(df)))
+        return 0
     if args.sink == "console":
         df.show(args.limit, truncate=False)
     elif args.sink == "noop":

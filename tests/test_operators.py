@@ -534,3 +534,33 @@ def test_asof_join_forward_direction(spark):
         ).collect()
     }
     assert tol == {1000}  # 4000-3500=500 > 400 drops the second match
+
+
+def test_plan_doctor_flags_known_anti_patterns(spark):
+    """The doctor must flag a cartesian product and a data-sized global
+    window, and stay quiet (info only) on a well-shaped aggregate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.plans.doctor import diagnose
+
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+
+    bad_cart = df.crossJoin(df.select(F.col("id").alias("id2")))
+    rules = {f.rule: f.severity for f in diagnose(bad_cart)}
+    # a tiny side broadcasts (nested-loop); big sides go CartesianProduct
+    # — the doctor flags both shapes
+    assert (
+        rules.get("cartesian-product") == "error"
+        or rules.get("nested-loop-join") == "warn"
+    )
+
+    bad_window = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    rules = {f.rule: f.severity for f in diagnose(bad_window)}
+    assert rules.get("single-partition-exchange") == "warn"
+
+    good = df.groupBy("v").count()
+    findings = diagnose(good)
+    assert all(f.severity == "info" for f in findings), findings
