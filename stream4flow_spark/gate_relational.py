@@ -1543,3 +1543,51 @@ def q_rel_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.rank().over(w).alias("rnk"),
     )
+
+
+@register(
+    "rel_gapfill_events",
+    covers="rel:gap-fill rel:forward-fill rel:time-grid",
+    oracle="""
+        WITH agg AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   SUM(value) AS value_sum
+            FROM events WHERE user_id < 30 GROUP BY 1, 2
+        ), bounds AS (
+            SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+            FROM agg GROUP BY 1
+        ), grid AS (
+            SELECT user_id,
+                   unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds
+        )
+        SELECT g.user_id,
+               strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               COALESCE(a.n_events, 0) AS n_events,
+               ROUND(COALESCE(a.value_sum, 0), 4) AS value_sum,
+               ROUND(LAST_VALUE(a.value_sum IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                 AS last_seen_value
+        FROM grid g
+        LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+        """,
+)
+def q_rel_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap fill + forward fill per user over the events stream
+    (`operators/gapfill.py`): zero-filled additive measures, LOCF for
+    the state-like one. The dense grid is a map-side sequence() explode
+    of per-key bounds — grid size is time-range/step per key, never
+    O(events)."""
+    from stream4flow_spark.operators.gapfill import gap_fill_hourly
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = gap_fill_hourly(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+        F.round("last_seen_value", 4).alias("last_seen_value"),
+    )

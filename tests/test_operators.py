@@ -564,3 +564,25 @@ def test_plan_doctor_flags_known_anti_patterns(spark):
     good = df.groupBy("v").count()
     findings = diagnose(good)
     assert all(f.severity == "info" for f in findings), findings
+
+
+def test_gap_fill_hourly_fills_gaps_and_carries_forward(spark):
+    from datetime import datetime
+
+    from stream4flow_spark.operators.gapfill import gap_fill_hourly
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 5.0),
+        (1, datetime(2024, 1, 1, 0, 50), 7.0),
+        # hours 01 and 02 silent
+        (1, datetime(2024, 1, 1, 3, 5), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(
+        gap_fill_hourly(df, "user_id", "ts", "value").collect(),
+        key=lambda r: r.bucket,
+    )
+    assert len(out) == 4  # 00..03 dense
+    assert [r.n_events for r in out] == [2, 0, 0, 1]
+    assert [r.value_sum for r in out] == [12.0, 0.0, 0.0, 2.0]
+    assert [r.last_seen_value for r in out] == [12.0, 12.0, 12.0, 2.0]
