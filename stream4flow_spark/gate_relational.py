@@ -1591,3 +1591,39 @@ def q_rel_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value_sum", 4).alias("value_sum"),
         F.round("last_seen_value", 4).alias("last_seen_value"),
     )
+
+
+@register(
+    "rel_unpivot_measures",
+    covers="rel:unpivot rel:melt",
+    oracle="""
+        SELECT l_returnflag,
+               m.measure,
+               CAST(CAST(SUM(m.val) AS DECIMAL(38,2)) AS STRING) AS total
+        FROM lineitem,
+             LATERAL (VALUES
+                 ('quantity', CAST(l_quantity AS DECIMAL(12,2))),
+                 ('extendedprice', CAST(l_extendedprice AS DECIMAL(12,2))),
+                 ('tax', CAST(l_tax AS DECIMAL(12,2)))
+             ) AS m(measure, val)
+        GROUP BY 1, 2
+        """,
+)
+def q_rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of rel_pivot_order_priority: wide
+    measure columns become (measure, value) rows via `stack()` in ONE
+    Expand pass (no per-measure scans, no union of three reads), then a
+    grouped decimal sum. The Expand multiplies rows map-side; the only
+    shuffle is the final (flag, measure) aggregate."""
+    li = _li(spark, sf_dir)
+    melted = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'quantity', CAST(l_quantity AS DECIMAL(12,2)), "
+            "'extendedprice', CAST(l_extendedprice AS DECIMAL(12,2)), "
+            "'tax', CAST(l_tax AS DECIMAL(12,2))) AS (measure, val)"
+        ),
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.sum("val").cast("decimal(38,2)").cast("string").alias("total")
+    )
