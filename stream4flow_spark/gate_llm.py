@@ -1367,3 +1367,95 @@ def q_llm_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_quantized(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "llm_hybrid_rrf",
+    covers="llm:hybrid-retrieval llm:rank-fusion",
+    oracle=f"""
+        WITH pd AS (
+            SELECT doc_id, len({_W}) AS dl,
+                   len(list_filter({_W}, t -> t = 'join')) AS tf_0,
+                   len(list_filter({_W}, t -> t = 'window')) AS tf_1,
+                   len(list_filter({_W}, t -> t = 'scan')) AS tf_2
+            FROM documents
+        ),
+        c AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                   SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                   SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                   SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+            FROM pd
+        ),
+        lex AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+                 ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+                   * (CAST(tf_0 AS DOUBLE) * 2.2)
+                   / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+                   * (CAST(tf_1 AS DOUBLE) * 2.2)
+                   / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+                   * (CAST(tf_2 AS DOUBLE) * 2.2)
+                   / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 DESC, doc_id ASC) AS r_lex
+            FROM pd, c
+            WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+            QUALIFY r_lex <= 50
+        ),
+        vec AS (
+            SELECT nid AS doc_id, ROW_NUMBER() OVER (ORDER BY
+                ROUND(list_dot_product(qv, cv)
+                      / (sqrt(list_dot_product(qv, qv))
+                         * sqrt(list_dot_product(cv, cv))), 4) DESC,
+                nid ASC) AS r_vec
+            FROM (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id <> 0),
+                 (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0)
+            QUALIFY r_vec <= 50
+        )
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / (60 + l.r_lex), 0)
+                     + COALESCE(1.0 / (60 + v.r_vec), 0), 6) AS rrf
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        ORDER BY rrf DESC, doc_id ASC
+        LIMIT 20
+        """,
+)
+def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 for ["join","window","scan"] fused
+    with cosine top-50 around document 0's embedding via reciprocal-rank
+    fusion (1/(60+rank), the standard RRF constant). Both candidate
+    lists are bounded (k=50), so the fusion join touches ≤100 rows —
+    all the heavy lifting stays in the two retrieval kernels, each with
+    its documented scale shape. Docs without vectors participate only
+    lexically (the corpus's vector modality covers a prefix at sf0.1)."""
+    from pyspark.sql import Window
+
+    from stream4flow_spark.llmdata.lexsearch import bm25_topk
+    from stream4flow_spark.llmdata.simsearch import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = (
+        bm25_topk(docs, ["join", "window", "scan"], k=50)
+        .withColumn("r_lex", F.row_number().over(w_lex))
+        .select("doc_id", "r_lex")
+    )
+    vec = (
+        cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_vec"))
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
