@@ -21,6 +21,8 @@ _NESTED_LOOP_OK = {
     "llm_ann_cosine_topk",
     # same intended plan over the int8 code arrays
     "llm_ann_quantized_topk",
+    # inherits cosine_topk's broadcast-queries kernel for its vector leg
+    "llm_hybrid_rrf",
     # scalar-subquery threshold: a 1-row aggregate cross-joined into the
     # probe side broadcasts that single row — the correct plan for a
     # scalar predicate (what Catalyst itself emits for scalar subqueries)
