@@ -1459,3 +1459,72 @@ def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
+
+
+@register(
+    "llm_split_leakage",
+    covers="llm:split-leakage llm:dedup-ngram-jaccard llm:train-split",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id AS id, {_GRAMS3} AS grams FROM documents
+            WHERE len({_W}) >= 3 AND doc_id < 150
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || b.grams)) >= 0.35
+        ),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN {_BUCKET_SQL.format(salt='s4f-split')} < 52428
+                            THEN 'train'
+                        WHEN {_BUCKET_SQL.format(salt='s4f-split')} < 58982
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT LEAST(sa.split, sb.split) AS split_a,
+               GREATEST(sa.split, sb.split) AS split_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+        JOIN sp sa ON p.id_a = sa.doc_id
+        JOIN sp sb ON p.id_b = sb.doc_id
+        WHERE sa.split <> sb.split
+        GROUP BY 1, 2
+        """,
+)
+def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs (3-gram Jaccard ≥ 0.35,
+    bounded id<150 subset like llm_ngram_jaccard) whose members landed
+    in DIFFERENT train/val/test splits — the eval-contamination report
+    every split step should emit. Composition of the dedup pair tier and
+    the deterministic hash split; at scale the pair source swaps to the
+    banded LSH candidates, same downstream join."""
+    from stream4flow_spark.llmdata.dedup import ngram_jaccard_pairs
+    from stream4flow_spark.llmdata.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < 150), threshold=0.35
+    ).select("id_a", "id_b")
+    splits = hash_split(
+        docs.select("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("sp_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("sp_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("sp_a") != F.col("sp_b"))
+        .select(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
