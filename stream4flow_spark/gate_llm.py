@@ -1528,3 +1528,27 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "llm_unicode_normalize",
+    covers="llm:unicode-normalize llm:doc-fingerprint",
+    oracle="""
+        SELECT doc_id, md5(nfc_normalize(text)) AS fp_nfc,
+               nfc_normalize(text) <> text AS was_normalized
+        FROM documents
+        """,
+)
+def q_llm_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC canonicalization fingerprints
+    (`llmdata/textstats.py normalize_unicode`): Python's unicodedata and
+    DuckDB's nfc_normalize implement the same Unicode standard, so the
+    post-normalization md5s hash-compare across engines. The combining-
+    character behavior itself is unit-tested on decomposed fixtures
+    (this corpus is ASCII, where NFC is the identity)."""
+    from stream4flow_spark.llmdata.textstats import normalize_unicode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return normalize_unicode(docs).select(
+        "doc_id", F.md5("text_nfc").alias("fp_nfc"), "was_normalized"
+    )

@@ -328,3 +328,33 @@ def pii_stats(
             ).alias("n_docs_with_pii"),
         )
     )
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC canonicalization — the step BEFORE any content-hash
+    dedup: visually-identical strings with different codepoint sequences
+    (decomposed accents, compatibility forms) hash differently and slip
+    past exact dedup. Adds ``text_nfc`` and ``was_normalized``.
+
+    Arrow-batched pandas UDF (no JVM NFC builtin); map-only, runs at
+    scan speed. NFC (not NFKC) so semantics-preserving canonical
+    composition only — ligature/width folding is a corpus policy choice
+    layered on top, not silently applied here.
+    """
+    import unicodedata
+
+    import pandas  # noqa: F401 — resolves the UDF's pd.Series hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(col: "pandas.Series") -> "pandas.Series":
+        return col.map(
+            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+        )
+
+    _nfc.__annotations__ = {"col": pandas.Series, "return": pandas.Series}
+    nfc = pandas_udf(_nfc, "string")
+
+    out = df.withColumn("text_nfc", nfc(F.col(text_col)))
+    return out.withColumn(
+        "was_normalized", F.col("text_nfc") != F.col(text_col)
+    )

@@ -841,3 +841,23 @@ def test_write_shards_balanced_deterministic_with_manifest(spark, tmp_path):
         for r in assign_shards(docs.repartition(13), 8).collect()
     }
     assert a == b
+
+
+def test_normalize_unicode_composes_decomposed_accents(spark):
+    from stream4flow_spark.llmdata.dedup import exact_dedup
+    from stream4flow_spark.llmdata.textstats import normalize_unicode
+
+    composed = "caf\u00e9 fine"
+    decomposed = "cafe\u0301 fine"
+    df = _docs(spark, [composed, decomposed, "plain ascii"])
+    out = {r.doc_id: r for r in normalize_unicode(df).collect()}
+    assert out[0].text_nfc == out[1].text_nfc == composed
+    assert not out[0].was_normalized and out[1].was_normalized
+    assert not out[2].was_normalized
+    # the point: post-NFC, exact dedup collapses the pair that raw
+    # hashing would have missed
+    deduped = exact_dedup(
+        normalize_unicode(df).select("doc_id", F.col("text_nfc").alias("text"))
+    )
+    sizes = {r.keeper_id: r.group_size for r in deduped.collect()}
+    assert sizes == {0: 2, 2: 1}
