@@ -81,15 +81,20 @@ WINDOW_PRIORITY: list[str] = [
     "llm_multimodal_decode", "llm_multimodal_resize",
     "llm_multimodal_frames", "llm_multimodal_features",
     "llm_hash_split", "llm_stratified_sample",
-    # 43-50: single-green (r04-only) relational queries get a second
-    # round; q18ish/q19ish/q22ish (also r04-green) rotate next round.
-    # The 13 apps + readside + q1/q3/q5ish/q6 are multi-round green
-    # (r01+r02+r04) and rotate out with their recorded signal; the
-    # rows-only five stay property-tested per the r04 verdict.
-    "rel_event_sessionization", "rel_rollup_revenue",
-    "tpch_q4ish_priority_check", "tpch_q13ish_order_distribution",
-    "tpch_q14ish_promo_share", "tpch_q7ish_nation_volume",
-    "tpch_q8ish_market_share", "tpch_q10ish_returned_revenue",
+    # 43-49: the late round-5 oracle-backed additions (PII audit,
+    # incremental dedup, gap fill, unpivot, hybrid RRF, split-leakage
+    # audit, NFC fingerprints) — never driver-verified, so they outrank
+    # r04-green singles per this window's policy.
+    "llm_pii_stats", "llm_incremental_dedup", "rel_gapfill_events",
+    "rel_unpivot_measures", "llm_hybrid_rrf", "llm_split_leakage",
+    "llm_unicode_normalize",
+    # 50: one single-green (r04-only) relational keeps a slot; the other
+    # seven (rel_rollup_revenue, q4ish, q13ish, q14ish, q7ish, q8ish,
+    # q10ish) plus q18ish/q19ish/q22ish rotate next round on their r04
+    # rows. The 13 apps + readside + q1/q3/q5ish/q6 are multi-round
+    # green and rotate out with their recorded signal; the rows-only
+    # entries stay property/recall/reference-loop-tested.
+    "rel_event_sessionization",
 ]
 
 

@@ -18,6 +18,9 @@ queries()  # force registration
 # once" plan.
 _NESTED_LOOP_OK = {
     "llm_ngram_jaccard",
+    # same bounded brute-force pair source (id < 150) feeding the
+    # split-label join
+    "llm_split_leakage",
     "llm_ann_cosine_topk",
     # same intended plan over the int8 code arrays
     "llm_ann_quantized_topk",
