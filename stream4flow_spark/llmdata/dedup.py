@@ -442,11 +442,16 @@ def dedup_corpus(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    scheme: str = "minhash",
+    **scheme_kwargs,
 ) -> DataFrame:
     """End-to-end near-dup corpus deduplication: one row per KEPT document.
 
     The full pipeline a training-data run needs, composed from the tiers
-    below: MinHash-LSH candidate pairs (verified at ``threshold`` Jaccard)
+    below: candidate pairs from the chosen blocking ``scheme`` —
+    ``minhash`` (default), ``winnow`` (substring-structural recall), or
+    ``simhash`` (hamming banding; takes ``max_hamming``, ignores
+    ``threshold``) — verified (Jaccard ``threshold`` for the first two)
     → transitive connected components (a~b, b~c ⇒ one keeper for
     {a,b,c}) → keeper = minimum id per component; documents in no pair
     keep themselves. Output: keeper_id, group_size (how many documents
@@ -456,9 +461,25 @@ def dedup_corpus(
     hot-bucket caps, id-only component propagation, and one final
     left join of the corpus ids against the (small) component map.
     """
-    pairs = minhash_lsh_dedup(
-        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
-    )
+    if scheme == "minhash":
+        pairs = minhash_lsh_dedup(
+            df, text_col=text_col, id_col=id_col, n=n, threshold=threshold,
+            **scheme_kwargs,
+        )
+    elif scheme == "winnow":
+        pairs = winnow_neardup_pairs(
+            df, text_col=text_col, id_col=id_col, n=n, threshold=threshold,
+            **scheme_kwargs,
+        )
+    elif scheme == "simhash":
+        # simhash pairs are hamming-verified, not Jaccard-verified —
+        # `threshold` does not apply; pass max_hamming via kwargs
+        pairs = simhash_dedup(
+            df, text_col=text_col, id_col=id_col, n=n, **scheme_kwargs
+        )
+    else:
+        raise ValueError(f"unknown blocking scheme: {scheme!r}")
+    pairs = pairs.select("id_a", "id_b")
     comp = connected_components(pairs)
     ids = df.select(F.col(id_col).alias("doc"))
     labeled = ids.join(comp, ids["doc"] == comp["id"], "left").select(

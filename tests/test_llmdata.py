@@ -861,3 +861,21 @@ def test_normalize_unicode_composes_decomposed_accents(spark):
     )
     sizes = {r.keeper_id: r.group_size for r in deduped.collect()}
     assert sizes == {0: 2, 2: 1}
+
+
+def test_dedup_corpus_schemes_agree_on_planted_dups(spark):
+    """All three blocking schemes drive the same corpus-dedup pipeline
+    and must agree on an easy planted near-dup cluster."""
+    from stream4flow_spark.llmdata.dedup import dedup_corpus
+
+    df = _docs(spark, [BASE, NEAR, FAR, "another entirely different doc here"])
+    for scheme, kw in [
+        ("minhash", {}),
+        ("winnow", {}),
+        ("simhash", {"max_hamming": 16}),
+    ]:
+        got = {
+            r.keeper_id: r.group_size
+            for r in dedup_corpus(df, scheme=scheme, **kw).collect()
+        }
+        assert got == {0: 2, 2: 1, 3: 1}, (scheme, got)
