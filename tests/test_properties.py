@@ -263,3 +263,63 @@ def test_mixture_resample_never_upsamples_and_is_subset(spark, sizes):
         # md5 coin keeps ~expect of the group (binomial-ish tolerance)
         assert abs(by.get(s, 0) - expect) <= max(6, 0.35 * expect), (
             s, by.get(s, 0), expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+                 min_size=0, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_segment_dedup_matches_python_reference(spark, docs_lines):
+    """For ANY corpus of line-lists, segment dedup must equal the
+    sequential first-occurrence scan."""
+    from stream4flow_spark.llmdata.dedup import segment_dedup
+
+    texts = ["\n".join(lines) for lines in docs_lines]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.text for r in segment_dedup(df).collect()}
+
+    seen: set[str] = set()
+    for i, t in enumerate(texts):
+        kept = []
+        for seg in t.split("\n"):
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        assert got[i] == "\n".join(kept), (i, got[i], kept)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.sampled_from(["t0", "t1", "t2", "t3"]), min_size=0,
+             max_size=10),
+    st.lists(st.sampled_from(["t0", "t1", "t2", "t3", "t4", "t5"]),
+             min_size=0, max_size=10),
+)
+def test_incremental_dedup_equals_global_dedup_increment(spark, old, new):
+    """Survivors of incremental dedup are exactly the min-id holders of
+    digests that are new to the corpus — i.e. incremental == global
+    dedup restricted to the delta."""
+    from stream4flow_spark.llmdata.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(old)] or [(0, "seed")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(new)] or [(100, "seed2")],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in incremental_dedup(corpus, delta).collect())
+    old_texts = set(old) if old else {"seed"}
+    first_by_text = {}
+    for i, t in enumerate(new or ["seed2"]):
+        if t not in old_texts and t not in first_by_text:
+            first_by_text[t] = 100 + i
+    assert got == sorted(first_by_text.values())
