@@ -1552,3 +1552,21 @@ def q_llm_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_unicode(docs).select(
         "doc_id", F.md5("text_nfc").alias("fp_nfc"), "was_normalized"
     )
+
+
+@register("llm_audio_spectrogram", covers="llm:multimodal-spectrogram")
+# rows-only: rfft magnitudes have no SQL twin, and an explicit SQL DFT
+# would hinge on libm-vs-JDK trig ulps — the planted-tone test
+# (test_audio_spectrogram_finds_planted_tone) pins the math instead.
+def q_llm_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STFT magnitude features over REAL RIFF/WAVE payloads
+    (`llmdata/multimodal.py audio_spectrogram`): decode → overlapped
+    frames → vectorized rfft → per-clip dominant bin + energy, all in
+    one map-only Arrow kernel."""
+    from stream4flow_spark.llmdata.multimodal import (
+        audio_spectrogram,
+        synthesize_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_spectrogram(synthesize_audio(docs))

@@ -284,3 +284,59 @@ def extract_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return media.mapInPandas(
         feats, schema=f"{id_col} long, features array<double>"
     )
+
+
+def audio_spectrogram(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    frame: int = 16,
+    hop: int = 8,
+) -> DataFrame:
+    """Magnitude spectrogram features from RIFF/WAVE payloads — the
+    standard audio-preprocessing step (STFT), as a map-only Arrow
+    kernel: decode PCM16 → frame with ``hop`` overlap → per-frame
+    ``rfft`` magnitudes (numpy, vectorized across all frames at once)
+    → per-clip features. No shuffle; at 100 TB this runs at scan speed
+    like the other decode paths.
+
+    Output per clip: sample_rate, n_samples, n_frames, n_bins,
+    dominant_bin (argmax of the mean magnitude spectrum, DC excluded —
+    ties break low), spectral_energy (mean squared magnitude, float32
+    math rounded at 1e-4 for cross-run stability).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from stream4flow_spark.llmdata.codecs import decode_wav
+
+    out_schema = (
+        f"{id_col} long, sample_rate int, n_samples int, n_frames int, "
+        "n_bins int, dominant_bin int, spectral_energy double"
+    )
+
+    def spec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                x = samples.astype(np.float32) / 32768.0
+                n = len(x)
+                if n < frame:
+                    x = np.pad(x, (0, frame - n))
+                starts = np.arange(0, max(len(x) - frame, 0) + 1, hop)
+                frames = np.stack([x[s : s + frame] for s in starts])
+                mags = np.abs(np.fft.rfft(frames, axis=1))
+                mean_spec = mags.mean(axis=0)
+                dom = int(np.argmax(mean_spec[1:])) + 1  # skip DC
+                energy = float(np.round((mags**2).mean(), 4))
+                rows.append(
+                    (int(doc_id), int(rate), int(n), len(starts),
+                     mags.shape[1], dom, energy)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_samples", "n_frames",
+                         "n_bins", "dominant_bin", "spectral_energy"],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(spec, out_schema)

@@ -879,3 +879,30 @@ def test_dedup_corpus_schemes_agree_on_planted_dups(spark):
             for r in dedup_corpus(df, scheme=scheme, **kw).collect()
         }
         assert got == {0: 2, 2: 1, 3: 1}, (scheme, got)
+
+
+def test_audio_spectrogram_finds_planted_tone(spark):
+    """A pure sine at a known frequency must dominate its FFT bin after
+    the real WAV decode → frame → rfft pipeline."""
+    import numpy as np
+
+    from stream4flow_spark.llmdata.codecs import encode_wav
+    from stream4flow_spark.llmdata.multimodal import audio_spectrogram
+
+    rate, frame = 64, 16
+    t = np.arange(128) / rate
+    # bin k of an N=16 rfft at 64 Hz covers k*4 Hz: plant 12 Hz -> bin 3
+    tone = (np.sin(2 * np.pi * 12 * t) * 20000).astype(np.int16)
+    quiet = (np.sin(2 * np.pi * 4 * t) * 5000).astype(np.int16)  # bin 1
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_wav(tone, rate=rate))),
+         (1, bytearray(encode_wav(quiet, rate=rate)))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in
+           audio_spectrogram(df, frame=frame, hop=8).collect()}
+    assert out[0].sample_rate == rate and out[0].n_samples == 128
+    assert out[0].n_bins == frame // 2 + 1
+    assert out[0].dominant_bin == 3
+    assert out[1].dominant_bin == 1
+    assert out[0].spectral_energy > out[1].spectral_energy
