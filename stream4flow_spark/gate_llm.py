@@ -1570,3 +1570,20 @@ def q_llm_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return audio_spectrogram(synthesize_audio(docs))
+
+
+@register("llm_image_phash_neardup", covers="llm:multimodal-dedup llm:phash")
+# rows-only: the DCT/median bit derivation has no SQL twin; identical/
+# noised/different behavior is pinned by test_image_phash_near_and_far.
+def q_llm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup pairs over the synthetic image corpus
+    (`llmdata/multimodal.py image_phash` + chunk-banded hamming join —
+    the image analog of SimHash; every banded join shares the
+    hot-bucket cap)."""
+    from stream4flow_spark.llmdata.multimodal import (
+        phash_neardup_pairs,
+        synthesize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return phash_neardup_pairs(synthesize_images(docs), max_hamming=6)

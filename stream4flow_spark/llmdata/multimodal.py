@@ -340,3 +340,105 @@ def audio_spectrogram(
             )
 
     return media.select(id_col, "payload").mapInPandas(spec, out_schema)
+
+
+def image_phash(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual 64-bit image hash (pHash): decode → grayscale →
+    32×32 nearest resize → 2-D DCT-II → 8×8 low-frequency block minus
+    DC → bit = coefficient > median. Visually-near images differ in few
+    bits; re-encodes/noise move ~0–6 bits — the IMAGE analog of the
+    text tier's SimHash, feeding the same chunk-banded near-dup join
+    (`phash_neardup_pairs`). Map-only Arrow kernel, basis matrices
+    built once per batch."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{id_col} long, phash long"
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 32
+        k = np.arange(n)
+        # orthonormal DCT-II basis
+        d = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+        )
+        d[0, :] = np.sqrt(1.0 / n)
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                arr = _decode_any(bytes(payload)).astype(np.float64)
+                gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+                h, w = gray.shape
+                ri = (np.arange(n) * h // n)
+                ci = (np.arange(n) * w // n)
+                small = gray[np.ix_(ri, ci)]
+                coeffs = d @ small @ d.T
+                block = coeffs[:8, :8].flatten()[1:]  # drop DC
+                bits = block > np.median(block)
+                val = np.uint64(0)
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= np.uint64(1) << np.uint64(i)
+                ids.append(int(doc_id))
+                hashes.append(int(val.view(np.int64)))
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return media.select(id_col, "payload").mapInPandas(hash_batch, out_schema)
+
+
+def phash_neardup_pairs(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Visual near-dup pairs by pHash hamming distance ≤ ``max_hamming``.
+
+    Banding: 8 × 8-bit chunks — any pair within hamming ≤ 7 agrees
+    exactly on ≥ 1 chunk (pigeonhole), so the join keys on
+    (chunk_index, chunk_value) and never goes all-pairs; hot chunks cap
+    at ``max_bucket`` lowest ids like every banded join here. Exact
+    hamming verifies via bit_count(xor)."""
+    from stream4flow_spark.llmdata.dedup import _cap_buckets
+
+    hashed = image_phash(media, id_col).select(
+        F.col(id_col).alias("id"), "phash"
+    )
+    chunked = hashed.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("phash"), c * 8)
+                        .bitwiseAND(0xFF)
+                        .alias("val"),
+                    )
+                    for c in range(8)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "phash", F.col("cv.chunk").alias("chunk"),
+             F.col("cv.val").alias("val"))
+    chunked = _cap_buckets(chunked, ["chunk", "val"], max_bucket)
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

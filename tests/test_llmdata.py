@@ -906,3 +906,45 @@ def test_audio_spectrogram_finds_planted_tone(spark):
     assert out[0].dominant_bin == 3
     assert out[1].dominant_bin == 1
     assert out[0].spectral_energy > out[1].spectral_energy
+
+
+def test_image_phash_near_and_far(spark):
+    """Identical images hash identically; a lightly-noised copy stays
+    within a small hamming distance and pairs up; a structurally
+    different image does not pair."""
+    import numpy as np
+
+    from stream4flow_spark.llmdata.codecs import encode_ppm
+    from stream4flow_spark.llmdata.multimodal import (
+        image_phash,
+        phash_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, (40, 48, 3)).astype(np.uint8)
+    noised = base.copy()
+    noised[::9, ::9] = np.clip(noised[::9, ::9] + 4, 0, 255)  # tiny nudge
+    different = rng.randint(0, 256, (40, 48, 3)).astype(np.uint8)
+    gradient = np.tile(
+        np.linspace(0, 255, 48, dtype=np.uint8), (40, 1)
+    )[..., None].repeat(3, axis=2)
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_ppm(base))),
+            (1, bytearray(encode_ppm(base))),
+            (2, bytearray(encode_ppm(noised))),
+            (3, bytearray(encode_ppm(gradient))),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = {r.doc_id: r.phash for r in image_phash(df).collect()}
+    assert hashes[0] == hashes[1]
+    assert bin(hashes[0] ^ hashes[2]).count("1") <= 6
+    assert bin(hashes[0] ^ hashes[3]).count("1") > 10
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_neardup_pairs(df, max_hamming=6).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
