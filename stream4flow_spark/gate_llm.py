@@ -1587,3 +1587,95 @@ def q_llm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return phash_neardup_pairs(synthesize_images(docs), max_hamming=6)
+
+
+@register(
+    "llm_split_drift",
+    covers="llm:distribution-drift llm:train-split",
+    oracle=f"""
+        WITH toks AS (
+            SELECT CASE WHEN {_BUCKET_SQL.format(salt='s4f-split')} < 52428
+                        THEN 'train' ELSE 'heldout' END AS split,
+                   unnest({_W}) AS tok
+            FROM documents
+        ), c AS (
+            SELECT split, tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks GROUP BY 1, 2
+        ), v AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM c
+        ), tot AS (
+            SELECT split, CAST(SUM(n) AS BIGINT) AS total
+            FROM c GROUP BY 1
+        ), joined AS (
+            SELECT COALESCE(a.tok, b.tok) AS tok,
+                   COALESCE(a.n, 0) AS n_train, COALESCE(b.n, 0) AS n_held
+            FROM (SELECT * FROM c WHERE split = 'train') a
+            FULL OUTER JOIN (SELECT * FROM c WHERE split = 'heldout') b
+              ON a.tok = b.tok
+        )
+        SELECT ROUND(SUM(
+                   ((n_train + 1.0) / (tt.total + v.vocab))
+                   * ln(((n_train + 1.0) / (tt.total + v.vocab))
+                        / ((n_held + 1.0) / (th.total + v.vocab)))
+               ), 6) AS kl_train_vs_heldout,
+               ANY_VALUE(v.vocab) AS n_vocab,
+               ANY_VALUE(tt.total) AS train_tokens,
+               ANY_VALUE(th.total) AS heldout_tokens
+        FROM joined, v,
+             (SELECT total FROM tot WHERE split = 'train') tt(total),
+             (SELECT total FROM tot WHERE split = 'heldout') th(total)
+        """,
+)
+def q_llm_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between the train split and everything
+    else: add-one-smoothed KL(train ‖ heldout) over the union
+    vocabulary — the monitoring number that catches a skewed split or a
+    shifted incoming snapshot. Exact integer counts until the final
+    fixed-order reduction (per-token terms ~1e-3; double-sum error
+    ~1e-15, far under the 1e-6 rounding). Wire cost is the vocabulary,
+    with map-side combine — same shape as corpus_term_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    from stream4flow_spark.llmdata.sampling import hash_bucket
+
+    split = F.when(
+        hash_bucket(F.col("doc_id"), "s4f-split") < 52428, "train"
+    ).otherwise("heldout")
+    toks = docs.select(
+        split.alias("split"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    c = toks.groupBy("split", "tok").agg(F.count("*").alias("n"))
+    vocab = c.select("tok").distinct().agg(F.count("*").alias("vocab"))
+    tot = c.groupBy("split").agg(F.sum("n").alias("total"))
+    tr = c.filter(F.col("split") == "train").select(
+        F.col("tok"), F.col("n").alias("n_train")
+    )
+    he = c.filter(F.col("split") == "heldout").select(
+        F.col("tok").alias("tok_h"), F.col("n").alias("n_held")
+    )
+    joined = (
+        tr.join(he, tr.tok == he.tok_h, "full_outer")
+        .select(
+            F.coalesce("n_train", F.lit(0)).alias("n_train"),
+            F.coalesce("n_held", F.lit(0)).alias("n_held"),
+        )
+    )
+    tt = tot.filter(F.col("split") == "train").select(
+        F.col("total").alias("t_train")
+    )
+    th = tot.filter(F.col("split") == "heldout").select(
+        F.col("total").alias("t_held")
+    )
+    p = (F.col("n_train") + 1.0) / (F.col("t_train") + F.col("vocab"))
+    q = (F.col("n_held") + 1.0) / (F.col("t_held") + F.col("vocab"))
+    return (
+        joined.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(th))
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_train_vs_heldout"),
+            F.first("vocab").alias("n_vocab"),
+            F.first("t_train").alias("train_tokens"),
+            F.first("t_held").alias("heldout_tokens"),
+        )
+    )
