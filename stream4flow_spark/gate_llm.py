@@ -1679,3 +1679,62 @@ def q_llm_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("t_held").alias("heldout_tokens"),
         )
     )
+
+
+@register(
+    "llm_scene_changes",
+    covers="llm:multimodal-scene-detect W2",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, doc_id % 90 + 30 AS n FROM documents
+        ),
+        s AS (
+            SELECT d.doc_id, i.i AS i,
+                   ((d.doc_id * 13 + i.i * 17) % 65536) - 32768 AS v
+            FROM d, unnest(range(0, d.n)) AS i(i)
+        ),
+        fr AS (
+            SELECT doc_id, CAST((i // 30) AS INT) AS f,
+                   ROUND(AVG(v), 4) AS m
+            FROM s GROUP BY 1, 2
+        ),
+        dd AS (
+            SELECT doc_id, f, m,
+                   ABS(m - LAG(m) OVER (PARTITION BY doc_id ORDER BY f))
+                     AS jump
+            FROM fr
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(1 + COUNT(*) FILTER (WHERE jump > 4000) AS BIGINT)
+                 AS n_scenes,
+               ROUND(COALESCE(MAX(jump), 0), 4) AS max_jump
+        FROM dd GROUP BY 1
+        """,
+)
+def q_llm_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change segmentation over decoded frame sequences: per-doc
+    lag window on the frame signal, boundary where the jump exceeds the
+    threshold — the shot-boundary step of a video ingest pipeline, over
+    the REAL WAV-decoded frame table. One doc-keyed window whose
+    partitions are frames-per-clip (bounded by clip length, never
+    corpus size)."""
+    from pyspark.sql import Window
+
+    from stream4flow_spark.llmdata.multimodal import (
+        sample_frames,
+        synthesize_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = sample_frames(synthesize_audio(docs))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    dd = frames.withColumn(
+        "jump", F.abs(F.col("frame_mean") - F.lag("frame_mean").over(w))
+    )
+    return dd.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        (
+            1 + F.coalesce(F.sum((F.col("jump") > 4000).cast("long")), F.lit(0))
+        ).alias("n_scenes"),
+        F.round(F.coalesce(F.max("jump"), F.lit(0.0)), 4).alias("max_jump"),
+    )
