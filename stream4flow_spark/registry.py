@@ -88,13 +88,14 @@ WINDOW_PRIORITY: list[str] = [
     "llm_pii_stats", "llm_incremental_dedup", "rel_gapfill_events",
     "rel_unpivot_measures", "llm_hybrid_rrf", "llm_split_leakage",
     "llm_unicode_normalize",
-    # 50: one single-green (r04-only) relational keeps a slot; the other
-    # seven (rel_rollup_revenue, q4ish, q13ish, q14ish, q7ish, q8ish,
-    # q10ish) plus q18ish/q19ish/q22ish rotate next round on their r04
-    # rows. The 13 apps + readside + q1/q3/q5ish/q6 are multi-round
-    # green and rotate out with their recorded signal; the rows-only
+    # 50: the split-drift audit (never verified) takes the final slot;
+    # llm_scene_changes plus the r04-green singles (rel_event_
+    # sessionization, rel_rollup_revenue, q4ish, q13ish, q14ish, q7ish,
+    # q8ish, q10ish, q18ish, q19ish, q22ish) rotate next round on their
+    # recorded rows. The 13 apps + readside + q1/q3/q5ish/q6 are
+    # multi-round green and rotate out with their signal; the rows-only
     # entries stay property/recall/reference-loop-tested.
-    "rel_event_sessionization",
+    "llm_split_drift",
 ]
 
 

@@ -37,6 +37,8 @@ _NESTED_LOOP_OK = {
     # three 1-row count aggregates cross-joined into the single output
     # row — each side of every join is exactly one row
     "rel_setops_customer_years",
+    # 1-row vocab/total constants cross-joined into the KL reduction
+    "llm_split_drift",
 }
 
 
@@ -112,8 +114,9 @@ def test_no_broadcast_hint_on_scale_growing_tables():
         "nat", "consts", "top", "total",
         # r5 later additions, all bounded by construction: packing base
         # offsets (n_buckets rows), mixture thresholds (one row per
-        # targeted group), percentile bounds (one row per language)
-        "base", "thresh", "bounds",
+        # targeted group), percentile bounds (one row per language),
+        # split-drift's 1-row vocab/per-split-total constants
+        "base", "thresh", "bounds", "vocab", "tt", "th",
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []
