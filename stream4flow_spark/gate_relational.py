@@ -1627,3 +1627,41 @@ def q_rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.groupBy("l_returnflag", "measure").agg(
         F.sum("val").cast("decimal(38,2)").cast("string").alias("total")
     )
+
+
+@register(
+    "rel_lateral_top_orders",
+    covers="rel:lateral-join rel:correlated-subquery A9",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS STRING)
+                 AS totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 2) o
+        WHERE c.c_custkey < 200
+        """,
+)
+def q_rel_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY LIMIT — the SQL
+    surface users reach for before they know rank windows; Catalyst
+    decorrelates it into the same rank-window plan top_k_per_key emits,
+    so the declarative form costs nothing at scale. Deterministic
+    per-customer tiebreak; money as exact-decimal string."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS STRING)
+                 AS totalprice
+        FROM _lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 2) o
+        WHERE c.c_custkey < 200
+        """
+    )
