@@ -1,0 +1,88 @@
+"""`flowgen` — a custom PySpark data source generating synthetic IPFIX
+flows.
+
+Spark 4's Python DataSource API lets a source live entirely in Python
+while executors read its partitions in parallel — the extension surface
+a deployment without a Kafka archive uses for load tests, demo
+clusters, and app-pipeline soak runs. This one emits schema-complete
+`FLOW_SCHEMA` records, seeded and deterministic (same options → same
+rows, any cluster), split evenly across `partitions` input splits so
+generation scales with the executor count like a real source.
+
+    spark.dataSource.register(FlowGenDataSource)
+    flows = (spark.read.format("flowgen")
+             .option("rows", 1_000_000).option("partitions", 64).load())
+
+Options: rows (default 1000), partitions (default 8), seed (default 7),
+start_ms (epoch ms of the first flow, default 1.6e12), span_ms (time
+range covered, default 3_600_000). Every app in `apps/` runs unchanged
+on the result — the generator exists so the full pipeline can be
+exercised with zero external input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from stream4flow_spark.schema import FLOW_SCHEMA
+
+
+def _mix(*xs: int) -> int:
+    """Deterministic 64-bit mixer (splitmix-style) over the inputs."""
+    h = 0x9E3779B97F4A7C15
+    for x in xs:
+        h = (h ^ (x * 0xBF58476D1CE4E5B9)) & 0xFFFFFFFFFFFFFFFF
+        h = ((h >> 31) ^ h) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    return (h >> 7) & 0x7FFFFFFFFFFFFFFF
+
+
+class _FlowGenReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+        self.seed = int(options.get("seed", 7))
+        self.start_ms = int(options.get("start_ms", 1_600_000_000_000))
+        self.span_ms = int(options.get("span_ms", 3_600_000))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition):
+        p = partition.value
+        for r in range(p, self.rows, self.n_parts):
+            h = _mix(self.seed, r)
+            proto = (6, 17, 1)[h % 10 % 3] if h % 10 < 9 else 6
+            src = f"10.{(h >> 8) % 64}.{(h >> 16) % 256}.{(h >> 24) % 256}"
+            dst = f"192.168.{(h >> 32) % 16}.{(h >> 40) % 256}"
+            t0 = self.start_ms + (r * self.span_ms) // max(self.rows, 1)
+            pkts = 1 + h % 1000
+            is_dns = proto == 17 and h % 5 == 0
+            yield (
+                src, dst, None, None,
+                proto,
+                1024 + (h >> 12) % 60000,
+                (53 if is_dns else (80, 443, 22, 8080)[(h >> 5) % 4]),
+                pkts,
+                pkts * (40 + h % 1460),
+                t0,
+                t0 + h % 60_000,
+                (h % 64) if proto == 6 else None,
+                (f"host{h % 97}.example.com" if is_dns else None),
+                (1 if is_dns else None),
+                ((h >> 3) % 32768 if is_dns else None),
+                None, None, None, None,
+                None,
+                None,
+            )
+
+
+class FlowGenDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "flowgen"
+
+    def schema(self):
+        return FLOW_SCHEMA
+
+    def reader(self, schema):
+        return _FlowGenReader(self.options)

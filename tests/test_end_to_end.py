@@ -88,3 +88,38 @@ def test_cli_runner_list_and_run(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert spark.read.parquet(dest).count() > 0
+
+
+def test_flowgen_source_feeds_apps_deterministically(spark):
+    """The custom Python data source must produce schema-complete,
+    seed-deterministic flows in parallel partitions, and the real app
+    pipelines must run on them unchanged."""
+    from stream4flow_spark.apps.protocols_statistics import (
+        protocols_statistics,
+    )
+    from stream4flow_spark.schema import FLOW_COLUMNS
+    from stream4flow_spark.sources.flowgen import FlowGenDataSource
+
+    spark.dataSource.register(FlowGenDataSource)
+    flows = (
+        spark.read.format("flowgen")
+        .option("rows", 2000)
+        .option("partitions", 5)
+        .load()
+    )
+    assert flows.columns == FLOW_COLUMNS
+    assert flows.rdd.getNumPartitions() == 5
+    assert flows.count() == 2000
+    again = (
+        spark.read.format("flowgen")
+        .option("rows", 2000)
+        .option("partitions", 3)  # different parallelism, same rows
+        .load()
+    )
+    key = ["ipfix_sourceIPv4Address", "ipfix_flowStartMilliseconds"]
+    assert sorted(map(tuple, flows.select(key).collect())) == sorted(
+        map(tuple, again.select(key).collect())
+    )
+    stats = protocols_statistics(flows, "1 hour").collect()
+    assert len(stats) >= 2  # tcp + udp at least
+    assert {r.protocol for r in stats} <= {"tcp", "udp", "icmp", "other"}
