@@ -1738,3 +1738,34 @@ def q_llm_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_scenes"),
         F.round(F.coalesce(F.max("jump"), F.lit(0.0)), 4).alias("max_jump"),
     )
+
+
+@register(
+    "llm_dedup_rate_by_source",
+    covers="llm:dedup-reporting A15",
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+               ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                     / COUNT(*), 6) AS dup_rate
+        FROM documents GROUP BY 1
+        """,
+)
+def q_llm_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate report per source — the curation dashboard
+    number that says which crawls are redundant before anything is
+    dropped. Digest-only distinct count per group (the digest computes
+    scan-side; text never shuffles), one exchange keyed by source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.round(
+                1.0 - F.countDistinct("fp").cast("double") / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+    )
