@@ -130,7 +130,17 @@ def encode_with_bpe(
     each batch, so Zipfian text costs ~one merge loop per DISTINCT word.
     """
     ranks = {pair: i for i, pair in enumerate(merges)}
-    out_schema = f"{id_col} long, n_tokens_bpe_exact int, max_word_subwords int"
+    # carry the id column's ACTUAL type through the Arrow batch — string
+    # or int32 doc ids must round-trip, not null-cast to long
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("n_tokens_bpe_exact", IntegerType()),
+            StructField("max_word_subwords", IntegerType()),
+        ]
+    )
 
     def encode(batches):
         import pandas as pd

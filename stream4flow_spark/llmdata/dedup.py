@@ -667,16 +667,24 @@ def segment_dedup(
 
     Returns (key_col, text: rebuilt text, n_segments, n_kept).
     """
-    # composite first-occurrence key; assumes < 1M segments per doc
     segs = docs.select(
         key_col,
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "seg"),
-    ).withColumn("pk", F.col(key_col) * 1_000_000 + F.col("pos"))
-    # the winner pk per segment is globally unique, so the semi-join can
-    # key on pk alone (joining seg too would be ambiguous self-lineage)
-    first = segs.groupBy("seg").agg(F.min("pk").alias("first_pk"))
+    )
+    # first-occurrence winner = min over the (doc, pos) struct — still a
+    # partial-agg min (state: one struct per distinct segment) but with no
+    # arithmetic packing, so it survives string doc ids, >=1M segments per
+    # doc, and any int64 id range. The winning (doc, pos) pair uniquely
+    # names one segment occurrence, so the semi-join keys on it directly.
+    first = segs.groupBy("seg").agg(
+        F.min(
+            F.struct(F.col(key_col).alias("k"), F.col("pos").alias("p"))
+        ).alias("w")
+    )
     kept = segs.join(
-        first.select(F.col("first_pk").alias("pk")), "pk", "left_semi"
+        first.select(F.col("w.k").alias(key_col), F.col("w.p").alias("pos")),
+        [key_col, "pos"],
+        "left_semi",
     )
     n_total = segs.groupBy(key_col).agg(F.count("*").alias("n_segments"))
     rebuilt = (

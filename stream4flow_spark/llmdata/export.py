@@ -77,6 +77,32 @@ def write_shards(
         "total_rows": int(sum(counts.values())),
         "shards": {str(k): int(v) for k, v in sorted(counts.items())},
     }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    # Underscore prefix: Spark/Hadoop directory listings skip files
+    # starting with '_' or '.', so a later ``spark.read.parquet(out_dir)``
+    # (or pyarrow dataset scan) never tries to parse the manifest as a
+    # parquet footer. Written through the JVM Hadoop FS API so exports to
+    # HDFS/S3 paths work, with a plain-file fallback for bare local paths.
+    _write_side_file(
+        spark,
+        os.path.join(out_dir, "_manifest.json"),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
     return manifest
+
+
+def _write_side_file(spark, path: str, content: str) -> None:
+    """Write a small text side-file via Hadoop FS (HDFS/S3-capable)."""
+    try:
+        jvm = spark._jvm
+        jsc = spark.sparkContext._jsc
+        conf = jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+    except Exception:  # pragma: no cover - local-fs fallback
+        with open(path, "w") as f:
+            f.write(content)

@@ -128,10 +128,19 @@ def attach_binary_payload(
 
 # --- operators -------------------------------------------------------------
 
-DECODE_SCHEMA = (
-    "doc_id long, fmt string, n_bytes long, width int, height int, "
-    "channels int, px_mean double, ok boolean"
-)
+
+def _id_ddl(df: DataFrame, id_col: str) -> str:
+    """DDL fragment for the id column with its ACTUAL type — string or
+    int32 document ids must round-trip through the Arrow batch rather
+    than null-cast to a hardcoded long."""
+    return f"{id_col} {df.schema[id_col].dataType.simpleString()}"
+
+
+def _decode_schema(media: DataFrame, id_col: str) -> str:
+    return (
+        f"{_id_ddl(media, id_col)}, fmt string, n_bytes long, width int, "
+        "height int, channels int, px_mean double, ok boolean"
+    )
 
 
 def decode_images(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -165,18 +174,19 @@ def decode_images(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "fmt", "n_bytes", "width", "height",
+                    id_col, "fmt", "n_bytes", "width", "height",
                     "channels", "px_mean", "ok",
                 ],
             )
 
-    return media.mapInPandas(decode, schema=DECODE_SCHEMA)
+    return media.mapInPandas(decode, schema=_decode_schema(media, id_col))
 
 
-RESIZE_SCHEMA = (
-    "doc_id long, src_width int, src_height int, width int, height int, "
-    "scale double, px_mean double"
-)
+def _resize_schema(media: DataFrame, id_col: str) -> str:
+    return (
+        f"{_id_ddl(media, id_col)}, src_width int, src_height int, "
+        "width int, height int, scale double, px_mean double"
+    )
 
 
 def resize_images(
@@ -209,17 +219,19 @@ def resize_images(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "src_width", "src_height", "width", "height",
+                    id_col, "src_width", "src_height", "width", "height",
                     "scale", "px_mean",
                 ],
             )
 
-    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
+    return media.mapInPandas(resize, schema=_resize_schema(media, id_col))
 
 
-FRAMES_SCHEMA = (
-    "doc_id long, frame_idx int, frame_ms long, frame_mean double"
-)
+def _frames_schema(media: DataFrame, id_col: str) -> str:
+    return (
+        f"{_id_ddl(media, id_col)}, frame_idx int, frame_ms long, "
+        "frame_mean double"
+    )
 
 
 def sample_frames(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -244,10 +256,10 @@ def sample_frames(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         )
                     )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_ms", "frame_mean"]
+                rows, columns=[id_col, "frame_idx", "frame_ms", "frame_mean"]
             )
 
-    return media.mapInPandas(frames, schema=FRAMES_SCHEMA)
+    return media.mapInPandas(frames, schema=_frames_schema(media, id_col))
 
 
 def extract_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -282,7 +294,7 @@ def extract_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({id_col: ids, "features": vecs})
 
     return media.mapInPandas(
-        feats, schema=f"{id_col} long, features array<double>"
+        feats, schema=f"{_id_ddl(media, id_col)}, features array<double>"
     )
 
 
@@ -310,8 +322,8 @@ def audio_spectrogram(
     from stream4flow_spark.llmdata.codecs import decode_wav
 
     out_schema = (
-        f"{id_col} long, sample_rate int, n_samples int, n_frames int, "
-        "n_bins int, dominant_bin int, spectral_energy double"
+        f"{_id_ddl(media, id_col)}, sample_rate int, n_samples int, "
+        "n_frames int, n_bins int, dominant_bin int, spectral_energy double"
     )
 
     def spec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -330,7 +342,7 @@ def audio_spectrogram(
                 dom = int(np.argmax(mean_spec[1:])) + 1  # skip DC
                 energy = float(np.round((mags**2).mean(), 4))
                 rows.append(
-                    (int(doc_id), int(rate), int(n), len(starts),
+                    (doc_id, int(rate), int(n), len(starts),
                      mags.shape[1], dom, energy)
                 )
             yield pd.DataFrame(
@@ -353,7 +365,7 @@ def image_phash(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    out_schema = f"{id_col} long, phash long"
+    out_schema = f"{_id_ddl(media, id_col)}, phash long"
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 32
@@ -379,7 +391,7 @@ def image_phash(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 for i, b in enumerate(bits):
                     if b:
                         val |= np.uint64(1) << np.uint64(i)
-                ids.append(int(doc_id))
+                ids.append(doc_id)
                 hashes.append(int(val.view(np.int64)))
             yield pd.DataFrame({id_col: ids, "phash": hashes})
 

@@ -10,6 +10,7 @@ anyone pays for it at sf-huge.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -83,19 +84,37 @@ def diagnose(df: DataFrame) -> list[Finding]:
                     "pandas UDFs (Arrow) or built-in Columns")
         )
 
-    # Filter node whose child scan pushed nothing down
+    # Actual Filter operator nodes + per-scan PushedFilters association.
+    # The formatted-explain detail section headers each node as
+    # "(<id>) <NodeName>"; attributes (Output, PushedFilters, ...) follow
+    # until the next header, so tracking the current node id ties each
+    # "PushedFilters: []" line to its owning scan. A plan with no Filter
+    # node (e.g. a filterless full-table aggregate) legitimately pushes
+    # nothing and must NOT warn.
     lines = plan.splitlines()
-    scans_no_push = {
-        ln.split("Scan parquet")[-1].strip().split("[")[0].strip()
-        for ln in lines
-        if "PushedFilters: []" in ln
-    }
-    if "PushedFilters: []" in plan and "Filter" in plan:
+    node_hdr = re.compile(r"^\((\d+)\)\s+(\S.*)$")
+    has_filter_node = False
+    cur_scan: str | None = None
+    scans_no_push: list[str] = []
+    for ln in lines:
+        m = node_hdr.match(ln.strip())
+        if m:
+            name = m.group(2).strip()
+            if name.startswith("Filter"):
+                has_filter_node = True
+            if "Scan parquet" in name:
+                cur_scan = f"({m.group(1)}) {name}"
+            else:
+                cur_scan = None
+        elif cur_scan and ln.strip().startswith("PushedFilters: []"):
+            scans_no_push.append(cur_scan)
+    if has_filter_node and scans_no_push:
         findings.append(
             Finding("warn", "unpushed-filter",
-                    "a scan has PushedFilters: [] while the plan "
-                    "filters — predicate not reaching the reader "
-                    f"(scans: {sorted(scans_no_push) or 'see plan'})")
+                    "the plan has Filter operator(s) while scan(s) "
+                    "pushed no predicates — check whether the filter "
+                    "could reach the reader "
+                    f"(scans: {sorted(scans_no_push)})")
         )
 
     n_ex = sum(

@@ -831,8 +831,11 @@ def test_write_shards_balanced_deterministic_with_manifest(spark, tmp_path):
     for s in range(8):
         files = glob.glob(f"{out}/shard={s}/*.parquet")
         assert len(files) == 1, (s, files)
-    disk = _json.load(open(f"{out}/manifest.json"))
+    disk = _json.load(open(f"{out}/_manifest.json"))
     assert disk == manifest
+    # underscore-prefixed side file must be invisible to parquet readers:
+    # a fresh read of the directory parses only the data files
+    assert spark.read.parquet(out).count() == manifest["total_rows"]
     # assignment is a pure function of the key: identical across runs
     # and partitionings
     a = {r.doc_id: r.shard for r in assign_shards(docs, 8).collect()}
