@@ -1769,3 +1769,68 @@ def q_llm_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@register(
+    "llm_unigram_logprob",
+    covers="llm:lm-quality-score llm:token-stats",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, t AS word
+            FROM documents,
+                 unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+            WHERE t <> ''
+        ),
+        doc AS (
+            SELECT doc_id, word, COUNT(*) AS dcnt FROM toks GROUP BY 1, 2
+        ),
+        freq AS (
+            SELECT word, CAST(SUM(dcnt) AS BIGINT) AS cnt FROM doc GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM freq)
+        SELECT d.doc_id,
+               CAST(SUM(d.dcnt) AS BIGINT) AS n_tokens,
+               ROUND(SUM(d.dcnt * LN(CAST(f.cnt AS DOUBLE) / t.n))
+                     / SUM(d.dcnt), 4) AS avg_logprob
+        FROM doc d JOIN freq f USING (word) CROSS JOIN tot t
+        GROUP BY 1
+        """,
+)
+def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality score: the corpus's
+    own unigram distribution scores each document by its mean token
+    log-probability — boilerplate and keyword-stuffed pages score high
+    (repetitive common tokens), gibberish scores very low, and the
+    middle band is the keep zone (Wenzek et al., CCNet; the reference
+    has no LM scoring — this is training-pipeline surface).
+
+    Scale shape: ONE tokenize pass -> per-(doc, word) partial-agg
+    counts (the explode never re-shuffles raw tokens; 'the'-skew is
+    bounded because join rows per word <= n_docs, not token
+    occurrences); the vocab-sized freq table derives from the same
+    reduced counts; the scalar total broadcasts. Join key is the word,
+    payload is two longs — text never travels."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"),
+    ).filter(F.col("word") != "")
+    doc = toks.groupBy("doc_id", "word").agg(F.count("*").alias("dcnt"))
+    freq = doc.groupBy("word").agg(F.sum("dcnt").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("double").alias("n"))
+    return (
+        doc.join(freq, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dcnt").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("dcnt")
+                    * F.log(F.col("cnt").cast("double") / F.col("n"))
+                )
+                / F.sum("dcnt"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -1726,3 +1726,59 @@ def q_rel_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       = CAST(monthly.m AS DATE)
         """
     )
+
+
+@register(
+    "tpch_q12ish_shipmode_priority",
+    covers="rel:conditional-two-way-count rel:selective-date-join",
+    oracle="""
+        SELECT CASE l_suppkey % 3 WHEN 0 THEN 'MAIL'
+                                  WHEN 1 THEN 'SHIP'
+                                  ELSE 'RAIL' END AS ship_mode,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate <  DATE '1998-01-01'
+        GROUP BY 1
+        """,
+)
+def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped: shipping-mode vs order-priority cross counts after a
+    selective one-year date filter (TPC-H Q12; the testdata lacks
+    l_shipmode/commit/receipt columns, so the mode derives
+    deterministically from l_suppkey and the date filter stands alone).
+    Scale shape: the year predicate pushes to the lineitem scan (it
+    drops ~6/7 of the fact table BEFORE the join), the orders side
+    prunes to (key, priority), and the conditional counts fold into one
+    3-key hash aggregate with map-side partials — the classic
+    filter -> join -> CASE-count reporting pipeline."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    filtered = l.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        filtered.join(
+            o.select("o_orderkey", "o_orderpriority"),
+            filtered["l_orderkey"] == o["o_orderkey"],
+        )
+        .select(
+            F.element_at(
+                F.array(F.lit("MAIL"), F.lit("SHIP"), F.lit("RAIL")),
+                (F.col("l_suppkey") % 3 + 1).cast("int"),
+            ).alias("ship_mode"),
+            high.cast("long").alias("is_high"),
+        )
+        .groupBy("ship_mode")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(1 - F.col("is_high")).alias("low_line_count"),
+        )
+    )

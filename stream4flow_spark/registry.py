@@ -48,54 +48,46 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 # listed keep registration order after the pinned prefix, so nothing is
 # ever dropped from ``queries()`` itself.
 WINDOW_PRIORITY: list[str] = [
-    # Never-driver-verified oracle queries come first (the window's own
-    # policy). 1-12: the round-5 LLM-pipeline additions — lexical/TF-IDF
-    # stats, BM25, decontamination, repetition signals, source caps,
-    # end-to-end corpus prep, kNN label vote, sequence packing, mixture
-    # resampling, length-band selection, embedding diagnostics, segment
-    # dedup.
-    "llm_tfidf_terms", "llm_bm25_topk", "llm_decontaminate",
-    "llm_repetition", "llm_source_cap", "llm_prepare_corpus",
-    "llm_knn_label_vote", "llm_pack_sequences", "llm_mixture_resample",
-    "llm_length_floor", "llm_embedding_stats", "llm_segment_dedup",
-    # 13-28: the round-5 relational additions — as-of join, the q2/q9/
-    # q11/q15/q16/q17/q20/q21 TPC-H shapes, funnel/retention, JSON
-    # extraction, CUBE, ROWS-frame window, set ops, distribution windows.
-    "rel_asof_join", "tpch_q2ish_min_cost_supplier",
-    "tpch_q9ish_nation_year_profit", "tpch_q11ish_important_parts",
-    "tpch_q15ish_top_supplier", "tpch_q16ish_supplier_variety",
-    "tpch_q17ish_small_quantity_revenue", "tpch_q20ish_excess_suppliers",
-    "tpch_q21ish_sole_supplier", "rel_funnel_conversion",
-    "rel_retention_cohorts", "rel_json_props",
-    "rel_cube_mktsegment_year", "rel_moving_order_value",
-    "rel_setops_customer_years", "rel_spend_deciles",
-    # 29-30: semantics changed in round 5 — the two-stage skew-safe DDoS
-    # default and the bounded-state exact percentile plan need rows that
-    # match the CURRENT implementation.
-    "detection_ddos", "llm_length_stats",
-    # 31-42: LLM tier whose only green rows are r02, recorded under the
-    # pre-TIMESTAMP_NTZ PySpark — re-verify under 4.1.2 (r4 verdict
-    # item 2).
-    "llm_text_stats", "llm_language_id", "llm_fingerprints",
-    "llm_exact_dedup", "llm_ngram_jaccard", "llm_embedding_neardup",
-    "llm_multimodal_decode", "llm_multimodal_resize",
-    "llm_multimodal_frames", "llm_multimodal_features",
-    "llm_hash_split", "llm_stratified_sample",
-    # 43-49: the late round-5 oracle-backed additions (PII audit,
-    # incremental dedup, gap fill, unpivot, hybrid RRF, split-leakage
-    # audit, NFC fingerprints) — never driver-verified, so they outrank
-    # r04-green singles per this window's policy.
-    "llm_pii_stats", "llm_incremental_dedup", "rel_gapfill_events",
-    "rel_unpivot_measures", "llm_hybrid_rrf", "llm_split_leakage",
-    "llm_unicode_normalize",
-    # 50: the split-drift audit (never verified) takes the final slot;
-    # llm_scene_changes plus the r04-green singles (rel_event_
-    # sessionization, rel_rollup_revenue, q4ish, q13ish, q14ish, q7ish,
-    # q8ish, q10ish, q18ish, q19ish, q22ish) rotate next round on their
-    # recorded rows. The 13 apps + readside + q1/q3/q5ish/q6 are
-    # multi-round green and rotate out with their signal; the rows-only
-    # entries stay property/recall/reference-loop-tested.
-    "llm_split_drift",
+    # Round-6 window. Policy unchanged: never-driver-verified first,
+    # then changed-implementation, then oldest/fewest-green. The 50
+    # r05-green queries rotate out on their fresh rows.
+    # 1-4: the only oracle-backed queries with NO driver row anywhere
+    # (added after the r05 window was pinned — r05 verdict item 1).
+    "llm_scene_changes", "llm_dedup_rate_by_source",
+    "rel_lateral_top_orders", "rel_recursive_calendar",
+    # 5-6: new this round (never verified by definition).
+    "tpch_q12ish_shipmode_priority", "llm_unigram_logprob",
+    # 7: implementation changed this round (struct-min first-occurrence
+    # winner replaced the packed-int pk) — re-certify the current plan.
+    "llm_segment_dedup",
+    # 8-21: exactly-one-green r04 singles (the registry comment's
+    # promised rotation).
+    "llm_text_clean", "llm_corpus_select", "llm_dedup_corpus",
+    "rel_event_sessionization", "rel_rollup_revenue",
+    "tpch_q4ish_priority_check", "tpch_q13ish_order_distribution",
+    "tpch_q14ish_promo_share", "tpch_q7ish_nation_volume",
+    "tpch_q8ish_market_share", "tpch_q10ish_returned_revenue",
+    "tpch_q18ish_large_orders", "tpch_q19ish_bracket_revenue",
+    "tpch_q22ish_dormant_customers",
+    # 22-46: the three-green (r01+r03+r04) apps/readside set — last
+    # verified r04, oldest standing signal after the singles.
+    "protocols_statistics", "host_stats", "top_n_host_stats",
+    "dns_statistics", "tls_classification", "host_daily_profile",
+    "ssh_auth_simple", "ports_scan", "reflect_ddos",
+    "dns_open_resolvers", "dns_external_resolvers", "pattern_finder",
+    "domain_entropy", "iso_timestamps", "alert_suppression",
+    "application_template", "readside_q1_range_term",
+    "readside_q2_histogram_terms_sum", "readside_q3_global_sums",
+    "readside_q4_per_host_sums", "readside_q5_histogram_multimetric",
+    "readside_q6_top1_per_type", "readside_q7_latest_per_group",
+    "readside_q8_either_term", "readside_q9_ordered",
+    # 47-50: four of the nine four-green queries; the remaining five
+    # (tpch_q6_forecast_revenue, tpch_q3_top_revenue_orders,
+    # tpch_q5ish_revenue_per_region, rel_semi_anti_customers,
+    # rel_pivot_order_priority) defer to r07 on their four recorded
+    # green rows — the deepest-verified queries in the registry.
+    "llm_minhash_lsh_dedup", "llm_ann_cosine_topk",
+    "llm_dedup_components", "tpch_q1_pricing_summary",
 ]
 
 

@@ -39,6 +39,8 @@ _NESTED_LOOP_OK = {
     "rel_setops_customer_years",
     # 1-row vocab/total constants cross-joined into the KL reduction
     "llm_split_drift",
+    # r6: the 1-row corpus-token total broadcast into the scoring join
+    "llm_unigram_logprob",
 }
 
 
@@ -155,6 +157,7 @@ def test_selective_scans_push_filters(spark):
         "readside_q1_range_term",   # range + term predicate on events
         "tpch_q19ish_bracket_revenue",  # part-side brackets
         "llm_corpus_select",        # documents quality floors
+        "tpch_q12ish_shipmode_priority",  # one-year l_shipdate range
     ]:
         plan = _plan(spark, name)
         assert "PushedFilters: [" in plan, name
