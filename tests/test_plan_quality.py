@@ -280,3 +280,48 @@ def test_embedding_stats_partial_aggs_the_explode(spark):
     # top-down tree, and no Exchange line sits between them
     upstream = plan[:gen].rsplit("Exchange", 1)
     assert "partial_avg" in upstream[-1], plan[:gen]
+
+
+# Queries whose plan legitimately carries an Exchange SinglePartition
+# feeding a Window — each one's input is bounded by construction, not
+# data-sized (the doctor can't know that statically, CI can):
+#   llm_pack_sequences   level-2 prefix-sum window over <=256 task rows
+#                        (asserted above in test_pack_sequences_*)
+#   llm_mixture_resample scalar MIN over the per-source threshold rows
+#   llm_hybrid_rrf       RRF fusion over the two top-100 ranked lists
+#   rel_funnel_conversion final 1-row funnel summary aggregate
+#   rel_spend_deciles    inherent global ranking, but over the
+#                        per-customer AGGREGATE (docstring names the
+#                        range-partitioned topk composition as the
+#                        giant-dimension escape hatch)
+_GLOBAL_WINDOW_OK = {
+    "llm_pack_sequences",
+    "llm_mixture_resample",
+    "llm_hybrid_rrf",
+    "rel_funnel_conversion",
+    "rel_spend_deciles",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_doctor_sweep_no_errors_no_unjustified_warns(name, spark):
+    """plans/doctor.diagnose() as a fleet gate (VERDICT r5 item 4): every
+    registered query must produce ZERO error-severity findings, and any
+    warn must come from an explicitly justified allowlist — so a refactor
+    that introduces a cartesian product, a row-at-a-time Python UDF, an
+    unbounded global window, or an unpushed selective filter fails CI
+    with the doctor's own diagnosis as the message."""
+    from stream4flow_spark.plans.doctor import diagnose
+
+    findings = diagnose(REGISTRY[name].fn(spark, SF_DIR))
+    errors = [f for f in findings if f.severity == "error"]
+    assert not errors, f"{name}: {[f'{f.rule}: {f.detail}' for f in errors]}"
+    for f in findings:
+        if f.severity != "warn":
+            continue
+        if f.rule == "nested-loop-join":
+            assert name in _NESTED_LOOP_OK, f"{name}: {f.detail}"
+        elif f.rule == "single-partition-exchange":
+            assert name in _GLOBAL_WINDOW_OK, f"{name}: {f.detail}"
+        else:
+            raise AssertionError(f"{name}: unjustified warn {f.rule}: {f.detail}")
