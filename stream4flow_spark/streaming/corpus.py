@@ -1,0 +1,145 @@
+"""Streaming twin of the end-to-end corpus preparation pipeline.
+
+``llmdata.pipeline.prepare_corpus`` claims its stages split cleanly into
+map-only work + one dedup aggregate + per-document joins against a
+STATIC benchmark. This module cashes that claim in under Structured
+Streaming (VERDICT r5 item 3):
+
+- scrub -> quality floors -> fingerprint are pure Column expressions,
+  so they run unchanged on a ``readStream`` DataFrame (same code path:
+  ``clean_text`` / ``quality_features`` are called directly);
+- exact dedup becomes ``dropDuplicatesWithinWatermark`` on the content
+  hash — keep-first with state bounded by the watermark horizon
+  (``llmingest.dedup_documents_stream``'s documented trade: a duplicate
+  arriving past the horizon re-emits, and the downstream batch
+  ``exact_dedup`` pass is the backstop);
+- decontamination and the deterministic split are PER-DOCUMENT
+  decisions against the static benchmark (a doc is flagged by its own
+  n-gram overlap; the split is a pure hash of its id), so applying them
+  inside ``foreachBatch`` on each micro-batch is EXACTLY the batch
+  semantics — no cross-batch state, no approximation.
+
+At 100 TB/day this is the shape that matters: the heavy text work rides
+the ingest scan, the only streaming state is the dedup fingerprint set
+within the horizon, and each micro-batch's tail joins are id-keyed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stream4flow_spark.llmdata.decontaminate import decontaminate
+from stream4flow_spark.llmdata.sampling import hash_split
+from stream4flow_spark.llmdata.textstats import clean_text, quality_features
+
+# columns the head stages add on top of the input schema
+_ADDED = {
+    "text_clean", "n_redactions", "n_tokens_bpe", "avg_token_len",
+    "stopword_ratio", "alnum_ratio", "quality_score", "fp", "ingest_ts",
+}
+
+
+def corpus_stream_head(
+    stream_docs: DataFrame,
+    ingest_ts: Column,
+    horizon: str = "1 hour",
+    min_tokens: int = 20,
+    min_alnum: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Stages 1-3 of ``prepare_corpus`` on a streaming DataFrame: scrub,
+    quality floors, and watermark-bounded keep-first dedup on the
+    cleaned-text hash. Map-only until the dedup state lookup."""
+    cleaned = clean_text(stream_docs, text_col)
+    q = quality_features(cleaned, text_col="text_clean").filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("alnum_ratio") >= min_alnum)
+    )
+    return (
+        q.withColumn("fp", F.md5(F.col("text_clean")))
+        .withColumn("ingest_ts", ingest_ts)
+        .withWatermark("ingest_ts", horizon)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
+def finish_corpus_batch(
+    batch_df: DataFrame,
+    benchmark: DataFrame,
+    decontam_n: int = 3,
+    decontam_min_overlap: int = 5,
+    split_weights: dict[str, float] | None = None,
+    hash_grams: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stages 4-5 on one micro-batch: benchmark decontamination + the
+    deterministic md5 split, emitting the batch pipeline's exact output
+    schema (id, non-text input columns, n_tokens, split). Both stages
+    are per-document functions of (doc, static benchmark), so per-batch
+    application equals global application."""
+    weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bench_clean = clean_text(benchmark, text_col)
+    survivors = decontaminate(
+        batch_df,
+        bench_clean,
+        n=decontam_n,
+        min_overlap=decontam_min_overlap,
+        text_col="text_clean",
+        id_col=id_col,
+        hash_grams=hash_grams,
+    )
+    out_cols = [
+        c
+        for c in batch_df.columns
+        if c not in _ADDED and c not in (text_col, id_col, "n_tokens")
+    ]
+    return hash_split(
+        survivors.select(id_col, *out_cols, "n_tokens"), weights,
+        key_col=id_col,
+    )
+
+
+def prepare_corpus_stream(
+    stream_docs: DataFrame,
+    benchmark: DataFrame,
+    ingest_ts: Column,
+    out_dir: str,
+    checkpoint_dir: str,
+    horizon: str = "1 hour",
+    min_tokens: int = 20,
+    min_alnum: float = 0.5,
+    decontam_n: int = 3,
+    decontam_min_overlap: int = 5,
+    split_weights: dict[str, float] | None = None,
+    hash_grams: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Run the full streamed pipeline, appending prepared rows to
+    ``out_dir`` as parquet (checkpointed — restart-safe, each batch's
+    append is tracked by the foreachBatch batchId). Returns the
+    StreamingQuery; callers own awaiting/stopping it."""
+    head = corpus_stream_head(
+        stream_docs, ingest_ts, horizon, min_tokens, min_alnum, text_col
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        finish_corpus_batch(
+            batch_df,
+            benchmark,
+            decontam_n=decontam_n,
+            decontam_min_overlap=decontam_min_overlap,
+            split_weights=split_weights,
+            hash_grams=hash_grams,
+            id_col=id_col,
+            text_col=text_col,
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        head.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1354,3 +1354,63 @@ def test_learned_quality_filter_scores_streaming_docs(spark, tmp_path):
     # the planted split survives the stream boundary
     assert sum(by_id[i] > 0.5 for i in range(0, 80, 2)) >= 36
     assert sum(by_id[i] < 0.5 for i in range(1, 80, 2)) >= 36
+
+
+def test_stream_prepare_corpus_matches_batch_pipeline(spark, tmp_path):
+    """VERDICT r5 item 3: the end-to-end corpus build, streamed. The
+    map-only stages (scrub, quality floors, fingerprint) run the SAME
+    code on the readStream frame; dedup is the watermark-bounded
+    keep-first; decontamination + split apply per micro-batch (exact —
+    per-document decisions against the static benchmark). With id-ordered
+    arrival and all duplicates inside the horizon, the streamed output
+    must equal batch prepare_corpus row-for-row."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.llmdata.pipeline import prepare_corpus
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.corpus import prepare_corpus_stream
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+
+    want = {
+        (r.doc_id, r.lang, r.n_tokens, r.split)
+        for r in prepare_corpus(corpus, bench, hash_grams=False).collect()
+    }
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pdf = corpus.toPandas().sort_values("doc_id")
+    third = len(pdf) // 3
+    for i in range(3):
+        chunk = pdf.iloc[i * third : None if i == 2 else (i + 1) * third]
+        chunk.to_parquet(str(src / f"f{i}.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = prepare_corpus_stream(
+        stream,
+        bench,
+        # id-ordered deterministic arrival, epoch-offset so nothing sits
+        # on the initial watermark floor (same trick as the ingest test)
+        ingest_ts=F.timestamp_millis(
+            F.lit(1_600_000_000_000) + F.col("doc_id") * 1000
+        ),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        hash_grams=False,
+    )
+    q.awaitTermination(120)
+
+    got_df = spark.read.parquet(str(tmp_path / "out"))
+    assert set(got_df.columns) == {"doc_id", "lang", "n_tokens", "split"}
+    got = {
+        (r.doc_id, r.lang, r.n_tokens, r.split) for r in got_df.collect()
+    }
+    assert got == want
