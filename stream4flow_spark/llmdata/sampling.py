@@ -67,6 +67,13 @@ def stratified_sample(
     return df.filter(cond)
 
 
+# Measured on local[32] (see cap_per_group docstring / SCALE.md): the
+# single-window sort beats the salted two-stage below ~8M rows in the
+# hottest group; past it, pre-capping within ~4M-row buckets wins.
+_AUTO_SALT_CROSSOVER_ROWS = 8_000_000
+_AUTO_SALT_TARGET_ROWS = 4_000_000
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,
@@ -74,7 +81,7 @@ def cap_per_group(
     key_col: str = "doc_id",
     salt: str = "s4f-cap",
     rank_col: str = "sample_rank",
-    salt_buckets: int | None = None,
+    salt_buckets: int | str | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group, chosen deterministically.
 
@@ -96,8 +103,35 @@ def cap_per_group(
     two-stage result is IDENTICAL to the single-window one (asserted in
     tests), same trick as the DDoS salted collect_set
     (operators/skew.py).
+
+    Measured crossover (local[32], one source owning most rows, cap
+    1000, min-of-2 runs — SCALE.md "per-source cap skew study"): at a
+    2M-row hot group the single window WINS (1.1 s vs 1.7 s — the
+    pre-cap pays an extra exchange the sort doesn't need); at a 24M-row
+    hot group the two-stage wins 2.2x (12.6 s -> 5.7 s with 64
+    buckets). ``salt_buckets="auto"`` encodes that: it runs one cheap
+    per-group count (partial-aggregated, |groups| rows on the wire),
+    goes two-stage only when the largest group exceeds the measured
+    ~8M-row crossover, and sizes buckets at ~4M rows each. The count is
+    an EAGER extra pass — production pipelines that already know their
+    group-size distribution should pass an explicit int instead.
     """
     from pyspark.sql import Window
+
+    if salt_buckets == "auto":
+        max_group = (
+            df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n"))
+            .first()[0]
+            or 0
+        )
+        if max_group > _AUTO_SALT_CROSSOVER_ROWS:
+            salt_buckets = min(
+                64, max(2, -(-max_group // _AUTO_SALT_TARGET_ROWS))
+            )
+        else:
+            salt_buckets = None
 
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     if salt_buckets is not None:

@@ -527,6 +527,36 @@ def test_cap_per_group_two_stage_matches_single_window(spark):
     assert salted == single  # bucket pre-cap must not change the result
 
 
+def test_cap_per_group_auto_picks_measured_side_of_crossover(spark, monkeypatch):
+    """salt_buckets="auto" must stay single-window below the measured
+    ~8M-row crossover (SCALE.md skew study) and switch to the salted
+    two-stage above it — with identical results either way."""
+    from stream4flow_spark.llmdata import sampling
+    from stream4flow_spark.llmdata.sampling import cap_per_group
+
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+    single = {
+        (r.doc_id, r.sample_rank)
+        for r in cap_per_group(df, "source", 7).collect()
+    }
+    # below the crossover: auto == single-window result
+    auto = {
+        (r.doc_id, r.sample_rank)
+        for r in cap_per_group(df, "source", 7, salt_buckets="auto").collect()
+    }
+    assert auto == single
+    # force the crossover below this fixture's hot group (450 rows) so
+    # auto takes the two-stage branch — result must still be identical
+    monkeypatch.setattr(sampling, "_AUTO_SALT_CROSSOVER_ROWS", 100)
+    monkeypatch.setattr(sampling, "_AUTO_SALT_TARGET_ROWS", 100)
+    forced = {
+        (r.doc_id, r.sample_rank)
+        for r in cap_per_group(df, "source", 7, salt_buckets="auto").collect()
+    }
+    assert forced == single
+
+
 def test_pack_sequences_is_exact_prefix_sum(spark):
     """Two-level distributed offsets must equal the naive global cumsum
     over the (bucket, doc_id) order, partition the token stream without
