@@ -56,12 +56,22 @@ def set_decoder(fn: Callable[[bytes], np.ndarray] | None) -> None:
     _hook = fn
 
 
-def _decode_any(payload: bytes) -> np.ndarray:
+def _decode_any(
+    payload: bytes, hook: Callable[[bytes], np.ndarray] | None = None
+) -> np.ndarray:
+    """Built-in codecs first; ``hook`` for anything they can't parse.
+
+    Operators must capture the hook BY VALUE (``hook = _hook``) before
+    defining their Arrow kernels: the kernels execute in executor Python
+    workers, which re-import this module fresh — a worker would always
+    see the module-global ``_hook`` as None. Closing over the captured
+    value ships the decoder with the serialized closure instead
+    (cloudpickle pickles locally-defined hook functions by value)."""
     try:
         return decode_image(payload)
     except NotImplementedError:
-        if _hook is not None:
-            return _hook(payload)
+        if hook is not None:
+            return hook(payload)
         raise
 
 
@@ -148,13 +158,15 @@ def decode_images(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     plus the mean over every decoded sample (the proof the pixels were
     actually materialized). Unrecognized/corrupt payloads -> ok=False."""
 
+    hook = _hook  # by value: executor workers never see driver globals
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 b = bytes(payload)
                 try:
-                    arr = _decode_any(b)
+                    arr = _decode_any(b, hook)
                     rows.append(
                         (
                             doc_id,
@@ -201,11 +213,13 @@ def resize_images(
     values themselves are unit-tested against an independent per-box
     reference. Pure map stage, no shuffle."""
 
+    hook = _hook  # by value: executor workers never see driver globals
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                arr = _decode_any(bytes(payload))
+                arr = _decode_any(bytes(payload), hook)
                 h, w = arr.shape[:2]
                 scale = min(max_width / w, max_height / h, 1.0)
                 out_w, out_h = int(w * scale), int(h * scale)
@@ -269,11 +283,13 @@ def extract_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Arrow batches, array<double> column); every component is computed
     from the decoded pixel array."""
 
+    hook = _hook  # by value: executor workers never see driver globals
+
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, vecs = [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                arr = _decode_any(bytes(payload)).astype(np.float64)
+                arr = _decode_any(bytes(payload), hook).astype(np.float64)
                 ch_means = [
                     round(float(arr[:, :, c].mean()), 4)
                     for c in range(arr.shape[2])
@@ -366,6 +382,7 @@ def image_phash(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     import pandas as pd
 
     out_schema = f"{_id_ddl(media, id_col)}, phash long"
+    hook = _hook  # by value: executor workers never see driver globals
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 32
@@ -378,7 +395,7 @@ def image_phash(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                arr = _decode_any(bytes(payload)).astype(np.float64)
+                arr = _decode_any(bytes(payload), hook).astype(np.float64)
                 gray = arr.mean(axis=2) if arr.ndim == 3 else arr
                 h, w = gray.shape
                 ri = (np.arange(n) * h // n)
