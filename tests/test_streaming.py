@@ -1414,3 +1414,164 @@ def test_stream_prepare_corpus_matches_batch_pipeline(spark, tmp_path):
         (r.doc_id, r.lang, r.n_tokens, r.split) for r in got_df.collect()
     }
     assert got == want
+
+
+def test_flowgen_multi_app_kill_restart_soak(spark, tmp_path):
+    """VERDICT r5 item 8: one soak over the zero-input pipeline — flowgen
+    generates the corpus, three heterogeneous streaming twins consume the
+    same arrival directory (exactly-once results sink, arbitrary-state
+    suppression, foreachBatch-compacted DDoS baseline), and the whole
+    fleet is killed and restarted between every arrival wave (plus one
+    restart with NO new data). Each app's accumulated output must equal
+    its batch twin over the full input — restarts must neither lose nor
+    duplicate anything."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.apps.detection_ddos import detection_ddos
+    from stream4flow_spark.operators.suppression import suppress_reports
+    from stream4flow_spark.schema import DST_IP4, PACKETS, T_START
+    from stream4flow_spark.sources.flowgen import FlowGenDataSource
+    from stream4flow_spark.sources.results import (
+        read_results,
+        write_results_stream,
+    )
+    from stream4flow_spark.streaming.ddos import detection_ddos_stream
+    from stream4flow_spark.streaming.state import suppress_reports_stream
+
+    from stream4flow_spark.schema import SRC_IP4, SRC_PORT, DST_PORT
+
+    spark.dataSource.register(FlowGenDataSource)
+    gen = (
+        spark.read.format("flowgen")
+        .option("rows", 1500)
+        .option("partitions", 8)
+        .option("span_ms", 600_000)
+        .load()
+    )
+    # flowgen traffic is unidirectional (10.* -> 192.168.*); the DDoS
+    # score needs monitored hosts with BOTH directions (out != 0), so
+    # union a mirrored return-traffic copy, offset 100 ms to keep
+    # T_START a unique total order
+    mirrored = (
+        gen.withColumn("__src", F.col(SRC_IP4))
+        .withColumn(SRC_IP4, F.col(DST_IP4))
+        .withColumn(DST_IP4, F.col("__src"))
+        .drop("__src")
+        .withColumn("__sp", F.col(SRC_PORT))
+        .withColumn(SRC_PORT, F.col(DST_PORT))
+        .withColumn(DST_PORT, F.col("__sp"))
+        .drop("__sp")
+        .withColumn(T_START, F.col(T_START) + 100)
+    )
+    flows = gen.unionByName(mirrored)
+    # write the time-ordered input ONCE through Spark (T_START is unique
+    # per row by the generator's construction), then slice arrival waves
+    # with pyarrow so the all-null typed columns keep their schema (a
+    # pandas round-trip would re-infer them)
+    import pyarrow.parquet as pq
+
+    full_dir = tmp_path / "full"
+    flows.orderBy(T_START).coalesce(1).write.parquet(str(full_dir))
+    table = pq.read_table(str(full_dir))
+    n_rows = table.num_rows
+    n_waves = 4
+    per = n_rows // n_waves
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    ddos_params = dict(
+        window_duration="60 seconds",
+        long_window="300 seconds",
+        network_filter=r"^192\.168\.",
+        min_ratio=0.0,
+        min_packets=0,
+    )
+
+    def alerts_of(df):
+        return df.select(
+            F.col(DST_IP4).alias("key"),
+            F.col(T_START).alias("ts_ms"),
+            F.col(PACKETS).cast("double").alias("flows"),
+        ).filter(F.col("key").isNotNull())
+
+    def run_fleet():
+        """Start all three twins against the arrival dir, drain, kill."""
+        def file_stream():
+            return (
+                spark.readStream.schema(flows.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+
+        q_ingest = write_results_stream(
+            file_stream().select(
+                F.col(T_START).alias("ts_ms"), DST_IP4, PACKETS
+            ),
+            str(tmp_path / "sink_ingest"),
+            "ts_ms",
+            str(tmp_path / "ck_ingest"),
+            app_type="soak",
+        )
+        q_supp = (
+            suppress_reports_stream(
+                alerts_of(file_stream()), ["key"], "ts_ms", 120_000, ["flows"]
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink_supp"))
+            .option("checkpointLocation", str(tmp_path / "ck_supp"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        for q in (q_ingest, q_supp):
+            q.processAllAvailable()
+            q.stop()
+        # drains its own availableNow query internally (same checkpoint
+        # + state dirs each cycle = the restart)
+        return detection_ddos_stream(
+            file_stream(),
+            state_dir=str(tmp_path / "ddos_state"),
+            checkpoint_dir=str(tmp_path / "ck_ddos"),
+            **ddos_params,
+        )
+
+    for wave in range(n_waves):
+        start = wave * per
+        length = n_rows - start if wave == n_waves - 1 else per
+        pq.write_table(
+            table.slice(start, length), str(src / f"wave{wave}.parquet")
+        )
+        ddos_alerts = run_fleet()
+    ddos_alerts = run_fleet()  # restart with nothing new: must be a no-op
+
+    full = spark.read.parquet(str(src))
+
+    # 1) exactly-once ingest: every flow exactly once despite 5 restarts
+    got_ingest = read_results(spark, str(tmp_path / "sink_ingest"))
+    assert got_ingest.count() == n_rows
+    assert (
+        got_ingest.select("ts_ms", DST_IP4, PACKETS).distinct().count()
+        == full.select(T_START, DST_IP4, PACKETS).distinct().count()
+    )
+
+    # 2) suppression chain == batch over the full alert sequence
+    expect_supp = _sorted_pdf(
+        suppress_reports(alerts_of(full), ["key"], "ts_ms", 120_000, ["flows"]),
+        ["key", "report_seq"],
+    )
+    got_supp = _sorted_pdf(
+        spark.read.parquet(str(tmp_path / "sink_supp")),
+        ["key", "report_seq"],
+    )[list(expect_supp.columns)]
+    pd.testing.assert_frame_equal(got_supp, expect_supp)
+
+    # 3) ddos alerts == batch analytic form over the full input
+    expect_ddos = _sorted_pdf(
+        detection_ddos(full, **ddos_params), ["window_start_ms", "dst_ip"]
+    )
+    assert len(expect_ddos) > 50  # the soak actually exercised windows
+    got_ddos = _sorted_pdf(ddos_alerts, ["window_start_ms", "dst_ip"])[
+        list(expect_ddos.columns)
+    ]
+    pd.testing.assert_frame_equal(got_ddos, expect_ddos)
