@@ -1834,3 +1834,68 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "llm_semantic_dedup",
+    covers="llm:dedup-semantic llm:connected-components",
+    oracle="""
+        WITH RECURSIVE e AS (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM e a JOIN e b ON a.id < b.id
+            WHERE ROUND(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS t FROM pairs
+            UNION ALL
+            SELECT id_b AS s, id_a AS t FROM pairs
+        ),
+        reach AS (
+            SELECT id, id AS r FROM e
+            UNION
+            SELECT edges.t AS id, reach.r
+            FROM reach JOIN edges ON reach.id = edges.s
+        )
+        SELECT id AS vec_id,
+               CAST(MIN(r) AS BIGINT) AS keeper_id,
+               (id = MIN(r)) AS kept
+        FROM reach GROUP BY id
+        """,
+)
+def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): vectors
+    whose embeddings are near-duplicates (cosine >= threshold) collapse
+    transitively to one keeper — the min-id member of each connected
+    component of the similarity graph. Output: one row per vector with
+    its keeper and whether it survives.
+
+    Scale shape: the pair stage is the tiled block-BLAS
+    ``cosine_pairs_blocked`` (embeddings shuffle once into block tiles,
+    never all-pairs on the wire; at production scale the LSH-bucketed
+    variant feeds the same downstream); components run the Pregel-style
+    min-label loop (ids only, O(diameter) rounds — dup clusters are
+    tiny and dense); the final keeper join is id-keyed. The DuckDB
+    oracle recomputes the transitive closure with a recursive CTE, so a
+    green row certifies the whole chain incl. transitivity."""
+    from stream4flow_spark.llmdata.dedup import connected_components
+    from stream4flow_spark.llmdata.simsearch import cosine_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(emb, threshold=0.3)
+    comp = connected_components(pairs)
+    ids = emb.select(F.col("vec_id").alias("id"))
+    return (
+        ids.join(comp, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.coalesce("component", F.col("id")).alias("keeper_id"),
+            (F.col("id") == F.coalesce("component", F.col("id"))).alias(
+                "kept"
+            ),
+        )
+    )

@@ -1782,3 +1782,47 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("is_high")).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "rel_grouping_sets_nation_year",
+    covers="rel:grouping-sets",
+    oracle="""
+        SELECT COALESCE(n_name, '__ALL__') AS nation,
+               COALESCE(CAST(year(o_orderdate) AS STRING), '__ALL__')
+                 AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS orders,
+               CAST(GROUPING(n_name) * 2 + GROUPING(year(o_orderdate))
+                    AS INT) AS grouping_level
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (year(o_orderdate)))
+        """,
+)
+def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two INDEPENDENT dimension totals (per
+    nation, per year) in one pass, the shape ROLLUP/CUBE can't express
+    without computing unwanted combinations. Catalyst expands both sets
+    via a single Expand over one scan+join; at 100 TB that's one fact
+    pass instead of two union'd aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", F.year("o_orderdate").alias("yr"))
+    )
+    joined.createOrReplaceTempView("_gs_joined")
+    return joined.sparkSession.sql(
+        """
+        SELECT COALESCE(n_name, '__ALL__') AS nation,
+               COALESCE(CAST(yr AS STRING), '__ALL__') AS order_year,
+               COUNT(*) AS orders,
+               CAST(GROUPING(n_name) * 2 + GROUPING(yr) AS INT)
+                 AS grouping_level
+        FROM _gs_joined
+        GROUP BY GROUPING SETS ((n_name), (yr))
+        """
+    )

@@ -119,6 +119,8 @@ def test_no_broadcast_hint_on_scale_growing_tables():
         # targeted group), percentile bounds (one row per language),
         # split-drift's 1-row vocab/per-split-total constants
         "base", "thresh", "bounds", "vocab", "tt", "th",
+        # r6: unigram LM's 1-row corpus-token total
+        "tot",
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []
