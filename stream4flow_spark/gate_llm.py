@@ -1899,3 +1899,105 @@ def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_chunk_documents",
+    covers="llm:rag-chunking llm:token-windows",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE trim(text) <> ''
+        ),
+        starts AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(toks) / 48.0) AS BIGINT)),
+                       i -> i * 48)) AS s
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(s / 48 AS INT) AS chunk_idx,
+               CAST(s AS INT) AS start_token,
+               CAST(least(n - s, 64) AS INT) AS n_chunk_tokens,
+               array_to_string(toks[s + 1 : least(s + 64, n)], ' ')
+                 AS chunk_text
+        FROM starts WHERE s < n
+        """,
+)
+def q_llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/packing-style document chunking: overlapping 64-token windows
+    with stride 48 (16-token overlap), each chunk carrying its global
+    start offset — the standard retrieval-corpus and long-context
+    training preprocessing step.
+
+    Map-only: tokenize, build the stride grid with ``sequence()``,
+    slice each window with higher-order array functions, posexplode —
+    all inside one projection over the scan, ZERO shuffle (the 1->N
+    fan-out happens in-task). At 100 TB this runs at parquet-read
+    speed; compare the reference's absence of any chunking surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    starts = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(48.0)).cast("int") - 1),
+        lambda i: i * 48,
+    )
+    chunks = F.filter(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / 48).cast("int").alias("chunk_idx"),
+                s.cast("int").alias("start_token"),
+                F.least(n - s, F.lit(64)).cast("int").alias("n_chunk_tokens"),
+                F.array_join(F.slice(toks, s + 1, 64), " ").alias(
+                    "chunk_text"
+                ),
+            ),
+        ),
+        lambda c: c.start_token < n,
+    )
+    return (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id", "c.chunk_idx", "c.start_token", "c.n_chunk_tokens",
+            "c.chunk_text",
+        )
+    )
+
+
+def _rp_oracle(out_dims: int = 8, in_dims: int = 64, salt: str = "s4f-rp") -> str:
+    """DuckDB rebuild of the md5-sign JL projection (same matrix rule as
+    simsearch.random_projection — the salt IS the matrix)."""
+    cols = ",\n               ".join(
+        "ROUND(list_sum(list_transform(range(0, %d), d -> "
+        "v[d + 1] * (CASE WHEN substring(md5(d || '-%d-%s'), 1, 1) < '8' "
+        "THEN 1 ELSE -1 END) / sqrt(%d))), 4) + 0.0 AS p%d"
+        % (in_dims, j, salt, out_dims, j)
+        for j in range(out_dims)
+    )
+    return f"""
+        SELECT vec_id,
+               {cols}
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        """
+
+
+@register(
+    "llm_random_projection",
+    covers="llm:dimensionality-reduction llm:ann-compression",
+    oracle=_rp_oracle(),
+)
+def q_llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL sign projection 64 -> 8 dims
+    (simsearch.random_projection): the vector-compression stage in
+    front of every large-scale similarity join — 8x less payload in
+    every downstream shuffle, distances preserved within (1 ± eps).
+    Map-only Column unroll, zero shuffle; the md5-salt rule means the
+    oracle (and any other engine) rebuilds the identical matrix."""
+    from stream4flow_spark.llmdata.simsearch import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb)

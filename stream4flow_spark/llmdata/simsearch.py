@@ -547,3 +547,51 @@ def cosine_topk_quantized(
         "codes", vec_col
     )
     return cosine_topk(cq, qq, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dims: int = 8,
+    in_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "s4f-rp",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection to ``out_dims``:
+    proj_j = sum_d v[d] * s(d, j) / sqrt(out_dims) with s in {-1, +1}
+    drawn deterministically from md5(d, j, salt) — engine-independent,
+    so any system (and the DuckDB oracle) rebuilds the SAME matrix from
+    the salt alone, no matrix to ship or store.
+
+    The workhorse in front of large-scale ANN: distances are preserved
+    within (1±eps) w.h.p. while the vector payload shrinks 8x (here
+    64->8), which is the difference between shuffling 256 B and 32 B
+    per row in every downstream block/banded join. Map-only: the
+    projection unrolls into out_dims Column expressions over the scan —
+    zero shuffle, no UDF. Output columns p0..p{k-1}.
+    """
+    import hashlib
+    import math
+
+    def sign(d: int, j: int) -> int:
+        h = hashlib.md5(f"{d}-{j}-{salt}".encode()).hexdigest()
+        return 1 if h[0] < "8" else -1
+
+    inv = 1.0 / math.sqrt(out_dims)
+    v = F.col(vec_col)
+    cols = [
+        # + 0.0 collapses IEEE -0.0 to +0.0 (stringified engine compares)
+        (
+            F.round(
+                sum(
+                    F.element_at(v, d + 1) * F.lit(sign(d, j) * inv)
+                    for d in range(in_dims)
+                ),
+                round_digits,
+            )
+            + F.lit(0.0)
+        ).alias(f"p{j}")
+        for j in range(out_dims)
+    ]
+    return emb.select(F.col(id_col), *cols)

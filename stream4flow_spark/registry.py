@@ -55,9 +55,10 @@ WINDOW_PRIORITY: list[str] = [
     # (added after the r05 window was pinned — r05 verdict item 1).
     "llm_scene_changes", "llm_dedup_rate_by_source",
     "rel_lateral_top_orders", "rel_recursive_calendar",
-    # 5-8: new this round (never verified by definition).
+    # 5-10: new this round (never verified by definition).
     "tpch_q12ish_shipmode_priority", "llm_unigram_logprob",
     "llm_semantic_dedup", "rel_grouping_sets_nation_year",
+    "llm_chunk_documents", "llm_random_projection",
     # 7: implementation changed this round (struct-min first-occurrence
     # winner replaced the packed-int pk) — re-certify the current plan.
     "llm_segment_dedup",
@@ -82,13 +83,12 @@ WINDOW_PRIORITY: list[str] = [
     "readside_q4_per_host_sums", "readside_q5_histogram_multimetric",
     "readside_q6_top1_per_type", "readside_q7_latest_per_group",
     "readside_q8_either_term", "readside_q9_ordered",
-    # 49-50: two of the nine four-green queries; the remaining seven
-    # (llm_dedup_components, tpch_q1_pricing_summary,
+    # The nine four-green queries (llm_minhash_lsh_dedup,
+    # llm_ann_cosine_topk, llm_dedup_components, tpch_q1_pricing_summary,
     # tpch_q6_forecast_revenue, tpch_q3_top_revenue_orders,
     # tpch_q5ish_revenue_per_region, rel_semi_anti_customers,
     # rel_pivot_order_priority) defer to r07 on their four recorded
     # green rows — the deepest-verified queries in the registry.
-    "llm_minhash_lsh_dedup", "llm_ann_cosine_topk",
 ]
 
 

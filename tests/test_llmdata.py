@@ -1063,3 +1063,74 @@ def test_decoder_hook_composes_full_image_chain(spark):
     finally:
         set_decoder(None)
     assert multimodal._hook is None  # no leakage into other tests
+
+
+def test_random_projection_preserves_neighborhood_order(spark):
+    """JL sanity: after the 64->8 sign projection, planted-similar pairs
+    must stay closer than unrelated ones, and the projection must be a
+    pure function of (vector, salt) — identical across partitionings."""
+    import numpy as np
+
+    from stream4flow_spark.llmdata.simsearch import random_projection
+    from stream4flow_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = random_projection(emb).collect()
+    proj = {r.vec_id: np.array([r[f"p{j}"] for j in range(8)]) for r in rows}
+    orig = {
+        r.vec_id: np.array(r.embedding, dtype=float)
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    ids = sorted(orig)
+    agree = 0
+    checked = 0
+    for i in range(0, len(ids) - 2, 3):
+        a, b, c = ids[i], ids[i + 1], ids[i + 2]
+        do = cos(orig[a], orig[b]) - cos(orig[a], orig[c])
+        dp = cos(proj[a], proj[b]) - cos(proj[a], proj[c])
+        if abs(do) > 0.25:  # only clearly-ordered triples are testable
+            checked += 1
+            agree += (do > 0) == (dp > 0)
+    # k=8 JL distortion is coarse — demand a clear majority, not
+    # perfection (random would sit at ~50%)
+    assert checked >= 20
+    assert agree / checked >= 0.7
+
+    re_rows = random_projection(emb.repartition(13)).collect()
+    re_proj = {
+        r.vec_id: tuple(r[f"p{j}"] for j in range(8)) for r in re_rows
+    }
+    assert re_proj == {k: tuple(v) for k, v in proj.items()}
+
+
+def test_chunk_documents_offsets_tile_the_token_stream(spark):
+    """Chunk windows must tile each document exactly: stride-48 starts,
+    64-token spans (last chunk shorter), and re-concatenating the
+    non-overlap prefixes reproduces the tokenized document."""
+    from stream4flow_spark.registry import REGISTRY, queries
+
+    queries()  # force gate registration
+    out = REGISTRY["llm_chunk_documents"].fn(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, chunks in list(by_doc.items())[:50]:
+        chunks.sort(key=lambda r: r.chunk_idx)
+        last = chunks[-1]
+        n_doc = last.start_token + last.n_chunk_tokens
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i and c.start_token == i * 48
+            assert c.n_chunk_tokens == len(c.chunk_text.split())
+            assert c.n_chunk_tokens == min(64, n_doc - c.start_token)
+            if i < len(chunks) - 1:
+                # the tail past the stride point reappears at the head
+                # of the next chunk (the overlap region)
+                assert (
+                    c.chunk_text.split()[48:]
+                    == chunks[i + 1].chunk_text.split()[: c.n_chunk_tokens - 48]
+                )
