@@ -2001,3 +2001,35 @@ def q_llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return random_projection(emb)
+
+
+@register(
+    "llm_heavy_hitters",
+    covers="llm:heavy-hitters llm:sketch-verify",
+    oracle="""
+        WITH toks AS (
+            SELECT t AS word
+            FROM documents,
+                 unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+            WHERE t <> ''
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+        SELECT word,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               ROUND(COUNT(*) / t.n, 6) AS share
+        FROM toks CROSS JOIN tot t
+        GROUP BY word, t.n
+        HAVING COUNT(*) > t.n / 50
+        """,
+)
+def q_llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token mining via Misra-Gries sketch + exact verify
+    (lexsearch.heavy_hitters): per-partition k-counter sketches whose
+    union provably contains every token above the n/k frequency floor,
+    then an exact count of only those candidates — the wire never
+    carries the vocabulary, yet the output is deterministic (hence this
+    brute-force GROUP BY oracle)."""
+    from stream4flow_spark.llmdata.lexsearch import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, k=50)

@@ -166,3 +166,82 @@ def bm25_topk(
     TakeOrderedAndProject physical plan."""
     scored = bm25_score(docs, terms, text_col, id_col, k1, b)
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact frequent-token mining via a Misra-Gries sketch + verify pass
+    — the heavy-hitters pattern for corpora whose vocabulary is too
+    large to aggregate (URL tails, typo space, CJK segments can push
+    distinct tokens past what a vocab-keyed exchange should carry).
+
+    Stage 1 runs Misra-Gries with ``k`` counters per partition inside
+    one Arrow pass: any token with global frequency > n/(k+1) must
+    exceed its partition share n_p/(k+1) somewhere (averaging
+    argument), and MG keeps every such local token, so the UNION of
+    per-partition candidate sets provably contains every global heavy
+    hitter. The wire cost is ≤ k tokens per partition — independent of
+    vocabulary size.
+
+    Stage 2 exact-counts ONLY the candidates (broadcast semi-join
+    prunes before the aggregate) and keeps tokens with count > n/k.
+    Because the candidate set is a superset of the true heavy hitters,
+    the output is EXACTLY ``{token : freq(token) > n/k}`` — fully
+    deterministic, oracle-comparable against a brute-force GROUP BY.
+
+    Output: (word, n_occurrences, share) sorted nowhere (set semantics).
+    """
+    import pandas as pd
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word")
+    ).filter(F.col("word") != "")
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"word": list(counters)})
+
+    candidates = toks.mapInPandas(mg, "word string").distinct()
+
+    total = docs.select(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                    lambda w: w != "",
+                )
+            )
+        )
+        .cast("double")
+        .alias("n")
+    )
+    return (
+        toks.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.col("n") / F.lit(k))
+        .select(
+            "word",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("n"), 6).alias("share"),
+        )
+    )

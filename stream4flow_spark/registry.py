@@ -55,14 +55,15 @@ WINDOW_PRIORITY: list[str] = [
     # (added after the r05 window was pinned — r05 verdict item 1).
     "llm_scene_changes", "llm_dedup_rate_by_source",
     "rel_lateral_top_orders", "rel_recursive_calendar",
-    # 5-10: new this round (never verified by definition).
+    # 5-11: new this round (never verified by definition).
     "tpch_q12ish_shipmode_priority", "llm_unigram_logprob",
     "llm_semantic_dedup", "rel_grouping_sets_nation_year",
     "llm_chunk_documents", "llm_random_projection",
-    # 7: implementation changed this round (struct-min first-occurrence
+    "llm_heavy_hitters",
+    # 12: implementation changed this round (struct-min first-occurrence
     # winner replaced the packed-int pk) — re-certify the current plan.
     "llm_segment_dedup",
-    # 8-21: exactly-one-green r04 singles (the registry comment's
+    # 13-26: exactly-one-green r04 singles (the registry comment's
     # promised rotation).
     "llm_text_clean", "llm_corpus_select", "llm_dedup_corpus",
     "rel_event_sessionization", "rel_rollup_revenue",
@@ -71,7 +72,7 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q8ish_market_share", "tpch_q10ish_returned_revenue",
     "tpch_q18ish_large_orders", "tpch_q19ish_bracket_revenue",
     "tpch_q22ish_dormant_customers",
-    # 22-46: the three-green (r01+r03+r04) apps/readside set — last
+    # 27-50: the three-green (r01+r03+r04) apps/readside set — last
     # verified r04, oldest standing signal after the singles.
     "protocols_statistics", "host_stats", "top_n_host_stats",
     "dns_statistics", "tls_classification", "host_daily_profile",
@@ -82,9 +83,10 @@ WINDOW_PRIORITY: list[str] = [
     "readside_q2_histogram_terms_sum", "readside_q3_global_sums",
     "readside_q4_per_host_sums", "readside_q5_histogram_multimetric",
     "readside_q6_top1_per_type", "readside_q7_latest_per_group",
-    "readside_q8_either_term", "readside_q9_ordered",
-    # The nine four-green queries (llm_minhash_lsh_dedup,
-    # llm_ann_cosine_topk, llm_dedup_components, tpch_q1_pricing_summary,
+    "readside_q8_either_term",
+    # readside_q9_ordered (three-green) and the nine four-green queries
+    # (llm_minhash_lsh_dedup, llm_ann_cosine_topk, llm_dedup_components,
+    # tpch_q1_pricing_summary,
     # tpch_q6_forecast_revenue, tpch_q3_top_revenue_orders,
     # tpch_q5ish_revenue_per_region, rel_semi_anti_customers,
     # rel_pivot_order_priority) defer to r07 on their four recorded

@@ -1134,3 +1134,34 @@ def test_chunk_documents_offsets_tile_the_token_stream(spark):
                     c.chunk_text.split()[48:]
                     == chunks[i + 1].chunk_text.split()[: c.n_chunk_tokens - 48]
                 )
+
+
+def test_heavy_hitters_sketch_guarantee_on_skewed_fixture(spark):
+    """MG candidate union must contain every token above the n/(k+1)
+    floor even with a tiny k and adversarial partitioning, and the
+    verified output must equal the brute-force > n/k set exactly."""
+    from collections import Counter
+
+    from stream4flow_spark.llmdata.lexsearch import heavy_hitters
+
+    # 1000 tokens: 'hot' 30%, 'warm' 12%, tail of 58 rare words
+    # (letter-only names: digits are tokenizer delimiters)
+    words = (
+        ["hot"] * 300 + ["warm"] * 120
+        + [
+            "rare" + chr(97 + i % 58 % 26) + chr(97 + i % 58 // 26)
+            for i in range(580)
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 20 : (i + 1) * 20])) for i in range(50)],
+        "doc_id long, text string",
+    ).repartition(7)  # spread the hot token across partitions
+    got = {
+        r.word: r.n_occurrences for r in heavy_hitters(docs, k=5).collect()
+    }
+    truth = Counter(words)
+    n = len(words)
+    want = {w: c for w, c in truth.items() if c > n / 5}
+    assert got == want  # exact heavy hitters, nothing more or less
+    assert "hot" in got and "warm" not in got  # 12% < 20% floor

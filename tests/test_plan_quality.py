@@ -39,8 +39,10 @@ _NESTED_LOOP_OK = {
     "rel_setops_customer_years",
     # 1-row vocab/total constants cross-joined into the KL reduction
     "llm_split_drift",
-    # r6: the 1-row corpus-token total broadcast into the scoring join
+    # r6: the 1-row corpus-token totals broadcast into the scoring /
+    # threshold joins (plus heavy-hitters' bounded MG candidate set)
     "llm_unigram_logprob",
+    "llm_heavy_hitters",
 }
 
 
