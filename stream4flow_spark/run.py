@@ -36,8 +36,15 @@ def main(argv: list[str] | None = None) -> int:
     docp = sub.add_parser(
         "doctor", help="static plan audit of one query (scale anti-patterns)"
     )
-    docp.add_argument("query", choices=sorted(qs))
+    docp.add_argument(
+        "query", nargs="?", choices=sorted(qs),
+        help="omit with --all to sweep every registered query",
+    )
     docp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    docp.add_argument(
+        "--all", action="store_true",
+        help="audit every registered query; exit 1 on any error finding",
+    )
     args = p.parse_args(argv)
 
     if args.cmd == "list":
@@ -46,6 +53,23 @@ def main(argv: list[str] | None = None) -> int:
             oracle = "oracle" if spec.oracle else "rows-only"
             print(f"{name:38s} [{oracle}] covers: {spec.covers}")
         return 0
+
+    if args.cmd == "doctor" and args.all:
+        from stream4flow_spark.plans.doctor import diagnose
+
+        spark = get_spark(app_name="s4f-doctor")
+        n_err = 0
+        for name in sorted(qs):
+            findings = diagnose(qs[name](spark, args.sf_dir))
+            errs = [f for f in findings if f.severity == "error"]
+            warns = [f for f in findings if f.severity == "warn"]
+            n_err += len(errs)
+            status = "ERROR" if errs else ("warn" if warns else "ok")
+            detail = "; ".join(f.rule for f in errs + warns)
+            print(f"{name:38s} {status:5s} {detail}")
+        return 1 if n_err else 0
+    if args.cmd == "doctor" and not args.query:
+        p.error("doctor needs a query name or --all")
 
     spark = get_spark(app_name=f"s4f-{args.query}")
     df = qs[args.query](spark, args.sf_dir)
