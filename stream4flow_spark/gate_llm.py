@@ -2033,3 +2033,58 @@ def q_llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return heavy_hitters(docs, k=50)
+
+
+@register(
+    "llm_source_overlap",
+    covers="llm:dedup-reporting llm:cross-source-overlap",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT
+                   md5(array_to_string(
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '')[1:20], ' ')) AS fp,
+                   source
+            FROM documents
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+        """,
+)
+def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: how many distinct content
+    fingerprints each pair of sources shares — the curation report that
+    says which crawls re-collect each other (drop the redundant one
+    before paying to process it). The fingerprint is the md5 of the
+    first 20 normalized tokens (the CCNet-style prefix signature):
+    syndicated/boilerplate content keeps its head across re-crawls even
+    when trailing chrome differs, which exact-text digests miss.
+    Complements the within-source llm_dedup_rate_by_source.
+
+    Scale shape: (fingerprint, source) pairs distinct map-side, the
+    self-join keys on the fingerprint (per-digest fan-out bounded by
+    the source count, not document count), counts partial-aggregate;
+    the text column never leaves the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    d = docs.select(
+        F.md5(F.array_join(F.slice(toks, 1, 20), " ")).alias("fp"), "source"
+    ).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -59,7 +59,7 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q12ish_shipmode_priority", "llm_unigram_logprob",
     "llm_semantic_dedup", "rel_grouping_sets_nation_year",
     "llm_chunk_documents", "llm_random_projection",
-    "llm_heavy_hitters",
+    "llm_heavy_hitters", "llm_source_overlap",
     # 12: implementation changed this round (struct-min first-occurrence
     # winner replaced the packed-int pk) — re-certify the current plan.
     "llm_segment_dedup",
@@ -83,8 +83,8 @@ WINDOW_PRIORITY: list[str] = [
     "readside_q2_histogram_terms_sum", "readside_q3_global_sums",
     "readside_q4_per_host_sums", "readside_q5_histogram_multimetric",
     "readside_q6_top1_per_type", "readside_q7_latest_per_group",
-    "readside_q8_either_term",
-    # readside_q9_ordered (three-green) and the nine four-green queries
+    # readside_q8_either_term / readside_q9_ordered (three-green) and
+    # the nine four-green queries
     # (llm_minhash_lsh_dedup, llm_ann_cosine_topk, llm_dedup_components,
     # tpch_q1_pricing_summary,
     # tpch_q6_forecast_revenue, tpch_q3_top_revenue_orders,
