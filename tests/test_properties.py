@@ -323,3 +323,65 @@ def test_incremental_dedup_equals_global_dedup_increment(spark, old, new):
         if t not in old_texts and t not in first_by_text:
             first_by_text[t] = 100 + i
     assert got == sorted(first_by_text.values())
+
+
+words = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(words, min_size=0, max_size=120), min_size=1, max_size=8))
+def test_chunk_documents_matches_python_reference(spark, token_lists):
+    """Chunking equals the obvious Python loop (64-token windows, stride
+    48) on arbitrary corpora, including empty and sub-window docs."""
+    from stream4flow_spark.registry import REGISTRY, queries
+
+    queries()
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        sf = os.path.join(td)
+        spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+            "doc_id long, text string",
+        ).write.parquet(os.path.join(sf, "documents.parquet"))
+        got = {
+            (r.doc_id, r.chunk_idx): (
+                r.start_token, r.n_chunk_tokens, r.chunk_text
+            )
+            for r in REGISTRY["llm_chunk_documents"].fn(spark, sf).collect()
+        }
+    want = {}
+    for i, toks in enumerate(token_lists):
+        for ci, s in enumerate(range(0, len(toks), 48)):
+            win = toks[s : s + 64]
+            want[(i, ci)] = (s, len(win), " ".join(win))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(words, min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=8),
+)
+def test_heavy_hitters_matches_counter_truth(spark, tokens, k):
+    """heavy_hitters output must equal the brute-force > n/k frequency
+    set for ANY corpus and k — the MG sketch is an optimization, never a
+    semantics change."""
+    from collections import Counter
+
+    from stream4flow_spark.llmdata.lexsearch import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(tokens[i::5])) for i in range(5)],
+        "doc_id long, text string",
+    ).repartition(3)
+    flat = [w for i in range(5) for w in tokens[i::5]]
+    truth = Counter(flat)
+    n = len(flat)
+    want = {w: c for w, c in truth.items() if c > n / k}
+    got = {
+        r.word: r.n_occurrences
+        for r in heavy_hitters(docs, k=k).collect()
+    }
+    assert got == want
