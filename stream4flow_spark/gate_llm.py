@@ -2088,3 +2088,30 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+@register("llm_semantic_dedup_lsh", covers="llm:dedup-semantic llm:similarity-lsh")
+# rows-only: sign-LSH candidate generation is probabilistic-recall by
+# design — this is the 100 TB path for llm_semantic_dedup (no all-pairs
+# compute); keeper-assignment agreement vs the exact tier is gated ≥90%
+# in tests/test_llmdata.py (test_semantic_dedup_lsh_agrees_with_exact)
+def q_llm_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of llm_semantic_dedup: sign-LSH bucketed candidate
+    pairs (exact-cosine verified within buckets, never all-pairs)
+    feeding the same min-label components + keeper join."""
+    from stream4flow_spark.llmdata.dedup import connected_components
+    from stream4flow_spark.llmdata.simsearch import lsh_bucketed_neighbors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 3 planes x 10 tables: measured 92% pair recall / 99%+ keeper
+    # agreement vs the exact tier at t=0.3 (the 8x2 default is tuned for
+    # the tighter neardup report and misses too many of this graph's
+    # long chains)
+    pairs = lsh_bucketed_neighbors(emb, threshold=0.3, num_planes=3, num_tables=10)
+    comp = connected_components(pairs)
+    ids = emb.select(F.col("vec_id").alias("id"))
+    return ids.join(comp, "id", "left").select(
+        F.col("id").alias("vec_id"),
+        F.coalesce("component", F.col("id")).alias("keeper_id"),
+        (F.col("id") == F.coalesce("component", F.col("id"))).alias("kept"),
+    )

@@ -1165,3 +1165,23 @@ def test_heavy_hitters_sketch_guarantee_on_skewed_fixture(spark):
     want = {w: c for w, c in truth.items() if c > n / 5}
     assert got == want  # exact heavy hitters, nothing more or less
     assert "hot" in got and "warm" not in got  # 12% < 20% floor
+
+
+def test_semantic_dedup_lsh_agrees_with_exact(spark):
+    """The LSH-bucketed semantic dedup (the 100 TB path) must agree with
+    the exact-pairs tier on ≥90% of keeper assignments — quantified
+    recall, not vibes (same bar as the winnow near-dup gate)."""
+    from stream4flow_spark.registry import REGISTRY, queries
+
+    queries()
+    exact = {
+        r.vec_id: r.keeper_id
+        for r in REGISTRY["llm_semantic_dedup"].fn(spark, SF_DIR).collect()
+    }
+    lsh = {
+        r.vec_id: r.keeper_id
+        for r in REGISTRY["llm_semantic_dedup_lsh"].fn(spark, SF_DIR).collect()
+    }
+    assert set(lsh) == set(exact)  # every vector gets an assignment
+    agree = sum(lsh[v] == exact[v] for v in exact) / len(exact)
+    assert agree >= 0.9, f"keeper agreement {agree:.3f}"
