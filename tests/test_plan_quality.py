@@ -121,8 +121,9 @@ def test_no_broadcast_hint_on_scale_growing_tables():
         # targeted group), percentile bounds (one row per language),
         # split-drift's 1-row vocab/per-split-total constants
         "base", "thresh", "bounds", "vocab", "tt", "th",
-        # r6: unigram LM's 1-row corpus-token total
-        "tot",
+        # r6: unigram LM's 1-row corpus-token total; heavy-hitters' MG
+        # candidate set (≤ k × partitions rows by construction)
+        "tot", "candidates",
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []
