@@ -2115,3 +2115,51 @@ def q_llm_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component", F.col("id")).alias("keeper_id"),
         (F.col("id") == F.coalesce("component", F.col("id"))).alias("kept"),
     )
+
+
+@register(
+    "llm_incremental_neardup",
+    covers="llm:dedup-minhash-lsh llm:incremental-dedup",
+    # Oracle = brute-force delta×corpus Jaccard: valid for the same
+    # reason as llm_minhash_lsh_dedup's (banded candidate recall at the
+    # 0.5 threshold is ~1-0.75^32 — effectively exhaustive, then exact
+    # verification).
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id AS id, {_GRAMS3} AS grams FROM documents
+            WHERE len({_W}) >= 3
+        ),
+        cand AS (
+            SELECT d.id AS id_d, c.id AS id_c,
+                   ROUND(CAST(len(list_intersect(d.grams, c.grams)) AS DOUBLE)
+                         / len(list_distinct(d.grams || c.grams)), 4)
+                     AS jaccard
+            FROM sh d JOIN sh c ON d.id % 10 = 0 AND c.id % 10 <> 0
+        ),
+        best AS (
+            SELECT id_d, id_c, jaccard,
+                   ROW_NUMBER() OVER (PARTITION BY id_d
+                                      ORDER BY jaccard DESC, id_c ASC) AS rn
+            FROM cand WHERE jaccard >= 0.5
+        )
+        SELECT d.doc_id,
+               (b.id_c IS NOT NULL) AS is_near_dup,
+               b.id_c AS best_match_id,
+               b.jaccard AS best_jaccard
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.id_d
+        """,
+)
+def q_llm_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup screening of an incoming snapshot against the standing
+    corpus (dedup.incremental_neardup) — every 10th document plays the
+    delta. The scale story: the corpus's (id, band, bucket) LSH index
+    is computed once per snapshot (stored, `_band_table`), each delta
+    only bands itself and joins ids against the index — no corpus
+    re-scan, no all-pairs; candidates verify with exact Jaccard."""
+    from stream4flow_spark.llmdata.dedup import incremental_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_neardup(corpus, delta, threshold=0.5)

@@ -217,7 +217,6 @@ def minhash_lsh_dedup(
     together transitively (``connected_components``).
     """
     assert num_perm % rows_per_band == 0
-    bands = num_perm // rows_per_band
 
     shingled = df.select(
         F.col(id_col).alias("id"),
@@ -233,36 +232,7 @@ def minhash_lsh_dedup(
         # simhash 3.0→5.0 s, minhash a wash). At cluster scale,
         # checkpoint this boundary to a table instead of caching.
         shingled = shingled.persist()
-    signed = minhash_table(shingled, num_perm)
-
-    banded = signed.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"m{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    )
-
-    banded = _cap_buckets(
-        banded.select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")),
-        ["band", "bucket"],
-        max_bucket,
-    )
+    banded = _band_table(shingled, num_perm, rows_per_band, max_bucket)
     if cache_intermediate:
         # the self-join's two branches would otherwise each recompute
         # the 64-column signature aggregate; the cached relation is
@@ -739,3 +709,125 @@ def incremental_dedup(
     keeper = d_fp.groupBy("fp").agg(F.min(key_col).alias(key_col))
     fresh = keeper.join(corpus_fps, "fp", "left_anti").select(key_col)
     return delta.join(fresh, key_col, "left_semi")
+
+
+def _band_table(
+    shingled: DataFrame,
+    num_perm: int,
+    rows_per_band: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(id, band, bucket) LSH band index over a (id, grams) table — the
+    shared banding of minhash_lsh_dedup, reusable as a PERSISTED index:
+    a production pipeline computes this once per corpus snapshot and
+    every delta joins against the stored table."""
+    assert num_perm % rows_per_band == 0
+    bands = num_perm // rows_per_band
+    signed = minhash_table(shingled, num_perm)
+    banded = signed.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    return _cap_buckets(banded, ["band", "bucket"], max_bucket)
+
+
+def incremental_neardup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup screening of a DELTA snapshot against an existing CORPUS
+    — the incremental form of minhash_lsh_dedup a continuously-crawled
+    corpus needs (re-banding 100 TB per snapshot is the naive
+    alternative; `incremental_dedup` is the exact-match sibling).
+
+    Delta docs band with the SAME minhash rule as the corpus index, the
+    candidate join keys (band, bucket) across the two tables (ids only
+    on the wire), and candidates verify with true n-gram Jaccard. At
+    scale the corpus side is a stored band index (see `_band_table`):
+    the per-snapshot cost is O(delta) banding + the candidate joins,
+    never a corpus re-scan.
+
+    Output: one row per delta document — (id_col, is_near_dup,
+    best_match_id, best_jaccard) with ties broken by lowest corpus id
+    on the ROUNDED jaccard so every engine ranks identically.
+    """
+    sh_c = corpus.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
+    )
+    sh_d = delta.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
+    )
+    bc = _band_table(sh_c, num_perm, rows_per_band, max_bucket)
+    bd = _band_table(sh_d, num_perm, rows_per_band, max_bucket)
+    candidates = (
+        bd.alias("d")
+        .join(
+            bc.alias("c"),
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("d.id").alias("id_d"), F.col("c.id").alias("id_c"))
+        .dropDuplicates(["id_d", "id_c"])
+    )
+    gd = sh_d.select(F.col("id").alias("id_d"), F.col("grams").alias("grams_d"))
+    gc = sh_c.select(F.col("id").alias("id_c"), F.col("grams").alias("grams_c"))
+    verified = (
+        candidates.join(gd, "id_d")
+        .join(gc, "id_c")
+        .withColumn(
+            "jaccard",
+            F.round(ngram_jaccard(F.col("grams_d"), F.col("grams_c")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_d").orderBy(
+        F.col("jaccard").desc(), F.col("id_c").asc()
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_d").alias(id_col),
+            F.col("id_c").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        delta.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.col("best_match_id").isNotNull().alias("is_near_dup"),
+            "best_match_id",
+            "best_jaccard",
+        )
+    )
