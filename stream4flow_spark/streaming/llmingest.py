@@ -44,3 +44,165 @@ def dedup_documents_stream(
         .withWatermark("ingest_ts", horizon)
         .dropDuplicatesWithinWatermark(["fp"])
     )
+
+
+class NeardupIndexState:
+    """Streaming near-dup screening against a GROWING on-disk LSH index —
+    the continuous-crawl form of ``dedup.incremental_neardup``.
+
+    Each micro-batch: (1) minhash-band the batch docs; (2) join their
+    (band, bucket) keys against the stored index (ids only on the
+    wire); (3) verify candidates by SIGNATURE similarity — the fraction
+    of agreeing minhash components, an unbiased Jaccard estimate — so
+    the index never stores document text or shingles, only num_perm
+    longs per doc; (4) append the batch's bands + signatures for the
+    NEXT batches. A doc flagged near-dup is reported, not indexed
+    (duplicates shouldn't attract future duplicates to themselves).
+
+    Retry-safe the same way ``streaming/ddos.py`` is: per-batch
+    append dirs keyed by batch_id, so foreachBatch redelivery
+    overwrites rather than double-appending. State on disk is
+    O(indexed docs × (bands + num_perm)) longs — the minimum any
+    near-dup index carries; there is deliberately NO horizon eviction
+    (near-dup against the WHOLE corpus is the semantics; a TTL'd
+    variant would just add a watermark filter on an indexed_at column).
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 3,
+        num_perm: int = 64,
+        rows_per_band: int = 2,
+        threshold: float = 0.5,
+        max_bucket: int | None = 10_000,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.num_perm = num_perm
+        self.rows_per_band = rows_per_band
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+        self.alerts: list = []
+
+    def _paths(self, batch_id: int) -> tuple[str, str]:
+        return (
+            f"{self.state_dir}/bands/batch={batch_id}",
+            f"{self.state_dir}/sigs/batch={batch_id}",
+        )
+
+    def _read_index(self):
+        import glob
+
+        band_files = glob.glob(f"{self.state_dir}/bands/batch=*")
+        if not band_files:
+            return None, None
+        return (
+            self.spark.read.parquet(f"{self.state_dir}/bands"),
+            self.spark.read.parquet(f"{self.state_dir}/sigs"),
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from stream4flow_spark.llmdata.dedup import (
+            _band_table,
+            minhash_table,
+            word_ngrams,
+        )
+
+        sh = batch_df.select(
+            F.col(self.id_col).alias("id"),
+            word_ngrams(F.col(self.text_col), self.n).alias("grams"),
+        )
+        bands = _band_table(sh, self.num_perm, self.rows_per_band, self.max_bucket)
+        sigs = minhash_table(sh, self.num_perm)
+        m = [f"m{i}" for i in range(self.num_perm)]
+
+        idx_bands, idx_sigs = self._read_index()
+        if idx_bands is None:
+            flagged = self.spark.createDataFrame(
+                [], f"id long, best_match_id long, est_jaccard double"
+            )
+        else:
+            cand = (
+                bands.alias("d")
+                .join(
+                    idx_bands.alias("c"),
+                    (F.col("d.band") == F.col("c.band"))
+                    & (F.col("d.bucket") == F.col("c.bucket")),
+                )
+                .select(F.col("d.id").alias("id"), F.col("c.id").alias("cid"))
+                .dropDuplicates(["id", "cid"])
+            )
+            ds = sigs.select("id", *[F.col(c).alias(f"d_{c}") for c in m])
+            cs = idx_sigs.select(
+                F.col("id").alias("cid"), *[F.col(c).alias(f"c_{c}") for c in m]
+            )
+            agree = sum(
+                (F.col(f"d_m{i}") == F.col(f"c_m{i}")).cast("int")
+                for i in range(self.num_perm)
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("id").orderBy(
+                F.col("est_jaccard").desc(), F.col("cid").asc()
+            )
+            flagged = (
+                cand.join(ds, "id")
+                .join(cs, "cid")
+                .withColumn(
+                    "est_jaccard",
+                    F.round(agree / F.lit(self.num_perm), 4),
+                )
+                .filter(F.col("est_jaccard") >= self.threshold)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(
+                    "id",
+                    F.col("cid").alias("best_match_id"),
+                    "est_jaccard",
+                )
+            )
+        # the alert stream is the (small) report output — the driver
+        # pull is bounded by flagged near-dups per batch, like the DDoS
+        # twin's alert snapshot; the index update itself stays
+        # distributed (anti-join, no id list through the driver)
+        flagged = flagged.persist()
+        self.alerts.extend(flagged.collect())
+        flagged_only_ids = flagged.select("id")
+
+        # index only the non-duplicate arrivals; per-batch dirs make a
+        # foreachBatch retry overwrite instead of double-append
+        band_dir, sig_dir = self._paths(batch_id)
+        bands.join(flagged_only_ids, "id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(band_dir)
+        sigs.join(flagged_only_ids, "id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(sig_dir)
+        flagged.unpersist()
+
+
+def neardup_screen_stream(
+    stream_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Drain ``stream_docs`` (availableNow) through the near-dup index
+    loop; returns (StreamingQuery-completed state, flagged rows)."""
+    state = NeardupIndexState(stream_docs.sparkSession, state_dir, **kwargs)
+    q = (
+        stream_docs.writeStream.foreachBatch(state.apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state

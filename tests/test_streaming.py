@@ -1575,3 +1575,71 @@ def test_flowgen_multi_app_kill_restart_soak(spark, tmp_path):
         list(expect_ddos.columns)
     ]
     pd.testing.assert_frame_equal(got_ddos, expect_ddos)
+
+
+def test_stream_neardup_screen_flags_arrivals_against_growing_index(
+    spark, tmp_path
+):
+    """Near-dup-on-arrival: docs stream in waves; each wave screens
+    against the index built from EARLIER waves only (signature-estimated
+    Jaccard), non-dup arrivals join the index, and a foreachBatch
+    restart continues from the on-disk index. First-wave docs can never
+    be flagged; a later near-copy must flag with its original as best
+    match; unrelated docs must pass clean."""
+    import pandas as pd
+
+    from stream4flow_spark.streaming.llmingest import neardup_screen_stream
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun")
+    near = ("the quick brown fox jumps over the lazy dog again and again "
+            "tomorrow in the bright morning sun")
+    other = ("completely different words appear in this sentence about "
+             "spark engines and distributed execution plans")
+    other2 = ("yet another unrelated document discussing parquet files "
+              "columnar storage and predicate pushdown at scale")
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    waves = [
+        [(0, base), (1, other)],
+        [(2, near), (3, other2)],   # 2 ~ 0; 3 clean
+    ]
+    schema = "doc_id long, text string"
+
+    def arrive(i):
+        pd.DataFrame(waves[i], columns=["doc_id", "text"]).to_parquet(
+            str(src / f"w{i}.parquet"), index=False
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return neardup_screen_stream(
+            stream,
+            state_dir=str(tmp_path / "index"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            threshold=0.5,
+        )
+
+    arrive(0)
+    st = run()
+    assert st.alerts == []  # nothing indexed before wave 0
+
+    arrive(1)
+    st = run()  # RESTART: index must have survived on disk
+    flagged = {r.id: (r.best_match_id, r.est_jaccard) for r in st.alerts}
+    assert set(flagged) == {2}
+    assert flagged[2][0] == 0
+    assert flagged[2][1] >= 0.5
+
+    # the flagged dup must NOT have joined the index: a third wave with
+    # another copy still matches the ORIGINAL (lowest-id chain)
+    waves.append([(4, near)])
+    arrive(2)
+    st = run()
+    flagged = {r.id: r.best_match_id for r in st.alerts}
+    assert flagged == {4: 0}
