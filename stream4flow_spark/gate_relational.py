@@ -1826,3 +1826,55 @@ def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((n_name), (yr))
         """
     )
+
+
+@register(
+    "rel_trailing_week_revenue",
+    covers="rel:range-interval-window rel:event-time-frame",
+    oracle="""
+        WITH daily AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+            FROM orders WHERE o_custkey < 200 GROUP BY 1, 2
+        )
+        SELECT o_custkey,
+               strftime(d, '%Y-%m-%d') AS order_date,
+               CAST(CAST(SUM(rev) OVER (
+                   PARTITION BY o_custkey ORDER BY d
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+               ) AS DECIMAL(38,2)) AS STRING) AS trailing_7d_revenue
+        FROM daily
+        """,
+)
+def q_rel_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-DAY revenue per customer — an EVENT-TIME RANGE frame
+    (value-based bounds over sparse dates), not a ROWS frame: a
+    customer with three orders in one week and none for a month gets
+    the calendar-correct trailing sum, which row-counted frames get
+    wrong. Spark side orders by epoch-day and uses
+    ``rangeBetween(-6, 0)`` — the numeric twin of SQL's RANGE INTERVAL;
+    the frame scans each partition once (no self-join, the same shape
+    as the DDoS baseline). Exact decimals, string-rendered (engine-
+    portable compare)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    daily = (
+        o.groupBy(
+            "o_custkey", F.to_date("o_orderdate").alias("d")
+        ).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("d"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_custkey",
+        F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+        F.sum("rev").over(w).cast("decimal(38,2)").cast("string").alias(
+            "trailing_7d_revenue"
+        ),
+    )
