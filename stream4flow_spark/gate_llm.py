@@ -1937,35 +1937,10 @@ def q_llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     all inside one projection over the scan, ZERO shuffle (the 1->N
     fan-out happens in-task). At 100 TB this runs at parquet-read
     speed; compare the reference's absence of any chunking surface."""
+    from stream4flow_spark.llmdata.textstats import chunk_documents
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n = F.size(toks)
-    starts = F.transform(
-        F.sequence(F.lit(0), F.ceil(n / F.lit(48.0)).cast("int") - 1),
-        lambda i: i * 48,
-    )
-    chunks = F.filter(
-        F.transform(
-            starts,
-            lambda s: F.struct(
-                (s / 48).cast("int").alias("chunk_idx"),
-                s.cast("int").alias("start_token"),
-                F.least(n - s, F.lit(64)).cast("int").alias("n_chunk_tokens"),
-                F.array_join(F.slice(toks, s + 1, 64), " ").alias(
-                    "chunk_text"
-                ),
-            ),
-        ),
-        lambda c: c.start_token < n,
-    )
-    return (
-        docs.filter(F.trim(F.col("text")) != "")
-        .select("doc_id", F.explode(chunks).alias("c"))
-        .select(
-            "doc_id", "c.chunk_idx", "c.start_token", "c.n_chunk_tokens",
-            "c.chunk_text",
-        )
-    )
+    return chunk_documents(docs, size=64, stride=48)
 
 
 def _rp_oracle(out_dims: int = 8, in_dims: int = 64, salt: str = "s4f-rp") -> str:

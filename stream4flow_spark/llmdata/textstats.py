@@ -358,3 +358,54 @@ def normalize_unicode(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(
         "was_normalized", F.col("text_nfc") != F.col(text_col)
     )
+
+
+def chunk_documents(
+    docs: "DataFrame",
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Overlapping ``size``-token windows every ``stride`` tokens, each
+    chunk carrying its global start offset — RAG / long-context
+    preprocessing. Pure map stage: tokenize, build the stride grid with
+    ``sequence()``, slice each window with higher-order array
+    functions, explode — the 1->N fan-out happens in-task, ZERO
+    shuffle, so it runs identically batch or streaming (parity-tested).
+    Output: (id_col, chunk_idx, start_token, n_chunk_tokens, chunk_text).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(toks)
+    starts = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(n / F.lit(float(stride))).cast("int") - 1
+        ),
+        lambda i: i * stride,
+    )
+    chunks = F.filter(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("int").alias("chunk_idx"),
+                s.cast("int").alias("start_token"),
+                F.least(n - s, F.lit(size)).cast("int").alias(
+                    "n_chunk_tokens"
+                ),
+                F.array_join(F.slice(toks, s + 1, size), " ").alias(
+                    "chunk_text"
+                ),
+            ),
+        ),
+        lambda c: c.start_token < n,
+    )
+    return (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(id_col, F.explode(chunks).alias("c"))
+        .select(
+            id_col, "c.chunk_idx", "c.start_token", "c.n_chunk_tokens",
+            "c.chunk_text",
+        )
+    )

@@ -1643,3 +1643,43 @@ def test_stream_neardup_screen_flags_arrivals_against_growing_index(
     st = run()
     flagged = {r.id: r.best_match_id for r in st.alerts}
     assert flagged == {4: 0}
+
+
+def test_stream_chunk_documents_matches_batch(spark, tmp_path):
+    """RAG chunk-on-arrival: llm_chunk_documents' stride/slice/explode
+    pipeline is pure map-side Column work, so the SAME logic must stream
+    unchanged (readStream -> append sink) and emit exactly the batch
+    chunks over the same files."""
+    from stream4flow_spark.registry import REGISTRY, queries
+
+    queries()
+    fn = REGISTRY["llm_chunk_documents"].fn
+    want = {
+        (r.doc_id, r.chunk_idx, r.start_token, r.n_chunk_tokens, r.chunk_text)
+        for r in fn(spark, SF_DIR).collect()
+    }
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = tmp_path / "docs"
+    src.mkdir()
+    pdf = docs.toPandas()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(src / "f0.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(str(src / "f1.parquet"), index=False)
+
+    # the SAME operator (no logic copy): chunk_documents is pure
+    # map-side Column work, so it applies to the streaming frame as-is
+    from stream4flow_spark.llmdata.textstats import chunk_documents
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    streamed = chunk_documents(stream, size=64, stride=48)
+    got_df = run_stream_to_table(streamed, output_mode="append")
+    got = {
+        (r.doc_id, r.chunk_idx, r.start_token, r.n_chunk_tokens, r.chunk_text)
+        for r in got_df.collect()
+    }
+    assert got == want
