@@ -195,16 +195,27 @@ def heavy_hitters(
 
     Output: (word, n_occurrences, share) sorted nowhere (set semantics).
     """
-    import pandas as pd
-
     toks = docs.select(
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word")
     ).filter(F.col("word") != "")
+    return heavy_hitter_keys(toks, "word", k)
+
+
+def heavy_hitter_keys(
+    keyed: DataFrame, key_col: str, k: int = 50
+) -> DataFrame:
+    """Generic Misra-Gries heavy hitters over ANY key column — one row
+    per input occurrence in ``keyed``. Same sketch-then-verify shape as
+    `heavy_hitters` (which tokenizes text and delegates here); also the
+    network-tier's top-talkers primitive (key = host/flow 5-tuple) when
+    the key space is too large for a full groupBy.
+    """
+    import pandas as pd
 
     def mg(batches):
-        counters: dict[str, int] = {}
+        counters: dict = {}
         for pdf in batches:
-            for w in pdf["word"]:
+            for w in pdf[key_col]:
                 if w in counters:
                     counters[w] += 1
                 elif len(counters) < k:
@@ -217,30 +228,19 @@ def heavy_hitters(
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame({"word": list(counters)})
+        yield pd.DataFrame({key_col: list(counters)})
 
-    candidates = toks.mapInPandas(mg, "word string").distinct()
-
-    total = docs.select(
-        F.sum(
-            F.size(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), "[^a-z]+"),
-                    lambda w: w != "",
-                )
-            )
-        )
-        .cast("double")
-        .alias("n")
-    )
+    schema = f"{key_col} {keyed.schema[key_col].dataType.simpleString()}"
+    candidates = keyed.mapInPandas(mg, schema).distinct()
+    total = keyed.select(F.count(F.lit(1)).cast("double").alias("n"))
     return (
-        toks.join(F.broadcast(candidates), "word", "left_semi")
-        .groupBy("word")
+        keyed.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
         .agg(F.count("*").alias("n_occurrences"))
         .crossJoin(F.broadcast(total))
         .filter(F.col("n_occurrences") > F.col("n") / F.lit(k))
         .select(
-            "word",
+            key_col,
             "n_occurrences",
             F.round(F.col("n_occurrences") / F.col("n"), 6).alias("share"),
         )

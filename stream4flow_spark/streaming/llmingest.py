@@ -206,3 +206,30 @@ def neardup_screen_stream(
     )
     q.awaitTermination()
     return state
+
+
+def compact_neardup_index(spark, state_dir: str) -> dict:
+    """Rewrite the near-dup index's accumulated per-batch dirs into one
+    consolidated batch each for bands and signatures (DEPLOY.md: run
+    once batch-dir counts reach thousands — file-listing cost, not data
+    size, is what degrades). Safe between runs (the index is only read
+    at batch boundaries); returns {"bands": n_rows, "sigs": n_rows}.
+    """
+    import glob
+    import shutil
+
+    out = {}
+    for sub in ("bands", "sigs"):
+        src = f"{state_dir}/{sub}"
+        if not glob.glob(f"{src}/batch=*"):
+            out[sub] = 0
+            continue
+        df = spark.read.parquet(src).drop("batch")
+        tmp = f"{state_dir}/__compact_{sub}"
+        df.coalesce(max(1, df.rdd.getNumPartitions() // 8)).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/batch=compacted")
+        out[sub] = spark.read.parquet(tmp).count()
+        shutil.rmtree(src)
+        shutil.move(tmp, src)
+    return out

@@ -1683,3 +1683,57 @@ def test_stream_chunk_documents_matches_batch(spark, tmp_path):
         for r in got_df.collect()
     }
     assert got == want
+
+
+def test_neardup_index_compaction_preserves_screening(spark, tmp_path):
+    """Compacting the per-batch index dirs must not change screening:
+    a near-copy arriving AFTER compaction still flags against the
+    pre-compaction original."""
+    import glob
+
+    import pandas as pd
+
+    from stream4flow_spark.streaming.llmingest import (
+        compact_neardup_index,
+        neardup_screen_stream,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun")
+    near = base.replace("today", "tomorrow")
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    def arrive(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            str(src / name), index=False
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return neardup_screen_stream(
+            stream,
+            state_dir=str(tmp_path / "index"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            threshold=0.5,
+        )
+
+    arrive("w0.parquet", [(0, base)])
+    arrive("w1.parquet", [(1, "totally unrelated text about parquet files "
+                              "and columnar formats for analytics")])
+    run()
+    n_dirs_before = len(glob.glob(str(tmp_path / "index" / "bands" / "batch=*")))
+    assert n_dirs_before >= 2
+    counts = compact_neardup_index(spark, str(tmp_path / "index"))
+    assert counts["sigs"] == 2
+    assert len(glob.glob(str(tmp_path / "index" / "bands" / "batch=*"))) == 1
+
+    arrive("w2.parquet", [(2, near)])
+    st = run()
+    flagged = {r.id: r.best_match_id for r in st.alerts}
+    assert flagged == {2: 0}
