@@ -88,3 +88,27 @@ def grouped_exact_percentiles(
     if extra_aggs:
         extra = [c.alias(n) for n, c in extra_aggs.items()]
     return ranked.groupBy(*group_cols).agg(*p_aggs, *extra)
+
+
+def grouped_approx_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: dict[str, float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Approximate per-group percentiles via Spark's built-in
+    Greenwald-Khanna sketch (``percentile_approx``) — the scale knob
+    when even O(distinct values) state is too much (continuous
+    measurements, billions of distincts per group). The sketch
+    guarantees RANK error ≤ N/accuracy per group; it merges map-side
+    like any partial aggregate, so state is O(accuracy · log N)
+    regardless of group size. Same output shape as
+    ``grouped_exact_percentiles`` (the exact/approx pair mirrors
+    host_stats' countDistinct/HLL switch); the rank-error guarantee is
+    pinned against the exact tier in tests."""
+    aggs = [
+        F.percentile_approx(value_col, p, accuracy).alias(name)
+        for name, p in percentiles.items()
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)

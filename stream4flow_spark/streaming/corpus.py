@@ -143,3 +143,22 @@ def prepare_corpus_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def observe_corpus_quality(
+    docs: DataFrame, text_col: str = "text", min_tokens: int = 20
+) -> DataFrame:
+    """Attach zero-cost per-batch ingest-quality counters (the corpus
+    twin of the flow stream's quarantine `observe()`): total docs, empty
+    docs, below-the-token-floor docs. Read them from each progress
+    event's ``observedMetrics["corpus_quality"]`` and alert on drift —
+    a crawler regression shows up here batches before it shows up as a
+    corpus-quality incident."""
+    text = F.col(text_col)
+    n_tok = F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""))
+    return docs.observe(
+        "corpus_quality",
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.length(F.trim(text)) == 0).cast("long")).alias("n_empty"),
+        F.sum((n_tok < min_tokens).cast("long")).alias("n_short"),
+    )

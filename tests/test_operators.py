@@ -586,3 +586,35 @@ def test_gap_fill_hourly_fills_gaps_and_carries_forward(spark):
     assert [r.n_events for r in out] == [2, 0, 0, 1]
     assert [r.value_sum for r in out] == [12.0, 0.0, 0.0, 2.0]
     assert [r.last_seen_value for r in out] == [12.0, 12.0, 12.0, 2.0]
+
+
+def test_approx_percentiles_within_rank_error_of_exact(spark):
+    """percentile_approx's Greenwald-Khanna guarantee, verified against
+    the exact bounded-state tier: each approximate pXX must sit within
+    rank error N/accuracy of the true order statistic per group."""
+    from stream4flow_spark.operators.percentiles import (
+        grouped_approx_percentiles,
+    )
+    from stream4flow_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ps = {"p10": 0.1, "p50": 0.5, "p90": 0.9}
+    approx = {
+        r.lang: r
+        for r in grouped_approx_percentiles(
+            docs, ["lang"], "n_chars", ps, accuracy=100
+        ).collect()
+    }
+    values = {}
+    for r in docs.select("lang", "n_chars").collect():
+        values.setdefault(r.lang, []).append(r.n_chars)
+    for lang, vals in values.items():
+        vals.sort()
+        n = len(vals)
+        for name, p in ps.items():
+            got = approx[lang][name]
+            # rank window the guarantee allows: (p ± 1/accuracy) * n
+            lo = vals[max(0, int((p - 1 / 100) * n) - 1)]
+            hi = vals[min(n - 1, int((p + 1 / 100) * n) + 1)]
+            assert lo <= got <= hi, (lang, name, got, lo, hi)

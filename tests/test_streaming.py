@@ -1737,3 +1737,43 @@ def test_neardup_index_compaction_preserves_screening(spark, tmp_path):
     st = run()
     flagged = {r.id: r.best_match_id for r in st.alerts}
     assert flagged == {2: 0}
+
+
+def test_observed_metrics_report_corpus_quality(spark, tmp_path):
+    """Corpus-ingest quality counters ride the streaming query via
+    observe() — per-batch doc/empty/short counts without a second
+    aggregation pass."""
+    import pandas as pd
+
+    from stream4flow_spark.streaming.corpus import observe_corpus_quality
+
+    rows = [
+        (0, "one short doc"),
+        (1, ""),
+        (2, " ".join(["tok"] * 30)),
+        (3, "   "),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(src / "f0.parquet"), index=False
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = (
+        observe_corpus_quality(stream, min_tokens=20)
+        .writeStream.format("memory")
+        .queryName("observed_corpus")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    progress = [p for p in q.recentProgress if p.get("observedMetrics")]
+    assert progress, "no observedMetrics in any progress event"
+    m = progress[-1]["observedMetrics"]["corpus_quality"]
+    assert m["n_docs"] == 4
+    assert m["n_empty"] == 2       # "" and whitespace-only
+    assert m["n_short"] == 3       # everything under 20 tokens
