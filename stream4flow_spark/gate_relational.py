@@ -1878,3 +1878,49 @@ def q_rel_trailing_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_7d_revenue"
         ),
     )
+
+
+@register(
+    "rel_quality_audit",
+    covers="rel:data-quality-audit rel:conditional-agg",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 45
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS qty_in_range_violations,
+               CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.08
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS discount_band_violations,
+               CAST(SUM(CASE WHEN l_extendedprice > 0
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS positive_price_violations,
+               CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS returnflag_domain_violations,
+               CAST(SUM(CASE WHEN l_shipdate IS NOT NULL
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS shipdate_present_violations
+        FROM lineitem
+        """,
+)
+def q_rel_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations audit over the fact table
+    (operators/expect.py): five constraint rules compiled into ONE
+    conditional-sum pass with map-side partials — rule count doesn't
+    change the scan count. The quarantine() twin splits rows with the
+    same Columns so counts and quarantined lanes can't drift."""
+    from stream4flow_spark.operators.expect import audit
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return audit(
+        l,
+        {
+            # deliberately tight bands so the audit COUNTS something on
+            # the gate data (an all-zeros audit row is a weak oracle)
+            "qty_in_range": F.col("l_quantity").between(1, 45),
+            "discount_band": F.col("l_discount").between(0.0, 0.08),
+            "positive_price": F.col("l_extendedprice") > 0,
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "shipdate_present": F.col("l_shipdate").isNotNull(),
+        },
+    )

@@ -618,3 +618,32 @@ def test_approx_percentiles_within_rank_error_of_exact(spark):
             lo = vals[max(0, int((p - 1 / 100) * n) - 1)]
             hi = vals[min(n - 1, int((p + 1 / 100) * n) + 1)]
             assert lo <= got <= hi, (lang, name, got, lo, hi)
+
+
+def test_expect_audit_and_quarantine_agree(spark):
+    """The audit's violation counts must equal the quarantine lane's row
+    split from the same rules, nulls counting as violations."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.operators.expect import audit, quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, None), (4, 200.0)],
+        "id long, v double",
+    )
+    rules = {
+        "v_positive": F.col("v") > 0,
+        "v_small": F.col("v") < 100,
+    }
+    row = audit(df, rules).collect()[0]
+    assert row.n_rows == 4
+    assert row.v_positive_violations == 2   # -1 and NULL
+    assert row.v_small_violations == 2      # 200 and NULL
+    ok, bad = quarantine(df, rules)
+    assert {r.id for r in ok.collect()} == {1}
+    failed = {r.id: set(r.failed_rules) for r in bad.collect()}
+    assert failed == {
+        2: {"v_positive"},
+        3: {"v_positive", "v_small"},
+        4: {"v_small"},
+    }
