@@ -1777,3 +1777,62 @@ def test_observed_metrics_report_corpus_quality(spark, tmp_path):
     assert m["n_docs"] == 4
     assert m["n_empty"] == 2       # "" and whitespace-only
     assert m["n_short"] == 3       # everything under 20 tokens
+
+
+def test_stream_prepare_corpus_restart_resumes_exactly(spark, tmp_path):
+    """The streamed corpus build must survive a kill-restart: waves
+    arrive across two separate query lifetimes sharing one checkpoint +
+    output dir, and the union of appended batches still equals batch
+    prepare_corpus over everything — nothing lost, nothing re-emitted."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.llmdata.pipeline import prepare_corpus
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.corpus import prepare_corpus_stream
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    want = {
+        (r.doc_id, r.lang, r.n_tokens, r.split)
+        for r in prepare_corpus(corpus, bench, hash_grams=False).collect()
+    }
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pdf = corpus.toPandas().sort_values("doc_id")
+    half = len(pdf) // 2
+
+    def run():
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = prepare_corpus_stream(
+            stream,
+            bench,
+            ingest_ts=F.timestamp_millis(
+                F.lit(1_600_000_000_000) + F.col("doc_id") * 1000
+            ),
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            hash_grams=False,
+        )
+        q.awaitTermination(120)
+
+    pdf.iloc[:half].to_parquet(str(src / "w0.parquet"), index=False)
+    run()                      # first lifetime, then "crash"
+    n_first = spark.read.parquet(str(tmp_path / "out")).count()
+    assert 0 < n_first < len(want)
+    pdf.iloc[half:].to_parquet(str(src / "w1.parquet"), index=False)
+    run()                      # restart from the same checkpoint
+    run()                      # and once more with nothing new: no-op
+    got_df = spark.read.parquet(str(tmp_path / "out"))
+    got = {
+        (r.doc_id, r.lang, r.n_tokens, r.split) for r in got_df.collect()
+    }
+    assert got == want
+    assert got_df.count() == len(want)  # exactly once, no dup appends
