@@ -1924,3 +1924,69 @@ def q_rel_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shipdate_present": F.col("l_shipdate").isNotNull(),
         },
     )
+
+
+@register(
+    "rel_snapshot_drift",
+    covers="rel:snapshot-drift rel:single-pass-profile",
+    oracle="""
+        WITH prof AS (
+            SELECT (user_id % 2 = 0) AS cohort_a,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(AVG(value), 4) AS value_mean,
+                   ROUND(STDDEV_SAMP(value), 4) AS value_std,
+                   ROUND(CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 6) AS value_null_rate,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                     AS event_type_card
+            FROM events GROUP BY 1
+        )
+        SELECT a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+               a.value_mean AS value_mean_a, b.value_mean AS value_mean_b,
+               ROUND(ABS(a.value_mean - b.value_mean), 4) AS value_mean_drift,
+               a.value_std AS value_std_a, b.value_std AS value_std_b,
+               a.value_null_rate AS value_null_rate_a,
+               b.value_null_rate AS value_null_rate_b,
+               a.event_type_card AS event_type_card_a,
+               b.event_type_card AS event_type_card_b
+        FROM (SELECT * FROM prof WHERE cohort_a)     a
+        CROSS JOIN (SELECT * FROM prof WHERE NOT cohort_a) b
+        """,
+)
+def q_rel_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics drift between two data snapshots (here: the two
+    user-parity cohorts play old/new) — the tabular data-ops check that
+    catches a broken upstream export before it trains: row count, mean,
+    stddev, null rate, and categorical cardinality, compared side by
+    side. Scale shape: BOTH profiles come from ONE scan (aggregate
+    keyed by the 2-value cohort tag, map-side partials); the compare
+    joins two 1-row profiles. Complements llm_split_drift (token-level
+    KL) with schema-level statistics."""
+    e = load_table(spark, sf_dir, "events")
+    prof = (
+        e.groupBy((F.col("user_id") % 2 == 0).alias("cohort_a"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("value"), 4).alias("value_mean"),
+            F.round(F.stddev_samp("value"), 4).alias("value_std"),
+            F.round(
+                F.sum(F.col("value").isNull().cast("double"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("value_null_rate"),
+            F.countDistinct("event_type").alias("event_type_card"),
+        )
+    )
+    a = prof.filter("cohort_a").drop("cohort_a")
+    b = prof.filter("NOT cohort_a").drop("cohort_a")
+    sel_a = a.select(*[F.col(c).alias(f"{c}_a") for c in a.columns])
+    sel_b = b.select(*[F.col(c).alias(f"{c}_b") for c in b.columns])
+    return sel_a.crossJoin(sel_b).select(
+        "n_rows_a", "n_rows_b",
+        "value_mean_a", "value_mean_b",
+        F.round(F.abs(F.col("value_mean_a") - F.col("value_mean_b")), 4)
+        .alias("value_mean_drift"),
+        "value_std_a", "value_std_b",
+        "value_null_rate_a", "value_null_rate_b",
+        "event_type_card_a", "event_type_card_b",
+    )

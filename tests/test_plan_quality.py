@@ -40,9 +40,11 @@ _NESTED_LOOP_OK = {
     # 1-row vocab/total constants cross-joined into the KL reduction
     "llm_split_drift",
     # r6: the 1-row corpus-token totals broadcast into the scoring /
-    # threshold joins (plus heavy-hitters' bounded MG candidate set)
+    # threshold joins (plus heavy-hitters' bounded MG candidate set);
+    # snapshot-drift cross-joins two 1-row cohort profiles
     "llm_unigram_logprob",
     "llm_heavy_hitters",
+    "rel_snapshot_drift",
 }
 
 
