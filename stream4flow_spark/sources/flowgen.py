@@ -22,7 +22,12 @@ exercised with zero external input.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from stream4flow_spark.schema import FLOW_SCHEMA
 
@@ -34,6 +39,36 @@ def _mix(*xs: int) -> int:
         h = (h ^ (x * 0xBF58476D1CE4E5B9)) & 0xFFFFFFFFFFFFFFFF
         h = ((h >> 31) ^ h) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
     return (h >> 7) & 0x7FFFFFFFFFFFFFFF
+
+
+def _flow_row(seed: int, r: int, rows: int, start_ms: int, span_ms: int):
+    """Row ``r`` of the deterministic flow corpus — shared by the batch
+    reader (per-partition stride) and the streaming reader (per-batch
+    row ranges), so ``readStream`` emits EXACTLY the batch rows."""
+    h = _mix(seed, r)
+    proto = (6, 17, 1)[h % 10 % 3] if h % 10 < 9 else 6
+    src = f"10.{(h >> 8) % 64}.{(h >> 16) % 256}.{(h >> 24) % 256}"
+    dst = f"192.168.{(h >> 32) % 16}.{(h >> 40) % 256}"
+    t0 = start_ms + (r * span_ms) // max(rows, 1)
+    pkts = 1 + h % 1000
+    is_dns = proto == 17 and h % 5 == 0
+    return (
+        src, dst, None, None,
+        proto,
+        1024 + (h >> 12) % 60000,
+        (53 if is_dns else (80, 443, 22, 8080)[(h >> 5) % 4]),
+        pkts,
+        pkts * (40 + h % 1460),
+        t0,
+        t0 + h % 60_000,
+        (h % 64) if proto == 6 else None,
+        (f"host{h % 97}.example.com" if is_dns else None),
+        (1 if is_dns else None),
+        ((h >> 3) % 32768 if is_dns else None),
+        None, None, None, None,
+        None,
+        None,
+    )
 
 
 class _FlowGenReader(DataSourceReader):
@@ -50,30 +85,7 @@ class _FlowGenReader(DataSourceReader):
     def read(self, partition):
         p = partition.value
         for r in range(p, self.rows, self.n_parts):
-            h = _mix(self.seed, r)
-            proto = (6, 17, 1)[h % 10 % 3] if h % 10 < 9 else 6
-            src = f"10.{(h >> 8) % 64}.{(h >> 16) % 256}.{(h >> 24) % 256}"
-            dst = f"192.168.{(h >> 32) % 16}.{(h >> 40) % 256}"
-            t0 = self.start_ms + (r * self.span_ms) // max(self.rows, 1)
-            pkts = 1 + h % 1000
-            is_dns = proto == 17 and h % 5 == 0
-            yield (
-                src, dst, None, None,
-                proto,
-                1024 + (h >> 12) % 60000,
-                (53 if is_dns else (80, 443, 22, 8080)[(h >> 5) % 4]),
-                pkts,
-                pkts * (40 + h % 1460),
-                t0,
-                t0 + h % 60_000,
-                (h % 64) if proto == 6 else None,
-                (f"host{h % 97}.example.com" if is_dns else None),
-                (1 if is_dns else None),
-                ((h >> 3) % 32768 if is_dns else None),
-                None, None, None, None,
-                None,
-                None,
-            )
+            yield _flow_row(self.seed, r, self.rows, self.start_ms, self.span_ms)
 
 
 class FlowGenDataSource(DataSource):
@@ -86,3 +98,54 @@ class FlowGenDataSource(DataSource):
 
     def reader(self, schema):
         return _FlowGenReader(self.options)
+
+    def streamReader(self, schema):
+        return _FlowGenStreamReader(self.options)
+
+
+class _FlowGenStreamReader(DataSourceStreamReader):
+    """Streaming flowgen: a LIVE synthetic flow source with exactly-once
+    offsets (Spark 4 Python DataSourceStreamReader API) — the zero-input
+    way to soak the streaming apps without files or a broker.
+
+    The offset is simply the next global row index; each micro-batch
+    covers rows [start, end) where ``latestOffset`` advances by
+    ``rows_per_batch`` until ``rows`` (the corpus bound, making
+    availableNow terminate — set it huge for an endless soak). Rows come
+    from the SAME ``_flow_row`` generator as the batch reader, so a
+    drained stream equals ``spark.read.format("flowgen")`` with the same
+    options row-for-row. Restart-safe by construction: offsets are row
+    indices, and row content is a pure function of (seed, index)."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rows_per_batch", 250))
+        self.n_parts = int(options.get("partitions", 8))
+        self.seed = int(options.get("seed", 7))
+        self.start_ms = int(options.get("start_ms", 1_600_000_000_000))
+        self.span_ms = int(options.get("span_ms", 3_600_000))
+        self._offset = 0
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def latestOffset(self):
+        self._offset = min(self._offset + self.per_batch, self.rows)
+        return {"row": self._offset}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        n = max(1, self.n_parts)
+        step = max(1, -(-(hi - lo) // n))
+        return [
+            InputPartition((s, min(s + step, hi)))
+            for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for r in range(lo, hi):
+            yield _flow_row(self.seed, r, self.rows, self.start_ms, self.span_ms)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: content is a pure function of offsets

@@ -1836,3 +1836,53 @@ def test_stream_prepare_corpus_restart_resumes_exactly(spark, tmp_path):
     }
     assert got == want
     assert got_df.count() == len(want)  # exactly once, no dup appends
+
+
+def test_flowgen_stream_source_equals_batch_and_drives_an_app(spark, tmp_path):
+    """The streaming flowgen (Python DataSourceStreamReader) must emit
+    exactly the batch flowgen's rows across its micro-batches, and a
+    reference app must run on it unchanged — a live synthetic source
+    with no files and no broker."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.apps.protocols_statistics import (
+        protocols_statistics,
+    )
+    from stream4flow_spark.sources.flowgen import FlowGenDataSource
+
+    spark.dataSource.register(FlowGenDataSource)
+    opts = {"rows": "1000", "rows_per_batch": "300", "partitions": "4"}
+
+    batch = spark.read.format("flowgen").options(**opts).load()
+    stream = spark.readStream.format("flowgen").options(**opts).load()
+
+    # default micro-batch trigger (NOT availableNow, which snapshots the
+    # offset once at start and would stop after the first 300 rows);
+    # processAllAvailable returns once latestOffset stops advancing at
+    # the rows bound
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("flowgen_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM flowgen_stream")
+    assert got.count() == 1000
+    # multiple micro-batches actually happened (offset pacing works)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+
+    key = ["ipfix_flowStartMilliseconds", "ipfix_sourceIPv4Address",
+           "ipfix_destinationTransportPort"]
+    assert (
+        got.select(*key).exceptAll(batch.select(*key)).count() == 0
+        and batch.select(*key).exceptAll(got.select(*key)).count() == 0
+    )
+
+    # an app consumes the live source unchanged
+    out = protocols_statistics(
+        got, "1 hour"
+    )
+    assert out.count() >= 1
