@@ -1886,3 +1886,41 @@ def test_flowgen_stream_source_equals_batch_and_drives_an_app(spark, tmp_path):
         got, "1 hour"
     )
     assert out.count() >= 1
+
+
+def test_flowgen_stream_drives_windowed_app_to_batch_parity(spark, tmp_path):
+    """The live flowgen stream must drive a real windowed aggregation
+    (protocols_statistics) to bit-parity with the batch app over the
+    same generated rows — the zero-input end-to-end: synthetic source →
+    event-time windows → complete-mode result table."""
+    import pandas as pd
+
+    from stream4flow_spark.apps.protocols_statistics import (
+        protocols_statistics,
+    )
+    from stream4flow_spark.sources.flowgen import FlowGenDataSource
+
+    spark.dataSource.register(FlowGenDataSource)
+    opts = {"rows": "800", "rows_per_batch": "250", "partitions": "4"}
+    batch = spark.read.format("flowgen").options(**opts).load()
+    expect = _sorted_pdf(
+        protocols_statistics(batch, "10 minutes"),
+        ["window_start_ms", "protocol"],
+    )
+
+    stream = spark.readStream.format("flowgen").options(**opts).load()
+    q = (
+        protocols_statistics(stream, "10 minutes")
+        .writeStream.format("memory")
+        .queryName("flowgen_protocols")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _sorted_pdf(
+        spark.sql("SELECT * FROM flowgen_protocols"),
+        ["window_start_ms", "protocol"],
+    )
+    pd.testing.assert_frame_equal(got, expect)
