@@ -2138,3 +2138,60 @@ def q_llm_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return incremental_neardup(corpus, delta, threshold=0.5)
+
+
+@register(
+    "llm_embedding_coverage",
+    covers="llm:join-coverage-audit",
+    oracle="""
+        SELECT CAST(COUNT(*) FILTER (d.doc_id IS NOT NULL
+                                     AND e.vec_id IS NOT NULL) AS BIGINT)
+                 AS n_both,
+               CAST(COUNT(*) FILTER (e.vec_id IS NULL) AS BIGINT)
+                 AS n_docs_missing_embedding,
+               CAST(COUNT(*) FILTER (d.doc_id IS NULL) AS BIGINT)
+                 AS n_orphan_embeddings,
+               ROUND(CAST(COUNT(*) FILTER (d.doc_id IS NOT NULL
+                                           AND e.vec_id IS NOT NULL)
+                          AS DOUBLE)
+                     / NULLIF(COUNT(*) FILTER (d.doc_id IS NOT NULL), 0), 6)
+                 AS doc_coverage
+        FROM documents d
+        FULL OUTER JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 0)
+             e ON d.doc_id = e.vec_id
+        """,
+)
+def q_llm_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store coverage audit: which documents lack an embedding
+    row and which embeddings are orphans — the join-completeness check
+    every doc↔vector pipeline needs before ANN/semantic stages silently
+    drop unembedded documents. One full-outer id join (ids only on the
+    wire) folding straight into a 1-row conditional aggregate."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # every 7th embedding withheld: the gate audits a PARTIALLY-embedded
+    # corpus so the missing/orphan counters actually count something
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(F.col("vec_id") % 7 != 0)
+    )
+    j = d.join(e, d["doc_id"] == e["vec_id"], "full_outer")
+    both = (F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull()).cast(
+        "long"
+    )
+    return j.agg(
+        F.sum(both).alias("n_both"),
+        F.sum(F.col("vec_id").isNull().cast("long")).alias(
+            "n_docs_missing_embedding"
+        ),
+        F.sum(F.col("doc_id").isNull().cast("long")).alias(
+            "n_orphan_embeddings"
+        ),
+        F.round(
+            F.sum(both).cast("double")
+            / F.nullif(
+                F.sum(F.col("doc_id").isNotNull().cast("long")), F.lit(0)
+            ),
+            6,
+        ).alias("doc_coverage"),
+    )

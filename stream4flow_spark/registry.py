@@ -55,13 +55,13 @@ WINDOW_PRIORITY: list[str] = [
     # (added after the r05 window was pinned — r05 verdict item 1).
     "llm_scene_changes", "llm_dedup_rate_by_source",
     "rel_lateral_top_orders", "rel_recursive_calendar",
-    # 5-16: new this round (never verified by definition).
+    # 5-17: new this round (never verified by definition).
     "tpch_q12ish_shipmode_priority", "llm_unigram_logprob",
     "llm_semantic_dedup", "rel_grouping_sets_nation_year",
     "llm_chunk_documents", "llm_random_projection",
     "llm_heavy_hitters", "llm_source_overlap", "llm_incremental_neardup",
     "rel_trailing_week_revenue", "rel_quality_audit",
-    "rel_snapshot_drift",
+    "rel_snapshot_drift", "llm_embedding_coverage",
     # 12: implementation changed this round (struct-min first-occurrence
     # winner replaced the packed-int pk) — re-certify the current plan.
     "llm_segment_dedup",
@@ -82,8 +82,8 @@ WINDOW_PRIORITY: list[str] = [
     "dns_open_resolvers", "dns_external_resolvers", "pattern_finder",
     "domain_entropy", "iso_timestamps", "alert_suppression",
     "application_template", "readside_q1_range_term",
-    "readside_q2_histogram_terms_sum", "readside_q3_global_sums",
-    # readside_q4/q5/q6/q7/q8/q9 (three-green) and
+    "readside_q2_histogram_terms_sum",
+    # readside_q3..q9 (three-green) and
     # the nine four-green queries
     # (llm_minhash_lsh_dedup, llm_ann_cosine_topk, llm_dedup_components,
     # tpch_q1_pricing_summary,
