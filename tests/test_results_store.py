@@ -84,3 +84,22 @@ def test_compact_results_reduces_files(spark, tmp_path):
     after_files = compact_results(spark, root)
     assert after_files < before_files
     assert read_results(spark, root).count() == before_rows
+
+
+def test_window_priority_invariants():
+    """The driver verifies the FIRST 50 of queries(); WINDOW_PRIORITY
+    pins them. Guard the invariants a hand-edit can break: exactly 50
+    entries, no duplicates, every name registered, and the pinned list
+    IS the window."""
+    from stream4flow_spark.registry import (
+        REGISTRY,
+        WINDOW_PRIORITY,
+        queries,
+    )
+
+    names = list(queries())[:50]
+    assert len(WINDOW_PRIORITY) == 50
+    assert len(set(WINDOW_PRIORITY)) == 50
+    unknown = [n for n in WINDOW_PRIORITY if n not in REGISTRY]
+    assert not unknown, f"window names not in registry: {unknown}"
+    assert names == WINDOW_PRIORITY
