@@ -106,3 +106,53 @@ def _write_side_file(spark, path: str, content: str) -> None:
     except Exception:  # pragma: no cover - local-fs fallback
         with open(path, "w") as f:
             f.write(content)
+
+
+def verify_shards(spark, out_dir: str) -> dict:
+    """Integrity check for a shard export: recompute per-shard row
+    counts from the parquet files and diff them against the stored
+    ``_manifest.json``. Returns {"ok", "total_rows", "mismatched":
+    {shard: (manifest, actual)}} — the consumer-side handshake before a
+    trainer trusts a download (a missing/duplicated shard file shows up
+    as a count diff; assignment determinism makes counts sufficient)."""
+    import json as _json
+
+    manifest = _json.loads(_read_side_file(spark, f"{out_dir}/_manifest.json"))
+    actual = {
+        str(r.shard): int(r.cnt)
+        for r in spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    mism = {
+        s: (manifest["shards"].get(s), actual.get(s))
+        for s in set(manifest["shards"]) | set(actual)
+        if manifest["shards"].get(s) != actual.get(s)
+    }
+    return {
+        "ok": not mism,
+        "total_rows": sum(actual.values()),
+        "mismatched": mism,
+    }
+
+
+def _read_side_file(spark, path: str) -> str:
+    """Read a small text side-file via the Hadoop FS API (local/HDFS/S3).
+    ``spark.read.text`` can't do this: underscore-prefixed side files
+    are exactly the ones Spark's file listing hides."""
+    try:
+        jvm = spark._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        stream = fs.open(p)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+    except Exception:  # pragma: no cover - local-fs fallback
+        with open(path) as f:
+            return f.read()

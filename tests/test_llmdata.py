@@ -1185,3 +1185,27 @@ def test_semantic_dedup_lsh_agrees_with_exact(spark):
     assert set(lsh) == set(exact)  # every vector gets an assignment
     agree = sum(lsh[v] == exact[v] for v in exact) / len(exact)
     assert agree >= 0.9, f"keeper agreement {agree:.3f}"
+
+
+def test_verify_shards_detects_tampering(spark, tmp_path):
+    """verify_shards must pass on a fresh export and fail with the
+    precise per-shard diff after a shard file is deleted."""
+    import glob
+    import os
+
+    from stream4flow_spark.llmdata.export import verify_shards, write_shards
+    from stream4flow_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "shards")
+    manifest = write_shards(docs, out, n_shards=4)
+    res = verify_shards(spark, out)
+    assert res["ok"] and res["total_rows"] == manifest["total_rows"]
+
+    victim = glob.glob(f"{out}/shard=2/*.parquet")[0]
+    os.remove(victim)
+    res = verify_shards(spark, out)
+    assert not res["ok"]
+    assert set(res["mismatched"]) == {"2"}
+    want, got = res["mismatched"]["2"]
+    assert want == manifest["shards"]["2"] and (got or 0) < want
