@@ -2195,3 +2195,25 @@ def q_llm_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("doc_coverage"),
     )
+
+
+@register("llm_length_stats_approx", covers="llm:percentiles-approx")
+# rows-only: percentile_approx's Greenwald-Khanna sketch is
+# engine-specific (DuckDB's approximate quantiles use t-digest — same
+# guarantee class, different values); the rank-error bound vs exact
+# order statistics is gated in tests/test_operators.py
+# (test_approx_percentiles_within_rank_error_of_exact)
+def q_llm_length_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-language length percentiles — the sketch path of
+    llm_length_stats for when even O(distinct values) state is too much
+    (operators/percentiles.grouped_approx_percentiles); mergeable
+    map-side like any partial aggregate."""
+    from stream4flow_spark.operators.percentiles import (
+        grouped_approx_percentiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return grouped_approx_percentiles(
+        docs, ["lang"], "n_chars",
+        {"p10": 0.1, "p50": 0.5, "p90": 0.9},
+    )
