@@ -2217,3 +2217,64 @@ def q_llm_length_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["lang"], "n_chars",
         {"p10": 0.1, "p50": 0.5, "p90": 0.9},
     )
+
+
+@register(
+    "llm_dedup_savings",
+    covers="llm:dedup-reporting A15",
+    oracle="""
+        WITH g AS (
+            SELECT md5(array_to_string(
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '')[1:20], ' ')) AS fp,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_all,
+                   CAST(MIN(n_chars) AS BIGINT) AS chars_keeper
+            FROM documents GROUP BY 1
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
+               ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6)
+                 AS drop_rate,
+               CAST(SUM(chars_all) - SUM(chars_keeper) AS BIGINT)
+                 AS chars_saved
+        FROM g
+        """,
+)
+def q_llm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup business case in one row: how many documents and how
+    many characters (a token proxy) collapsing to one keeper per
+    content fingerprint would drop — the headline a curation run
+    reports before anyone pays for the full pipeline. Keyed on the
+    20-token prefix fingerprint (the llm_source_overlap signature:
+    exact digests find nothing on this corpus — head-duplicates are
+    what re-crawls actually produce); keeper = the group's shortest
+    document, the conservative savings floor. Digest-keyed aggregate
+    (text never shuffles), then a 1-row fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    g = (
+        docs.select(
+            F.md5(F.array_join(F.slice(toks, 1, 20), " ")).alias("fp"),
+            "n_chars",
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars_all"),
+            F.min("n_chars").alias("chars_keeper"),
+        )
+    )
+    return g.agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        (F.sum("n") - F.count("*")).alias("n_dropped"),
+        F.round(
+            1.0 - F.count("*").cast("double") / F.sum("n"), 6
+        ).alias("drop_rate"),
+        (F.sum("chars_all") - F.sum("chars_keeper")).alias("chars_saved"),
+    )
