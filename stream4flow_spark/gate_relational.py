@@ -1990,3 +1990,51 @@ def q_rel_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_null_rate_a", "value_null_rate_b",
         "event_type_card_a", "event_type_card_b",
     )
+
+
+@register(
+    "rel_part_cooccurrence",
+    covers="rel:market-basket rel:self-join-bounded",
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        )
+        SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM pairs GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+        """,
+)
+def q_rel_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs ordered together in >= 2
+    orders (the association-mining primitive behind 'frequently bought
+    together'). Scale shape: the self-join keys on the ORDER (pair
+    fan-out is lines²-per-order, bounded by basket size — TPC-H baskets
+    are <= 7 lines; a retail-scale variant caps giant baskets exactly
+    like the LSH hot-bucket guard), and the pair counts partial-
+    aggregate before the exchange. Distinct (order, part) first so
+    multi-line same-part orders don't inflate pair counts."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
