@@ -2278,3 +2278,71 @@ def q_llm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("drop_rate"),
         (F.sum("chars_all") - F.sum("chars_keeper")).alias("chars_saved"),
     )
+
+
+@register(
+    "llm_vocab_growth",
+    covers="llm:vocab-growth llm:corpus-analysis",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, t AS word
+            FROM documents,
+                 unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+            WHERE t <> ''
+        ),
+        first_seen AS (
+            SELECT word, MIN(doc_id) AS fd FROM toks GROUP BY 1
+        ),
+        tok_per_bucket AS (
+            SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY 1
+        ),
+        new_per_bucket AS (
+            SELECT CAST(fd // 50 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_new_words
+            FROM first_seen GROUP BY 1
+        )
+        SELECT t.bucket,
+               CAST(SUM(t.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+               CAST(SUM(COALESCE(n.n_new_words, 0)) OVER w AS BIGINT)
+                 AS cum_vocab
+        FROM tok_per_bucket t LEFT JOIN new_per_bucket n USING (bucket)
+        WINDOW w AS (ORDER BY t.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+)
+def q_llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: cumulative distinct words
+    vs cumulative tokens at 50-document checkpoints — the corpus
+    diagnostic that says whether more crawling still buys new language
+    or just repeats (sub-linear growth flattening early = diminishing
+    returns). Scale shape: 'distinct words so far' NEVER recomputes per
+    checkpoint — each word contributes once at its FIRST document
+    (vocab-keyed min aggregate), then per-bucket counts fold through
+    one tiny cumulative window over n_buckets rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"),
+    ).filter(F.col("word") != "")
+    first_seen = toks.groupBy("word").agg(F.min("doc_id").alias("fd"))
+    tok_b = toks.groupBy((F.col("doc_id") / 50).cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_tokens")
+    )
+    new_b = first_seen.groupBy(
+        (F.col("fd") / 50).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("n_new_words"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_b.join(new_b, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new_words", F.lit(0)))
+            .over(w)
+            .alias("cum_vocab"),
+        )
+    )

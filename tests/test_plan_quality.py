@@ -302,6 +302,9 @@ def test_embedding_stats_partial_aggs_the_explode(spark):
 #                        range-partitioned topk composition as the
 #                        giant-dimension escape hatch)
 _GLOBAL_WINDOW_OK = {
+    # vocab-growth's cumulative fold runs over n_buckets (~corpus/50)
+    # pre-aggregated rows, never tokens
+    "llm_vocab_growth",
     "llm_pack_sequences",
     "llm_mixture_resample",
     "llm_hybrid_rrf",
