@@ -2346,3 +2346,64 @@ def q_llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_vocab"),
         )
     )
+
+
+@register(
+    "llm_ngram_novelty",
+    covers="llm:novelty-score llm:corpus-analysis",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_GRAMS3}) AS gram
+            FROM documents WHERE len({_W}) >= 3
+        ),
+        first_seen AS (
+            SELECT gram, MIN(doc_id) AS fd FROM sh GROUP BY 1
+        )
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(CAST(SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS novelty
+        FROM sh JOIN first_seen f USING (gram)
+        GROUP BY 1
+        """,
+)
+def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct trigrams not seen in any LOWER-id document — the
+    duplication-aware ordering signal (near-copies of earlier docs
+    score ~0, fresh content ~1) used for curriculum ordering and as a
+    cheap crawl-value diagnostic alongside llm_vocab_growth.
+
+    Scale shape: first-occurrence is ONE gram-keyed min aggregate (the
+    same trick as vocab growth — no per-doc rescans of history), the
+    novelty join keys on the gram (ids only; 8-byte hashed grams in a
+    production variant like decontaminate's), and per-doc counts
+    partial-aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    from stream4flow_spark.llmdata.dedup import word_ngrams
+
+    sh = docs.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    ).select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    first_seen = sh.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    return (
+        sh.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("fd") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.sum((F.col("fd") == F.col("doc_id")).cast("long")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
