@@ -25,8 +25,8 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from stream4flow_spark.schema import FLOW_SCHEMA
@@ -99,53 +99,64 @@ class FlowGenDataSource(DataSource):
     def reader(self, schema):
         return _FlowGenReader(self.options)
 
-    def streamReader(self, schema):
+    def simpleStreamReader(self, schema):
         return _FlowGenStreamReader(self.options)
 
 
-class _FlowGenStreamReader(DataSourceStreamReader):
+class _FlowGenStreamReader(SimpleDataSourceStreamReader):
     """Streaming flowgen: a LIVE synthetic flow source with exactly-once
-    offsets (Spark 4 Python DataSourceStreamReader API) — the zero-input
-    way to soak the streaming apps without files or a broker.
+    offsets (Spark 4 Python SimpleDataSourceStreamReader API) — the
+    zero-input way to soak the streaming apps without files or a broker.
 
-    The offset is simply the next global row index; each micro-batch
-    covers rows [start, end) where ``latestOffset`` advances by
-    ``rows_per_batch`` until ``rows`` (the corpus bound, making
-    availableNow terminate — set it huge for an endless soak). Rows come
+    The offset is simply the next global row index; each ``read(start)``
+    call emits rows [start, start + rows_per_batch) clamped to ``rows``
+    (the corpus bound — set it huge for an endless soak). Rows come
     from the SAME ``_flow_row`` generator as the batch reader, so a
     drained stream equals ``spark.read.format("flowgen")`` with the same
-    options row-for-row. Restart-safe by construction: offsets are row
-    indices, and row content is a pure function of (seed, index)."""
+    options row-for-row.
+
+    Restart-safe by construction — and only because pacing DERIVES from
+    the checkpointed start offset: the simple-reader API hands ``read``
+    the offset Spark recovered, so a fresh reader instance after a query
+    restart continues at exactly the committed row (an earlier
+    DataSourceStreamReader version paced with an in-memory counter that
+    reset to 0 on restart, making latestOffset non-monotone vs the
+    recovered offset — offsets regressed and committed rows re-emitted).
+    ``readBetweenOffsets`` replays any in-flight batch deterministically
+    (row content is a pure function of (seed, index)). The trade: simple
+    readers generate each micro-batch driver-side, which is exactly the
+    low-volume soak-source profile; the batch reader keeps full
+    executor-parallel partitioning."""
 
     def __init__(self, options: dict):
         self.rows = int(options.get("rows", 1000))
         self.per_batch = int(options.get("rows_per_batch", 250))
-        self.n_parts = int(options.get("partitions", 8))
         self.seed = int(options.get("seed", 7))
         self.start_ms = int(options.get("start_ms", 1_600_000_000_000))
         self.span_ms = int(options.get("span_ms", 3_600_000))
-        self._offset = 0
 
     def initialOffset(self):
         return {"row": 0}
 
-    def latestOffset(self):
-        self._offset = min(self._offset + self.per_batch, self.rows)
-        return {"row": self._offset}
+    def _rows(self, lo: int, hi: int):
+        # a LIST-iterator, not a generator: Spark's prefetch cache both
+        # next()s the returned value and copy.copy()s it when planning
+        # partitions — generators aren't copyable, bare lists aren't
+        # iterators
+        return iter(
+            [
+                _flow_row(self.seed, r, self.rows, self.start_ms, self.span_ms)
+                for r in range(lo, hi)
+            ]
+        )
 
-    def partitions(self, start: dict, end: dict):
-        lo, hi = start["row"], end["row"]
-        n = max(1, self.n_parts)
-        step = max(1, -(-(hi - lo) // n))
-        return [
-            InputPartition((s, min(s + step, hi)))
-            for s in range(lo, hi, step)
-        ]
+    def read(self, start: dict):
+        lo = min(start["row"], self.rows)
+        hi = min(lo + self.per_batch, self.rows)
+        return self._rows(lo, hi), {"row": hi}
 
-    def read(self, partition):
-        lo, hi = partition.value
-        for r in range(lo, hi):
-            yield _flow_row(self.seed, r, self.rows, self.start_ms, self.span_ms)
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["row"], end["row"])
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: content is a pure function of offsets
