@@ -6,9 +6,16 @@ Output protocol (the driver captures only the LAST ~2000 chars of stdout,
 so the final line must be small):
 - one ``{"query": name, "sec": t}`` line per query, as it finishes;
 - the full per-query map written to ``bench_queries.json`` next to this
-  script (sidecar, machine-readable regardless of stdout truncation);
+  script (sidecar, git-tracked, machine-readable regardless of stdout
+  truncation);
 - the FINAL stdout line is a compact JSON summary — total wall, rows/s,
-  sf, n_queries, slowest-5 — guaranteed well under the tail window.
+  sf, n_queries — kept under the tail window. The full per-query map
+  rides IN this line as ``qz``: base85(zlib(names-newline-joined + "|" +
+  comma-joined integer times)), times in the unit named by ``qz_unit``
+  ("cs" centiseconds, "ds" deciseconds — precision degrades before the
+  map is dropped). Decode:
+  ``names, vals = zlib.decompress(b64.b85decode(qz)).decode().split("|")``
+  → ``dict(zip(names.split("\\n"), map(int, vals.split(","))))``.
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect)."""
@@ -119,20 +126,44 @@ def main() -> int:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
-    summary = json.dumps(
-        {
-            "metric": "gate_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "sf": sf_val,
-            "n_queries": len(timings),
-            "input_rows": input_rows,
-            "rows_per_sec_aggregate": round(input_rows * len(timings) / total),
-            "harness_wall_sec": harness_wall,
-            "slowest5": slowest,
-            "queries_file": "bench_queries.json",
-        }
-    )
+    base = {
+        "metric": "gate_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "input_rows": input_rows,
+        "rows_per_sec_aggregate": round(input_rows * len(timings) / total),
+        "harness_wall_sec": harness_wall,
+        "queries_file": "bench_queries.json",
+    }
+
+    def _qz(scale: int) -> str:
+        import base64
+        import zlib
+
+        names = sorted(timings)
+        blob = (
+            "\n".join(names)
+            + "|"
+            + ",".join(str(int(round(timings[n] * scale))) for n in names)
+        ).encode()
+        return base64.b85encode(zlib.compress(blob, 9)).decode()
+
+    # the summary line must survive the driver's ~2000-char stdout tail
+    # INTACT (a cut line is unparseable), so the embedded per-query map
+    # degrades gracefully: centiseconds + slowest5 → centiseconds →
+    # deciseconds → no map (sidecar still has full precision)
+    compact = dict(separators=(",", ":"))
+    for attempt in (
+        {**base, "slowest5": slowest, "qz_unit": "cs", "qz": _qz(100)},
+        {**base, "qz_unit": "cs", "qz": _qz(100)},
+        {**base, "qz_unit": "ds", "qz": _qz(10)},
+        {**base, "slowest5": slowest},
+    ):
+        summary = json.dumps(attempt, **compact)
+        if len(summary) <= 1950:
+            break
     # stop Spark BEFORE printing: shutdown logs must not trail the summary
     # — the driver captures the tail (~2000 chars) of stdout and needs
     # this line LAST and SMALL (the r04 full-timings line overflowed it).

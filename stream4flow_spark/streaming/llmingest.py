@@ -46,22 +46,49 @@ def dedup_documents_stream(
     )
 
 
+def _list_fs(spark, pattern: str) -> list[str]:
+    """List paths matching a glob via the Hadoop FS API — works on any
+    scheme the cluster mounts (local, HDFS, S3A), unlike ``glob.glob``
+    which silently finds nothing on non-local paths (the index would be
+    treated as empty every batch, with no error). Same API family as
+    ``llmdata.export._write_side_file``; local-glob fallback only if the
+    JVM gateway is unavailable."""
+    try:
+        jvm = spark._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(pattern)
+        fs = p.getFileSystem(conf)
+        statuses = fs.globStatus(p)
+        if statuses is None:
+            return []
+        return [str(s.getPath()) for s in statuses]
+    except Exception:  # pragma: no cover - local-fs fallback
+        import glob
+
+        return glob.glob(pattern)
+
+
 class NeardupIndexState:
     """Streaming near-dup screening against a GROWING on-disk LSH index —
     the continuous-crawl form of ``dedup.incremental_neardup``.
 
     Each micro-batch: (1) minhash-band the batch docs; (2) join their
     (band, bucket) keys against the stored index (ids only on the
-    wire); (3) verify candidates by SIGNATURE similarity — the fraction
-    of agreeing minhash components, an unbiased Jaccard estimate — so
-    the index never stores document text or shingles, only num_perm
-    longs per doc; (4) append the batch's bands + signatures for the
-    NEXT batches. A doc flagged near-dup is reported, not indexed
-    (duplicates shouldn't attract future duplicates to themselves).
+    wire) AND against each other — two near-copies arriving within the
+    same micro-batch are compared too (the later id flags against the
+    earlier), not both silently indexed; (3) verify candidates by
+    SIGNATURE similarity — the fraction of agreeing minhash components,
+    an unbiased Jaccard estimate — so the index never stores document
+    text or shingles, only num_perm longs per doc; (4) append the
+    batch's bands + signatures for the NEXT batches. A doc flagged
+    near-dup is reported, not indexed (duplicates shouldn't attract
+    future duplicates to themselves).
 
     Retry-safe the same way ``streaming/ddos.py`` is: per-batch
     append dirs keyed by batch_id, so foreachBatch redelivery
-    overwrites rather than double-appending. State on disk is
+    overwrites rather than double-appending — and the alert snapshot is
+    keyed by batch_id too (replace, not extend), so a redelivered batch
+    reports its near-dups once. State on disk is
     O(indexed docs × (bands + num_perm)) longs — the minimum any
     near-dup index carries; there is deliberately NO horizon eviction
     (near-dup against the WHOLE corpus is the semantics; a TTL'd
@@ -89,7 +116,18 @@ class NeardupIndexState:
         self.rows_per_band = rows_per_band
         self.threshold = threshold
         self.max_bucket = max_bucket
-        self.alerts: list = []
+        self._alerts_by_batch: dict[int, list] = {}
+
+    @property
+    def alerts(self) -> list:
+        """Flagged near-dups across all batches, each batch counted once
+        even after a foreachBatch redelivery (alerts are REPLACED per
+        batch_id, never appended twice)."""
+        return [
+            r
+            for b in sorted(self._alerts_by_batch)
+            for r in self._alerts_by_batch[b]
+        ]
 
     def _paths(self, batch_id: int) -> tuple[str, str]:
         return (
@@ -98,10 +136,7 @@ class NeardupIndexState:
         )
 
     def _read_index(self):
-        import glob
-
-        band_files = glob.glob(f"{self.state_dir}/bands/batch=*")
-        if not band_files:
+        if not _list_fs(self.spark, f"{self.state_dir}/bands/batch=*"):
             return None, None
         return (
             self.spark.read.parquet(f"{self.state_dir}/bands"),
@@ -124,12 +159,23 @@ class NeardupIndexState:
         m = [f"m{i}" for i in range(self.num_perm)]
 
         idx_bands, idx_sigs = self._read_index()
-        if idx_bands is None:
-            flagged = self.spark.createDataFrame(
-                [], f"id long, best_match_id long, est_jaccard double"
+        # intra-batch candidates: two near-copies in the SAME micro-batch
+        # collide on their own band keys; the later id plays the dup, the
+        # earlier the keeper (a doc may chain: flagged itself yet still
+        # the best_match of an even-later arrival — same semantics as the
+        # batch path's transitive clusters)
+        cand = (
+            bands.alias("d")
+            .join(
+                bands.alias("c"),
+                (F.col("d.band") == F.col("c.band"))
+                & (F.col("d.bucket") == F.col("c.bucket"))
+                & (F.col("d.id") > F.col("c.id")),
             )
-        else:
-            cand = (
+            .select(F.col("d.id").alias("id"), F.col("c.id").alias("cid"))
+        )
+        if idx_bands is not None:
+            cand = cand.unionByName(
                 bands.alias("d")
                 .join(
                     idx_bands.alias("c"),
@@ -137,43 +183,52 @@ class NeardupIndexState:
                     & (F.col("d.bucket") == F.col("c.bucket")),
                 )
                 .select(F.col("d.id").alias("id"), F.col("c.id").alias("cid"))
-                .dropDuplicates(["id", "cid"])
             )
-            ds = sigs.select("id", *[F.col(c).alias(f"d_{c}") for c in m])
-            cs = idx_sigs.select(
-                F.col("id").alias("cid"), *[F.col(c).alias(f"c_{c}") for c in m]
-            )
-            agree = sum(
-                (F.col(f"d_m{i}") == F.col(f"c_m{i}")).cast("int")
-                for i in range(self.num_perm)
-            )
-            from pyspark.sql import Window
+        cand = cand.dropDuplicates(["id", "cid"])
+        # candidate keepers: prior batches' signatures + this batch's own
+        # (schemas derive from the batch — no hardcoded id type; the
+        # parquet side carries an extra batch partition column, dropped
+        # by the projection)
+        cs_base = sigs if idx_sigs is None else idx_sigs.select(
+            "id", *m
+        ).unionByName(sigs)
+        ds = sigs.select("id", *[F.col(c).alias(f"d_{c}") for c in m])
+        cs = cs_base.select(
+            F.col("id").alias("cid"), *[F.col(c).alias(f"c_{c}") for c in m]
+        )
+        agree = sum(
+            (F.col(f"d_m{i}") == F.col(f"c_m{i}")).cast("int")
+            for i in range(self.num_perm)
+        )
+        from pyspark.sql import Window
 
-            w = Window.partitionBy("id").orderBy(
-                F.col("est_jaccard").desc(), F.col("cid").asc()
+        w = Window.partitionBy("id").orderBy(
+            F.col("est_jaccard").desc(), F.col("cid").asc()
+        )
+        flagged = (
+            cand.join(ds, "id")
+            .join(cs, "cid")
+            .withColumn(
+                "est_jaccard",
+                F.round(agree / F.lit(self.num_perm), 4),
             )
-            flagged = (
-                cand.join(ds, "id")
-                .join(cs, "cid")
-                .withColumn(
-                    "est_jaccard",
-                    F.round(agree / F.lit(self.num_perm), 4),
-                )
-                .filter(F.col("est_jaccard") >= self.threshold)
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select(
-                    "id",
-                    F.col("cid").alias("best_match_id"),
-                    "est_jaccard",
-                )
+            .filter(F.col("est_jaccard") >= self.threshold)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "id",
+                F.col("cid").alias("best_match_id"),
+                "est_jaccard",
             )
+        )
         # the alert stream is the (small) report output — the driver
         # pull is bounded by flagged near-dups per batch, like the DDoS
         # twin's alert snapshot; the index update itself stays
-        # distributed (anti-join, no id list through the driver)
+        # distributed (anti-join, no id list through the driver).
+        # keyed by batch_id: a foreachBatch redelivery REPLACES the
+        # batch's alerts instead of double-counting them
         flagged = flagged.persist()
-        self.alerts.extend(flagged.collect())
+        self._alerts_by_batch[batch_id] = flagged.collect()
         flagged_only_ids = flagged.select("id")
 
         # index only the non-duplicate arrivals; per-batch dirs make a
@@ -214,14 +269,18 @@ def compact_neardup_index(spark, state_dir: str) -> dict:
     once batch-dir counts reach thousands — file-listing cost, not data
     size, is what degrades). Safe between runs (the index is only read
     at batch boundaries); returns {"bands": n_rows, "sigs": n_rows}.
-    """
-    import glob
-    import shutil
 
+    Listing and the delete/rename swap go through the Hadoop FS API, so
+    the index can live on any mounted scheme (local, HDFS, S3A) — the
+    same stores DEPLOY.md sizes it for; ``glob``/``shutil`` would
+    silently see an empty index there.
+    """
     out = {}
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
     for sub in ("bands", "sigs"):
         src = f"{state_dir}/{sub}"
-        if not glob.glob(f"{src}/batch=*"):
+        if not _list_fs(spark, f"{src}/batch=*"):
             out[sub] = 0
             continue
         df = spark.read.parquet(src).drop("batch")
@@ -230,6 +289,9 @@ def compact_neardup_index(spark, state_dir: str) -> dict:
             "overwrite"
         ).parquet(f"{tmp}/batch=compacted")
         out[sub] = spark.read.parquet(tmp).count()
-        shutil.rmtree(src)
-        shutil.move(tmp, src)
+        src_p = jvm.org.apache.hadoop.fs.Path(src)
+        tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = src_p.getFileSystem(conf)
+        fs.delete(src_p, True)
+        fs.rename(tmp_p, src_p)
     return out

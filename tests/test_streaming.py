@@ -1645,6 +1645,65 @@ def test_stream_neardup_screen_flags_arrivals_against_growing_index(
     assert flagged == {4: 0}
 
 
+def test_stream_neardup_screen_flags_within_batch_arrivals(spark, tmp_path):
+    """ADVICE r6: two near-copies arriving in the SAME micro-batch must
+    not both slip into the index — the later id flags against the
+    earlier within the batch, only the keeper is indexed — and a
+    redelivered batch REPLACES its alerts instead of double-counting
+    them."""
+    import pandas as pd
+
+    from stream4flow_spark.streaming.llmingest import neardup_screen_stream
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun")
+    near = base.replace("today", "tomorrow")
+    other = ("completely different words appear in this sentence about "
+             "spark engines and distributed execution plans")
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    # ONE file = ONE micro-batch holding both copies
+    pd.DataFrame(
+        [(0, base), (1, near), (2, other)], columns=["doc_id", "text"]
+    ).to_parquet(str(src / "w0.parquet"), index=False)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return neardup_screen_stream(
+            stream,
+            state_dir=str(tmp_path / "index"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            threshold=0.5,
+        )
+
+    st = run()
+    flagged = {r.id: r.best_match_id for r in st.alerts}
+    assert flagged == {1: 0}  # later id flags against earlier, same batch
+
+    # the flagged copy must NOT have joined the index: a later arrival
+    # of the same text still matches the ORIGINAL
+    pd.DataFrame([(3, near)], columns=["doc_id", "text"]).to_parquet(
+        str(src / "w1.parquet"), index=False
+    )
+    st = run()
+    flagged = {r.id: r.best_match_id for r in st.alerts}
+    assert flagged == {3: 0}
+
+    # foreachBatch redelivery: re-applying the same batch_id replaces its
+    # alert snapshot (and its index dirs) — totals don't double
+    docs = spark.createDataFrame([(4, near)], "doc_id long, text string")
+    st.apply_batch(docs, 99)
+    once = [(r.id, r.best_match_id) for r in st.alerts]
+    st.apply_batch(docs, 99)
+    assert [(r.id, r.best_match_id) for r in st.alerts] == once
+    assert (4, 0) in once
+
+
 def test_stream_chunk_documents_matches_batch(spark, tmp_path):
     """RAG chunk-on-arrival: llm_chunk_documents' stride/slice/explode
     pipeline is pure map-side Column work, so the SAME logic must stream
