@@ -540,6 +540,63 @@ def q_llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(docs, threshold=0.5)
 
 
+@register(
+    "llm_dedup_corpus_keeper",
+    covers="llm:dedup-end-to-end llm:keeper-policy",
+    # Same brute-force transitive-closure oracle as llm_dedup_corpus, but
+    # the keeper is the component member with the HIGHEST n_chars (lowest
+    # doc_id on ties) — certifying the keeper_by policy end to end.
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id AS id, {_GRAMS3} AS grams FROM documents
+            WHERE len({_W}) >= 3
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(a.grams || b.grams)) >= 0.5
+        ),
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS id, src AS r FROM e
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+        ),
+        comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        lab AS (
+            SELECT d.doc_id, d.n_chars,
+                   COALESCE(c.component, d.doc_id) AS comp
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        ),
+        ranked AS (
+            SELECT comp, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY comp
+                                      ORDER BY n_chars DESC, doc_id ASC)
+                     AS rn,
+                   COUNT(*) OVER (PARTITION BY comp) AS gs
+            FROM lab
+        )
+        SELECT CAST(doc_id AS BIGINT) AS keeper_id,
+               CAST(gs AS BIGINT) AS group_size
+        FROM ranked WHERE rn = 1
+        """,
+)
+def q_llm_dedup_corpus_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_corpus with a QUALITY keeper policy (r06 verdict item 5):
+    keeper = the component member with the highest ``n_chars`` (most
+    content survives), deterministic lowest-id tiebreak — real curation
+    keeps the best copy, not the first-seen. Same LSH pairs → transitive
+    components chain as llm_dedup_corpus; the keeper choice is ONE
+    partial-aggregated ``min(struct(-score, id))`` over the component
+    members, no window sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_corpus(docs, threshold=0.5, keeper_by="n_chars")
+
+
 @register("llm_winnow_neardup", covers="llm:dedup-winnow-blocking")
 # rows-only: candidate generation depends on the engine-specific rolling
 # hash; verification exactness + the bucket cap are property-tested
@@ -2065,6 +2122,51 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_source_overlap_trigram",
+    covers="llm:cross-source-overlap llm:dedup-reporting",
+    # Oracle computes on RAW grams; the Spark side hashes them (xxhash64,
+    # 8 B/gram on the wire) — counts and Jaccard are identical unless a
+    # 64-bit collision lands in this fixed corpus (~n²/2⁶⁵, and
+    # deterministic either way — verified MATCH at sf0.001 + sf0.01).
+    oracle=f"""
+        WITH d AS (
+            SELECT DISTINCT source, unnest({_GRAMS3}) AS g FROM documents
+        ),
+        s AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+        p AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*) AS n_shared
+            FROM d a JOIN d b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.source_a, p.source_b,
+               CAST(x.n AS BIGINT) AS n_grams_a,
+               CAST(y.n AS BIGINT) AS n_grams_b,
+               CAST(p.n_shared AS BIGINT) AS n_shared,
+               ROUND(CAST(p.n_shared AS DOUBLE)
+                     / (x.n + y.n - p.n_shared), 6) AS jaccard
+        FROM p
+        JOIN s x ON x.source = p.source_a
+        JOIN s y ON y.source = p.source_b
+        """,
+)
+def q_llm_source_overlap_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-granularity cross-source overlap (r06 verdict item 6):
+    the Jaccard-weighted matrix over each source's distinct hashed word
+    trigrams — catches mid-document syndication that
+    llm_source_overlap's 20-token PREFIX fingerprint misses (shared
+    body, different headline). Scale shape: grams hash to 8 bytes in
+    the scan projection (text never shuffles), per-source sizes
+    broadcast onto the pair counts; ``max_grams_per_source`` bottom-k
+    caps any hot source (estimate mode, off here for the exact
+    oracle)."""
+    from stream4flow_spark.llmdata.textstats import source_overlap_trigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_trigram(docs)
+
+
 @register("llm_semantic_dedup_lsh", covers="llm:dedup-semantic llm:similarity-lsh")
 # rows-only: sign-LSH candidate generation is probabilistic-recall by
 # design — this is the 100 TB path for llm_semantic_dedup (no all-pairs
@@ -2138,6 +2240,71 @@ def q_llm_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return incremental_neardup(corpus, delta, threshold=0.5)
+
+
+@register(
+    "llm_incremental_semantic_neardup",
+    covers="llm:dedup-semantic llm:incremental-dedup llm:similarity-lsh",
+    # Oracle = brute-force delta×corpus cosine (same pattern as
+    # llm_incremental_neardup's). Valid for the LSH path because the gate
+    # runs 2 planes × 16 tables: per qualifying pair the candidate-miss
+    # probability is (1-(1-θ/π)²)^16 ≤ 0.644^16 ≈ 9e-4 at cos = 0.3 (and
+    # falls fast above it), the hash is deterministic, and the result is
+    # verified MATCH at sf0.001 + sf0.01.
+    oracle="""
+        WITH e AS (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cand AS (
+            SELECT d.id AS id_d, c.id AS id_c,
+                   ROUND(list_dot_product(d.v, c.v)
+                         / (sqrt(list_dot_product(d.v, d.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 4) AS cos
+            FROM e d JOIN e c ON d.id % 10 = 0 AND c.id % 10 <> 0
+        ),
+        best AS (
+            SELECT id_d, id_c, cos,
+                   ROW_NUMBER() OVER (PARTITION BY id_d
+                                      ORDER BY cos DESC, id_c ASC) AS rn
+            FROM cand WHERE cos >= 0.3
+        )
+        SELECT d.vec_id,
+               (b.id_c IS NOT NULL) AS is_near_dup,
+               b.id_c AS best_match_id,
+               b.cos AS best_cos
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.vec_id = b.id_d
+        """,
+)
+def q_llm_incremental_semantic_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic near-dup screening of an incoming snapshot against the
+    standing corpus in EMBEDDING space (r06 verdict item 4) — every 10th
+    vector plays the delta. The corpus' sign-LSH bucket table
+    (simsearch.sign_lsh_bucket_table) is the stored index — computed
+    once per snapshot exactly like incremental_neardup's `_band_table`;
+    the delta only buckets itself (one GEMM) and joins ids against it;
+    candidates verify with exact cosine against vectors fetched by id.
+    No corpus re-bucketing, no all-pairs."""
+    from stream4flow_spark.llmdata.simsearch import (
+        incremental_semantic_neardup,
+        sign_lsh_bucket_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    # the stored-index path IS the production path — exercise it
+    idx = sign_lsh_bucket_table(corpus, num_planes=2, num_tables=16)
+    return incremental_semantic_neardup(
+        corpus,
+        delta,
+        threshold=0.3,
+        num_planes=2,
+        num_tables=16,
+        corpus_index=idx,
+    )
 
 
 @register(

@@ -413,6 +413,7 @@ def dedup_corpus(
     n: int = 3,
     threshold: float = 0.5,
     scheme: str = "minhash",
+    keeper_by: str | None = None,
     **scheme_kwargs,
 ) -> DataFrame:
     """End-to-end near-dup corpus deduplication: one row per KEPT document.
@@ -423,9 +424,18 @@ def dedup_corpus(
     ``simhash`` (hamming banding; takes ``max_hamming``, ignores
     ``threshold``) — verified (Jaccard ``threshold`` for the first two)
     → transitive connected components (a~b, b~c ⇒ one keeper for
-    {a,b,c}) → keeper = minimum id per component; documents in no pair
-    keep themselves. Output: keeper_id, group_size (how many documents
-    the keeper absorbed, 1 = unique).
+    {a,b,c}) → keeper per component; documents in no pair keep
+    themselves. Output: keeper_id, group_size (how many documents the
+    keeper absorbed, 1 = unique).
+
+    Keeper policy: by default the minimum id. Real curation keeps the
+    BEST copy, not the first — pass ``keeper_by`` naming a numeric
+    column of ``df`` (a quality score) and the keeper becomes the
+    component member with the highest score, ties broken by lowest id
+    (deterministic on every engine). Implemented with the same
+    struct-min trick as segment_dedup — ``min(struct(-score, id))`` is
+    a partial-aggregated scan over each component's members, no window
+    sort.
 
     Scale shape inherits from the parts: digest-narrow band joins with
     hot-bucket caps, id-only component propagation, and one final
@@ -451,11 +461,37 @@ def dedup_corpus(
         raise ValueError(f"unknown blocking scheme: {scheme!r}")
     pairs = pairs.select("id_a", "id_b")
     comp = connected_components(pairs)
-    ids = df.select(F.col(id_col).alias("doc"))
-    labeled = ids.join(comp, ids["doc"] == comp["id"], "left").select(
-        "doc", F.coalesce(F.col("component"), F.col("doc")).alias("keeper_id")
+    if keeper_by is None:
+        ids = df.select(F.col(id_col).alias("doc"))
+        labeled = ids.join(comp, ids["doc"] == comp["id"], "left").select(
+            "doc",
+            F.coalesce(F.col("component"), F.col("doc")).alias("keeper_id"),
+        )
+        return labeled.groupBy("keeper_id").agg(
+            F.count("*").alias("group_size")
+        )
+    ids = df.select(
+        F.col(id_col).alias("doc"), F.col(keeper_by).alias("__score")
     )
-    return labeled.groupBy("keeper_id").agg(F.count("*").alias("group_size"))
+    labeled = ids.join(comp, ids["doc"] == comp["id"], "left").select(
+        "doc",
+        "__score",
+        F.coalesce(F.col("component"), F.col("doc")).alias("__comp"),
+    )
+    # argmax-by-(score, then lowest id): min over (-score, id) — the
+    # component label never leaves the output, the CHOSEN member's id does
+    return (
+        labeled.groupBy("__comp")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__score")).alias("ns"), F.col("doc").alias("d")
+                )
+            ).alias("w"),
+            F.count("*").alias("group_size"),
+        )
+        .select(F.col("w.d").alias("keeper_id"), "group_size")
+    )
 
 
 # ------------------------------------------------- connected components
@@ -619,12 +655,15 @@ def segment_dedup(
     sep: str = "\n",
     key_col: str = "doc_id",
     text_col: str = "text",
+    keeper_by: str | None = None,
 ) -> DataFrame:
     """Corpus-wide segment-level dedup (RefinedWeb-style line/paragraph
-    boilerplate removal): split every document on ``sep``, keep only the
-    FIRST occurrence of each distinct segment across the whole corpus
-    (lowest (doc, position)), and rebuild documents from their surviving
-    segments in original order.
+    boilerplate removal): split every document on ``sep``, keep only ONE
+    occurrence of each distinct segment across the whole corpus — by
+    default the FIRST (lowest (doc, position)); with ``keeper_by``
+    naming a numeric document column, the occurrence inside the
+    highest-scoring document (ties → lowest (doc, position)) — and
+    rebuild documents from their surviving segments in original order.
 
     Scale shape: the first-occurrence winner per segment is a
     `min(composite key)` aggregate keyed by the segment — map-side
@@ -637,20 +676,24 @@ def segment_dedup(
 
     Returns (key_col, text: rebuilt text, n_segments, n_kept).
     """
+    seg_cols = [key_col] + ([keeper_by] if keeper_by else [])
     segs = docs.select(
-        key_col,
+        *seg_cols,
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "seg"),
     )
-    # first-occurrence winner = min over the (doc, pos) struct — still a
-    # partial-agg min (state: one struct per distinct segment) but with no
-    # arithmetic packing, so it survives string doc ids, >=1M segments per
-    # doc, and any int64 id range. The winning (doc, pos) pair uniquely
-    # names one segment occurrence, so the semi-join keys on it directly.
-    first = segs.groupBy("seg").agg(
-        F.min(
-            F.struct(F.col(key_col).alias("k"), F.col("pos").alias("p"))
-        ).alias("w")
-    )
+    # winner = min over a struct — still a partial-agg min (state: one
+    # struct per distinct segment) but with no arithmetic packing, so it
+    # survives string doc ids, >=1M segments per doc, and any int64 id
+    # range. Default orders by (doc, pos) = first occurrence; keeper_by
+    # prepends the NEGATED document score, turning the same min into
+    # argmax-by-score with the (doc, pos) tiebreak. The winning (doc,
+    # pos) pair uniquely names one segment occurrence, so the semi-join
+    # keys on it directly.
+    win_fields = [F.col(key_col).alias("k"), F.col("pos").alias("p")]
+    if keeper_by:
+        win_fields.insert(0, (-F.col(keeper_by)).alias("ns"))
+    first = segs.groupBy("seg").agg(F.min(F.struct(*win_fields)).alias("w"))
+    segs = segs.select(key_col, "pos", "seg")
     kept = segs.join(
         first.select(F.col("w.k").alias(key_col), F.col("w.p").alias("pos")),
         [key_col, "pos"],

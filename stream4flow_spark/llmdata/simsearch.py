@@ -384,6 +384,75 @@ def _hyperplane(num_planes: int, dim: int, plane: int) -> list[float]:
     return out
 
 
+def sign_lsh_bucket_table(
+    df: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    num_tables: int = 2,
+    max_bucket: int | None = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, tbl, bucket) sign-LSH bucket index over an embedding table —
+    the embedding-space sibling of ``dedup._band_table``, shared by
+    ``lsh_bucketed_neighbors`` (self-join) and
+    ``incremental_semantic_neardup`` (delta joins a STORED index): a
+    production pipeline computes this once per corpus snapshot, persists
+    it, and every delta only buckets itself.
+
+    Bucket keys come from ONE Arrow-batched ``mapInPandas`` matrix
+    product (vectors × all planes of all tables at once — a single BLAS
+    GEMM per batch; see lsh_bucketed_neighbors for why that beats
+    unrolled Column expressions). ``max_bucket`` keeps each (tbl,
+    bucket)'s lowest ids, deterministically."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    vec = F.col(vec_col).cast("array<double>")
+    vecs = df.select(F.col(id_col).alias("id"), vec.alias("v"))
+    id_t = vecs.schema["id"].dataType.simpleString()
+
+    P = np.array(
+        [
+            _hyperplane(num_planes, dim, p)
+            for p in range(num_tables * num_planes)
+        ]
+    ).T  # dim × total_planes
+    weights = np.tile(2 ** np.arange(num_planes), num_tables)
+
+    def bucket_keys(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy())  # n × dim
+            bits = (V @ P >= 0).astype(np.int64) * weights
+            buckets = bits.reshape(len(pdf), num_tables, num_planes).sum(
+                axis=2
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(num_tables),
+                    "tbl": np.tile(np.arange(num_tables), len(pdf)).astype(
+                        "int32"
+                    ),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    keyed = vecs.mapInPandas(bucket_keys, f"id {id_t}, tbl int, bucket long")
+    if max_bucket is not None:
+        w = Window.partitionBy("tbl", "bucket").orderBy("id")
+        keyed = (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_bucket)
+            .drop("rn")
+        )
+    return keyed
+
+
 def lsh_bucketed_neighbors(
     corpus: DataFrame,
     threshold: float = 0.3,
@@ -424,56 +493,17 @@ def lsh_bucketed_neighbors(
     Map-only — the corpus is scanned once, no shuffle before the
     (id, tbl, bucket) exchange.
     """
-    import numpy as np
-
-    from pyspark.sql import Window
-
     vec = F.col(vec_col).cast("array<double>")
     vecs = corpus.select(F.col(id_col).alias("id"), vec.alias("v"))
-    id_t = vecs.schema["id"].dataType.simpleString()
-
-    # planes: (num_tables·num_planes) × dim, table t owns rows
-    # t·num_planes … (t+1)·num_planes−1 — deterministic, engine-free.
-    P = np.array(
-        [
-            _hyperplane(num_planes, dim, p)
-            for p in range(num_tables * num_planes)
-        ]
-    ).T  # dim × total_planes
-    weights = np.tile(2 ** np.arange(num_planes), num_tables)
-
-    def bucket_keys(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.vstack(pdf["v"].to_numpy())  # n × dim
-            bits = (V @ P >= 0).astype(np.int64) * weights  # n × total_planes
-            # table t's planes are columns t·num_planes…(t+1)·num_planes−1
-            buckets = bits.reshape(len(pdf), num_tables, num_planes).sum(axis=2)
-            out = pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy().repeat(num_tables),
-                    "tbl": np.tile(np.arange(num_tables), len(pdf)).astype(
-                        "int32"
-                    ),
-                    "bucket": buckets.ravel(),
-                }
-            )
-            yield out
-
-    keyed = vecs.mapInPandas(
-        bucket_keys, f"id {id_t}, tbl int, bucket long"
+    keyed = sign_lsh_bucket_table(
+        corpus,
+        num_planes=num_planes,
+        dim=dim,
+        num_tables=num_tables,
+        max_bucket=max_bucket,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-
-    if max_bucket is not None:
-        w = Window.partitionBy("tbl", "bucket").orderBy("id")
-        keyed = (
-            keyed.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= max_bucket)
-            .drop("rn")
-        )
 
     a, b = keyed.alias("a"), keyed.alias("b")
     candidates = (
@@ -497,6 +527,110 @@ def lsh_bucketed_neighbors(
         .join(vb, "id_b")
         .select("id_a", "id_b", sim.alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def incremental_semantic_neardup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.3,
+    num_planes: int = 8,
+    dim: int = 64,
+    num_tables: int = 2,
+    max_bucket: int | None = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_index: DataFrame | None = None,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Semantic near-dup screening of a DELTA snapshot against an
+    existing CORPUS in embedding space — the embedding-side sibling of
+    ``dedup.incremental_neardup`` (r06 verdict item 4): a continuously
+    embedded corpus should never re-bucket 100 TB per snapshot just to
+    admit a day's crawl.
+
+    Pass ``corpus_index`` = a persisted ``sign_lsh_bucket_table`` of the
+    corpus and the per-snapshot cost is O(delta) bucketing (one GEMM
+    over the delta) + the (tbl, bucket) candidate join — ids only on the
+    wire; the corpus' embedding store is touched ONLY to fetch the
+    candidate vectors by id for exact-cosine verification. With
+    ``corpus_index=None`` the index is computed in-line (same result,
+    re-bucketing cost included).
+
+    Output: one row per delta vector — (id_col, is_near_dup,
+    best_match_id, best_cos), best = highest ROUNDED cosine, lowest
+    corpus id on ties, so every engine ranks identically. Candidate
+    recall is the sign-LSH 1-(1-(1-θ/π)^planes)^tables curve — tune
+    planes down / tables up toward exhaustive (the gate entry runs 2×16:
+    miss ≤ 1e-3 per qualifying pair, deterministic), the reverse for
+    pruning."""
+    from pyspark.sql import Window
+
+    bc = (
+        corpus_index
+        if corpus_index is not None
+        else sign_lsh_bucket_table(
+            corpus,
+            num_planes=num_planes,
+            dim=dim,
+            num_tables=num_tables,
+            max_bucket=max_bucket,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    )
+    bd = sign_lsh_bucket_table(
+        delta,
+        num_planes=num_planes,
+        dim=dim,
+        num_tables=num_tables,
+        max_bucket=max_bucket,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    candidates = (
+        bd.alias("d")
+        .join(
+            bc.alias("c"),
+            (F.col("d.tbl") == F.col("c.tbl"))
+            & (F.col("d.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("d.id").alias("id_d"), F.col("c.id").alias("id_c"))
+        .dropDuplicates(["id_d", "id_c"])
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    vd = delta.select(F.col(id_col).alias("id_d"), vec.alias("va"))
+    vc = corpus.select(F.col(id_col).alias("id_c"), vec.alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    verified = (
+        candidates.join(vd, "id_d")
+        .join(vc, "id_c")
+        .select("id_d", "id_c", sim.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    w = Window.partitionBy("id_d").orderBy(
+        F.col("cos").desc(), F.col("id_c").asc()
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_d").alias(id_col),
+            F.col("id_c").alias("best_match_id"),
+            F.col("cos").alias("best_cos"),
+        )
+    )
+    return (
+        delta.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.col("best_match_id").isNotNull().alias("is_near_dup"),
+            "best_match_id",
+            "best_cos",
+        )
     )
 
 

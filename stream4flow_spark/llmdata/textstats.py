@@ -409,3 +409,95 @@ def chunk_documents(
             "c.chunk_text",
         )
     )
+
+
+def source_overlap_trigram(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+    max_grams_per_source: int | None = None,
+) -> DataFrame:
+    """Jaccard-weighted cross-source content-overlap matrix on hashed
+    word n-grams — the curation report that catches MID-DOCUMENT
+    syndication the 20-token prefix fingerprint (source_overlap's
+    signature) misses: two crawls sharing body paragraphs under
+    different headlines overlap heavily here and not at all there.
+
+    Per source: the DISTINCT set of xxhash64'd word n-grams (8 bytes per
+    gram on the wire — the decontaminate hash mode; grams are hashed IN
+    the scan projection, so gram text never shuffles). Per source pair
+    (a < b): shared distinct grams and Jaccard
+    |A∩B| / (|A| + |B| − |A∩B|). Hashing leaves both counts unchanged
+    up to 64-bit collisions (~n²/2⁶⁵ expected), so the numbers equal the
+    raw-gram computation.
+
+    ``max_grams_per_source`` is the scale cap: keep each source's k
+    SMALLEST gram hashes — a deterministic bottom-k sketch (the capped
+    sets are min-wise samples, so shared/jaccard become size-bounded
+    estimates; leave None for exact). Exchanges carry (source, hash)
+    pairs only; per-source sizes broadcast back onto the pair counts.
+    """
+    from stream4flow_spark.llmdata.dedup import word_grams_from_tokens
+
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        whitespace_tokens(F.col(text_col)).alias("toks"),
+    )
+    d = (
+        toks.select(
+            "source",
+            F.explode(word_grams_from_tokens(F.col("toks"), n)).alias("g"),
+        )
+        .select("source", F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    if max_grams_per_source is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source").orderBy("gh")
+        d = (
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_grams_per_source)
+            .drop("__rn")
+        )
+    sizes = d.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_grams_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_grams_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_grams_a",
+            "n_grams_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (
+                    F.col("n_grams_a")
+                    + F.col("n_grams_b")
+                    - F.col("n_shared")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -68,7 +68,31 @@ def _list_fs(spark, pattern: str) -> list[str]:
         return glob.glob(pattern)
 
 
-class NeardupIndexState:
+class _ArrivalIndexState:
+    """Shared mechanics of the on-arrival screening states: per-batch
+    alert snapshots keyed by batch_id (a foreachBatch redelivery
+    REPLACES, never double-counts) and Hadoop-FS index listing."""
+
+    def __init__(self, spark, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        self._alerts_by_batch: dict[int, list] = {}
+
+    @property
+    def alerts(self) -> list:
+        """Flagged near-dups across all batches, each batch counted once
+        even after a foreachBatch redelivery."""
+        return [
+            r
+            for b in sorted(self._alerts_by_batch)
+            for r in self._alerts_by_batch[b]
+        ]
+
+    def _has_index(self, sub: str) -> bool:
+        return bool(_list_fs(self.spark, f"{self.state_dir}/{sub}/batch=*"))
+
+
+class NeardupIndexState(_ArrivalIndexState):
     """Streaming near-dup screening against a GROWING on-disk LSH index —
     the continuous-crawl form of ``dedup.incremental_neardup``.
 
@@ -107,8 +131,7 @@ class NeardupIndexState:
         threshold: float = 0.5,
         max_bucket: int | None = 10_000,
     ):
-        self.spark = spark
-        self.state_dir = state_dir
+        super().__init__(spark, state_dir)
         self.text_col = text_col
         self.id_col = id_col
         self.n = n
@@ -116,18 +139,6 @@ class NeardupIndexState:
         self.rows_per_band = rows_per_band
         self.threshold = threshold
         self.max_bucket = max_bucket
-        self._alerts_by_batch: dict[int, list] = {}
-
-    @property
-    def alerts(self) -> list:
-        """Flagged near-dups across all batches, each batch counted once
-        even after a foreachBatch redelivery (alerts are REPLACED per
-        batch_id, never appended twice)."""
-        return [
-            r
-            for b in sorted(self._alerts_by_batch)
-            for r in self._alerts_by_batch[b]
-        ]
 
     def _paths(self, batch_id: int) -> tuple[str, str]:
         return (
@@ -136,7 +147,7 @@ class NeardupIndexState:
         )
 
     def _read_index(self):
-        if not _list_fs(self.spark, f"{self.state_dir}/bands/batch=*"):
+        if not self._has_index("bands"):
             return None, None
         return (
             self.spark.read.parquet(f"{self.state_dir}/bands"),
@@ -254,6 +265,147 @@ def neardup_screen_stream(
     state = NeardupIndexState(stream_docs.sparkSession, state_dir, **kwargs)
     q = (
         stream_docs.writeStream.foreachBatch(state.apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state
+
+
+class SemanticIndexState(_ArrivalIndexState):
+    """Streaming SEMANTIC near-dup screening against a GROWING on-disk
+    sign-LSH bucket index — the embedding-space sibling of
+    ``NeardupIndexState`` / the continuous-crawl form of
+    ``simsearch.incremental_semantic_neardup``.
+
+    Each micro-batch: (1) bucket the batch vectors (one GEMM,
+    ``sign_lsh_bucket_table``); (2) join their (tbl, bucket) keys
+    against the stored index AND against each other (intra-batch pairs:
+    later id vs earlier id); (3) verify candidates with EXACT cosine —
+    vectors fetched by id from the stored vector store + this batch;
+    (4) append the batch's buckets + vectors for the NEXT batches. A
+    flagged vector is reported, not indexed. Retry-safe via per-batch
+    dirs + batch-keyed alert snapshots, like the minhash twin.
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_planes: int = 8,
+        dim: int = 64,
+        num_tables: int = 2,
+        threshold: float = 0.3,
+        max_bucket: int | None = 10_000,
+    ):
+        super().__init__(spark, state_dir)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.num_planes = num_planes
+        self.dim = dim
+        self.num_tables = num_tables
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+
+    def _read_index(self):
+        if not self._has_index("buckets"):
+            return None, None
+        return (
+            self.spark.read.parquet(f"{self.state_dir}/buckets"),
+            self.spark.read.parquet(f"{self.state_dir}/vecs"),
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from stream4flow_spark.llmdata.simsearch import (
+            cosine,
+            sign_lsh_bucket_table,
+        )
+
+        buckets = sign_lsh_bucket_table(
+            batch_df,
+            num_planes=self.num_planes,
+            dim=self.dim,
+            num_tables=self.num_tables,
+            max_bucket=self.max_bucket,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        vecs = batch_df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.vec_col).cast("array<double>").alias("v"),
+        )
+
+        idx_buckets, idx_vecs = self._read_index()
+        cand = (
+            buckets.alias("d")
+            .join(
+                buckets.alias("c"),
+                (F.col("d.tbl") == F.col("c.tbl"))
+                & (F.col("d.bucket") == F.col("c.bucket"))
+                & (F.col("d.id") > F.col("c.id")),
+            )
+            .select(F.col("d.id").alias("id"), F.col("c.id").alias("cid"))
+        )
+        if idx_buckets is not None:
+            cand = cand.unionByName(
+                buckets.alias("d")
+                .join(
+                    idx_buckets.select("id", "tbl", "bucket").alias("c"),
+                    (F.col("d.tbl") == F.col("c.tbl"))
+                    & (F.col("d.bucket") == F.col("c.bucket")),
+                )
+                .select(F.col("d.id").alias("id"), F.col("c.id").alias("cid"))
+            )
+        cand = cand.dropDuplicates(["id", "cid"])
+        cs_base = (
+            vecs
+            if idx_vecs is None
+            else idx_vecs.select("id", "v").unionByName(vecs)
+        )
+        ds = vecs.select("id", F.col("v").alias("dv"))
+        cs = cs_base.select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(
+            F.col("cos").desc(), F.col("cid").asc()
+        )
+        flagged = (
+            cand.join(ds, "id")
+            .join(cs, "cid")
+            .withColumn("cos", F.round(cosine(F.col("dv"), F.col("cv")), 4))
+            .filter(F.col("cos") >= self.threshold)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("cid").alias("best_match_id"), "cos")
+        )
+        flagged = flagged.persist()
+        self._alerts_by_batch[batch_id] = flagged.collect()
+        flagged_only_ids = flagged.select("id")
+        buckets.join(flagged_only_ids, "id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{self.state_dir}/buckets/batch={batch_id}")
+        vecs.join(flagged_only_ids, "id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{self.state_dir}/vecs/batch={batch_id}")
+        flagged.unpersist()
+
+
+def semantic_screen_stream(
+    stream_vecs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Drain ``stream_vecs`` (availableNow) through the semantic
+    near-dup index loop; returns the completed state (alerts +
+    on-disk index)."""
+    state = SemanticIndexState(stream_vecs.sparkSession, state_dir, **kwargs)
+    q = (
+        stream_vecs.writeStream.foreachBatch(state.apply_batch)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -342,6 +342,102 @@ def test_dedup_corpus_transitive_keepers(spark):
     assert out == {0: 3, 3: 1, 4: 1}
 
 
+def test_dedup_corpus_keeper_by_score(spark):
+    """keeper_by: the component keeper is the member with the HIGHEST
+    score (lowest id on ties), not the lowest id — the curation policy
+    of keeping the best copy. Singletons keep themselves."""
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.llmdata.dedup import dedup_corpus
+
+    mid = BASE.replace("today", "tonight")
+    df = _docs(spark, [BASE, NEAR, mid, FAR, "tiny"]).withColumn(
+        "score",
+        # cluster {0,1,2}: doc 1 scores highest -> keeper; tie 0 vs 2
+        # is irrelevant; singletons 3, 4 keep themselves
+        F.element_at(F.array(F.lit(1.0), F.lit(9.0), F.lit(1.0),
+                             F.lit(0.5), F.lit(0.5)),
+                     F.col("doc_id").cast("int") + 1),
+    )
+    out = {
+        r.keeper_id: r.group_size
+        for r in dedup_corpus(df, threshold=0.5, keeper_by="score").collect()
+    }
+    assert out == {1: 3, 3: 1, 4: 1}
+    # tie on score falls back to the lowest id (default-policy agreement)
+    flat = df.withColumn("score", F.lit(1.0))
+    out = {
+        r.keeper_id: r.group_size
+        for r in dedup_corpus(flat, threshold=0.5, keeper_by="score").collect()
+    }
+    assert out == {0: 3, 3: 1, 4: 1}
+
+
+def test_segment_dedup_keeper_by_doc_score(spark):
+    """segment_dedup keeper_by: a duplicated segment survives in the
+    highest-scoring DOCUMENT (not the first-seen), ties -> first
+    (doc, pos) occurrence."""
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.llmdata.dedup import segment_dedup
+
+    docs = _docs(
+        spark,
+        [
+            "cookie banner\nreal content one",
+            "cookie banner\nreal content two",
+        ],
+    ).withColumn(
+        "q", F.when(F.col("doc_id") == 1, F.lit(5.0)).otherwise(F.lit(1.0))
+    )
+    out = {r.doc_id: r for r in segment_dedup(docs, keeper_by="q").collect()}
+    # doc 1 outranks doc 0, so the shared banner survives in doc 1
+    assert out[0].text == "real content one"
+    assert out[1].text == "cookie banner\nreal content two"
+    assert (out[0].n_kept, out[1].n_kept) == (1, 2)
+
+
+def test_source_overlap_trigram_exact_and_capped(spark):
+    """Trigram overlap matrix: near-identical sources overlap with high
+    Jaccard, disjoint sources produce no row; the bottom-k cap bounds
+    per-source set sizes deterministically and keeps the heavy pair
+    ranked above lighter ones."""
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.llmdata.textstats import source_overlap_trigram
+
+    rows = []
+    for i in range(6):
+        rows.append((i, BASE, "src_a"))               # identical content
+        rows.append((100 + i, BASE.replace("today", f"w{i}"), "src_b"))
+        rows.append((200 + i, f"totally different text {i} about parquet "
+                              f"columnar formats and engines {i}", "src_c"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_trigram(docs).collect()
+    }
+    ab = out[("src_a", "src_b")]
+    assert ab.jaccard > 0.5  # near-copies share most trigrams
+    assert ("src_a", "src_c") not in out and ("src_b", "src_c") not in out
+    # exact sizes: src_a's 6 identical docs collapse to one distinct set
+    n_base_grams = len(BASE.split()) - 2
+    assert ab.n_grams_a == n_base_grams
+
+    capped = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_trigram(docs, max_grams_per_source=5).collect()
+    }
+    cab = capped[("src_a", "src_b")]
+    assert cab.n_grams_a == 5 and cab.n_grams_b == 5
+    assert cab.n_shared <= 5
+    again = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in source_overlap_trigram(docs, max_grams_per_source=5).collect()
+    }
+    assert again[("src_a", "src_b")] == cab.n_shared  # deterministic
+
+
 def test_winnow_fingerprints_guarantee_and_selectivity(spark):
     """Winnowing guarantee: documents sharing a substring of length >=
     window+k-1 share at least one fingerprint; unrelated documents share

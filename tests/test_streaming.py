@@ -1704,6 +1704,81 @@ def test_stream_neardup_screen_flags_within_batch_arrivals(spark, tmp_path):
     assert (4, 0) in once
 
 
+def test_stream_semantic_screen_matches_batch_incremental(spark, tmp_path):
+    """Semantic near-dup-on-arrival (r06 verdict item 4): vectors stream
+    in waves against a growing on-disk sign-LSH bucket index; a wave's
+    flags must equal the BATCH incremental_semantic_neardup of that wave
+    against the corpus indexed so far (same planes/tables/threshold),
+    the flagged vector must not join the index, and a foreachBatch
+    restart continues from the on-disk index."""
+    import pandas as pd
+
+    from stream4flow_spark.llmdata.simsearch import (
+        incremental_semantic_neardup,
+    )
+    from stream4flow_spark.streaming.llmingest import semantic_screen_stream
+
+    dim, planes, tables, thr = 8, 2, 8, 0.5
+    v0 = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    v1 = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    v2 = [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]   # ~v0 (cos .994)
+    v3 = [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    waves = [[(0, v0), (1, v1)], [(2, v2), (3, v3)]]
+    schema = "vec_id long, embedding array<double>"
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+
+    def arrive(i):
+        pd.DataFrame(waves[i], columns=["vec_id", "embedding"]).to_parquet(
+            str(src / f"w{i}.parquet"), index=False
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return semantic_screen_stream(
+            stream,
+            state_dir=str(tmp_path / "index"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            num_planes=planes,
+            dim=dim,
+            num_tables=tables,
+            threshold=thr,
+        )
+
+    arrive(0)
+    st = run()
+    assert st.alerts == []  # wave 0 is orthogonal — nothing flags
+
+    arrive(1)
+    st = run()  # RESTART: index must have survived on disk
+    got = {r.id: (r.best_match_id, r.cos) for r in st.alerts}
+
+    corpus = spark.createDataFrame(waves[0], schema)
+    delta = spark.createDataFrame(waves[1], schema)
+    want = {
+        r.vec_id: (r.best_match_id, r.best_cos)
+        for r in incremental_semantic_neardup(
+            corpus, delta, threshold=thr, num_planes=planes, dim=dim,
+            num_tables=tables,
+        ).collect()
+        if r.is_near_dup
+    }
+    assert got == want and set(got) == {2}
+
+    # the flagged vector must NOT have joined the index: another copy
+    # still matches the ORIGINAL
+    waves.append([(4, v2)])
+    arrive(2)
+    st = run()
+    got = {r.id: r.best_match_id for r in st.alerts}
+    assert got == {4: 0}
+
+
 def test_stream_chunk_documents_matches_batch(spark, tmp_path):
     """RAG chunk-on-arrival: llm_chunk_documents' stride/slice/explode
     pipeline is pure map-side Column work, so the SAME logic must stream
