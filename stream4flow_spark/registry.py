@@ -48,49 +48,44 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 # listed keep registration order after the pinned prefix, so nothing is
 # ever dropped from ``queries()`` itself.
 WINDOW_PRIORITY: list[str] = [
-    # Round-6 window. Policy unchanged: never-driver-verified first,
-    # then changed-implementation, then oldest/fewest-green. The 50
-    # r05-green queries rotate out on their fresh rows.
-    # 1-4: the only oracle-backed queries with NO driver row anywhere
-    # (added after the r05 window was pinned — r05 verdict item 1).
-    "llm_scene_changes", "llm_dedup_rate_by_source",
-    "rel_lateral_top_orders", "rel_recursive_calendar",
-    # 5-17: new this round (never verified by definition).
-    "tpch_q12ish_shipmode_priority", "llm_unigram_logprob",
-    "llm_semantic_dedup", "rel_grouping_sets_nation_year",
-    "llm_chunk_documents", "llm_random_projection",
-    "llm_heavy_hitters", "llm_source_overlap", "llm_incremental_neardup",
-    "rel_trailing_week_revenue", "rel_quality_audit",
-    "rel_snapshot_drift", "llm_embedding_coverage",
-    # 12: implementation changed this round (struct-min first-occurrence
-    # winner replaced the packed-int pk) — re-certify the current plan.
-    "llm_segment_dedup",
-    # 13-26: exactly-one-green r04 singles (the registry comment's
-    # promised rotation).
-    "llm_text_clean", "llm_corpus_select", "llm_dedup_corpus",
-    "rel_event_sessionization", "rel_rollup_revenue",
-    "tpch_q4ish_priority_check", "tpch_q13ish_order_distribution",
-    "tpch_q14ish_promo_share", "tpch_q7ish_nation_volume",
-    "tpch_q8ish_market_share", "tpch_q10ish_returned_revenue",
-    "tpch_q18ish_large_orders", "tpch_q19ish_bracket_revenue",
-    "tpch_q22ish_dormant_customers",
-    # 27-50: the three-green (r01+r03+r04) apps/readside set — last
-    # verified r04, oldest standing signal after the singles.
-    "protocols_statistics", "host_stats", "top_n_host_stats",
-    "dns_statistics", "tls_classification", "host_daily_profile",
-    "ssh_auth_simple", "ports_scan", "reflect_ddos",
-    "dns_open_resolvers", "dns_external_resolvers", "pattern_finder",
-    "domain_entropy", "iso_timestamps", "alert_suppression",
-    "application_template", "readside_q1_range_term",
-    "readside_q2_histogram_terms_sum",
-    # readside_q3..q9 (three-green) and
-    # the nine four-green queries
-    # (llm_minhash_lsh_dedup, llm_ann_cosine_topk, llm_dedup_components,
-    # tpch_q1_pricing_summary,
-    # tpch_q6_forecast_revenue, tpch_q3_top_revenue_orders,
-    # tpch_q5ish_revenue_per_region, rel_semi_anti_customers,
-    # rel_pivot_order_priority) defer to r07 on their four recorded
-    # green rows — the deepest-verified queries in the registry.
+    # Round-7 window. Policy unchanged: never-driver-verified first,
+    # then oldest-green (nothing changed implementation this round).
+    # After this round every oracle-backed query's latest green row is
+    # ≤ 2 rounds old (the staleness invariant test_results_store pins).
+    # 1-4: the only pre-existing oracle-backed queries with NO driver
+    # row anywhere (added after the r06 window was pinned — r06 verdict
+    # item 1).
+    "llm_dedup_savings", "llm_vocab_growth", "llm_ngram_novelty",
+    "rel_part_cooccurrence",
+    # 5-7: new this round (never verified by definition).
+    "llm_dedup_corpus_keeper", "llm_source_overlap_trigram",
+    "llm_incremental_semantic_neardup",
+    # 8-23: the sixteen queries whose latest green is r04 — the
+    # readside_q3..q9 set and the nine four-green queries the r06
+    # registry comment committed to this window.
+    "readside_q3_global_sums", "readside_q4_per_host_sums",
+    "readside_q5_histogram_multimetric", "readside_q6_top1_per_type",
+    "readside_q7_latest_per_group", "readside_q8_either_term",
+    "readside_q9_ordered",
+    "llm_minhash_lsh_dedup", "llm_ann_cosine_topk",
+    "llm_dedup_components", "tpch_q1_pricing_summary",
+    "tpch_q3_top_revenue_orders", "tpch_q5ish_revenue_per_region",
+    "tpch_q6_forecast_revenue", "rel_semi_anti_customers",
+    "rel_pivot_order_priority",
+    # 24-50: backfill with single-green r05 rows (alphabetical; the
+    # eight deferred singles — tpch_q2ish/q9ish/q11ish/q15ish/q16ish/
+    # q17ish/q20ish/q21ish — plus the multi-green r05 set lead the r08
+    # window under the ≤2-round staleness invariant).
+    "llm_bm25_topk", "llm_decontaminate", "llm_embedding_stats",
+    "llm_hybrid_rrf", "llm_incremental_dedup", "llm_knn_label_vote",
+    "llm_length_floor", "llm_mixture_resample", "llm_pack_sequences",
+    "llm_pii_stats", "llm_prepare_corpus", "llm_repetition",
+    "llm_source_cap", "llm_split_drift", "llm_split_leakage",
+    "llm_tfidf_terms", "llm_unicode_normalize", "rel_asof_join",
+    "rel_cube_mktsegment_year", "rel_funnel_conversion",
+    "rel_gapfill_events", "rel_json_props", "rel_moving_order_value",
+    "rel_retention_cohorts", "rel_setops_customer_years",
+    "rel_spend_deciles", "rel_unpivot_measures",
 ]
 
 

@@ -103,3 +103,54 @@ def test_window_priority_invariants():
     unknown = [n for n in WINDOW_PRIORITY if n not in REGISTRY]
     assert not unknown, f"window names not in registry: {unknown}"
     assert names == WINDOW_PRIORITY
+
+
+def test_window_rotation_staleness_policy():
+    """r06 verdict item 7 — the rotation POLICY itself, not just the
+    list shape: after the upcoming round runs this window, no
+    oracle-backed query's latest driver-green row may be more than 2
+    rounds old. Concretely: every oracle-backed query that is
+    never-verified, or whose latest green row predates
+    (max recorded round - 1), must hold a slot in WINDOW_PRIORITY.
+    Computed from the committed CORRECTNESS_r0*.json files, so a draft
+    window that would let a query go stale fails CI before the driver
+    ever runs it."""
+    import glob
+    import json
+    import os
+
+    from stream4flow_spark.registry import (
+        REGISTRY,
+        WINDOW_PRIORITY,
+        queries,
+    )
+
+    queries()
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    rounds = []
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+        r = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        rounds.append(r)
+        for name, row in json.load(open(f)).items():
+            ok = (
+                row.get("rows_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok:
+                latest[name] = max(latest.get(name, 0), r)
+    assert rounds, "no CORRECTNESS files — cannot audit the policy"
+    horizon = max(rounds) - 1
+    window = set(WINDOW_PRIORITY)
+    going_stale = [
+        n
+        for n, spec in REGISTRY.items()
+        if spec.oracle is not None
+        and latest.get(n, 0) < horizon
+        and n not in window
+    ]
+    assert not going_stale, (
+        "oracle-backed queries whose latest green row would exceed 2 "
+        f"rounds of staleness yet hold no window slot: {going_stale}"
+    )
