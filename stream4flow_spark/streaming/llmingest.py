@@ -416,21 +416,32 @@ def semantic_screen_stream(
 
 
 def compact_neardup_index(spark, state_dir: str) -> dict:
-    """Rewrite the near-dup index's accumulated per-batch dirs into one
-    consolidated batch each for bands and signatures (DEPLOY.md: run
-    once batch-dir counts reach thousands — file-listing cost, not data
-    size, is what degrades). Safe between runs (the index is only read
-    at batch boundaries); returns {"bands": n_rows, "sigs": n_rows}.
+    """Rewrite the minhash near-dup index's accumulated per-batch dirs
+    into one consolidated batch each for bands and signatures (DEPLOY.md:
+    run once batch-dir counts reach thousands — file-listing cost, not
+    data size, is what degrades). Safe between runs (the index is only
+    read at batch boundaries); returns {"bands": n_rows, "sigs": n_rows}.
+    """
+    return _compact_index(spark, state_dir, ("bands", "sigs"))
 
-    Listing and the delete/rename swap go through the Hadoop FS API, so
-    the index can live on any mounted scheme (local, HDFS, S3A) — the
-    same stores DEPLOY.md sizes it for; ``glob``/``shutil`` would
-    silently see an empty index there.
+
+def compact_semantic_index(spark, state_dir: str) -> dict:
+    """Same consolidation for the SEMANTIC index's bucket + vector
+    dirs; returns {"buckets": n_rows, "vecs": n_rows}."""
+    return _compact_index(spark, state_dir, ("buckets", "vecs"))
+
+
+def _compact_index(spark, state_dir: str, subs: tuple[str, ...]) -> dict:
+    """Per-batch-dir → single-dir rewrite shared by both arrival
+    indexes. Listing and the delete/rename swap go through the Hadoop
+    FS API, so the index can live on any mounted scheme (local, HDFS,
+    S3A) — the same stores DEPLOY.md sizes it for; ``glob``/``shutil``
+    would silently see an empty index there.
     """
     out = {}
     jvm = spark._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    for sub in ("bands", "sigs"):
+    for sub in subs:
         src = f"{state_dir}/{sub}"
         if not _list_fs(spark, f"{src}/batch=*"):
             out[sub] = 0

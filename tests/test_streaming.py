@@ -1873,6 +1873,61 @@ def test_neardup_index_compaction_preserves_screening(spark, tmp_path):
     assert flagged == {2: 0}
 
 
+def test_semantic_index_compaction_preserves_screening(spark, tmp_path):
+    """Compacting the semantic index's per-batch dirs must not change
+    screening: a near-copy arriving AFTER compaction still flags
+    against the pre-compaction original."""
+    import glob
+
+    import pandas as pd
+
+    from stream4flow_spark.streaming.llmingest import (
+        compact_semantic_index,
+        semantic_screen_stream,
+    )
+
+    dim, planes, tables, thr = 8, 2, 8, 0.5
+    v0 = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    v1 = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    near = [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    src = tmp_path / "vecs"
+    src.mkdir()
+
+    def arrive(name, rows):
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+            str(src / name), index=False
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return semantic_screen_stream(
+            stream,
+            state_dir=str(tmp_path / "index"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            num_planes=planes,
+            dim=dim,
+            num_tables=tables,
+            threshold=thr,
+        )
+
+    arrive("w0.parquet", [(0, v0)])
+    arrive("w1.parquet", [(1, v1)])
+    run()
+    assert len(glob.glob(str(tmp_path / "index" / "buckets" / "batch=*"))) >= 2
+    counts = compact_semantic_index(spark, str(tmp_path / "index"))
+    assert counts["vecs"] == 2
+    assert len(glob.glob(str(tmp_path / "index" / "buckets" / "batch=*"))) == 1
+
+    arrive("w2.parquet", [(2, near)])
+    st = run()
+    flagged = {r.id: r.best_match_id for r in st.alerts}
+    assert flagged == {2: 0}
+
+
 def test_observed_metrics_report_corpus_quality(spark, tmp_path):
     """Corpus-ingest quality counters ride the streaming query via
     observe() — per-batch doc/empty/short counts without a second
