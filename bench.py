@@ -119,9 +119,25 @@ def main() -> int:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_queries.json")
+    sidecar_queries = dict(timings)
+    sidecar_total = total
+    if only:
+        # a filtered run (SPARK_GRAFT_BENCH_ONLY) refreshes only its own
+        # entries — clobbering the tracked full map with a 1-query run
+        # would destroy the durable per-query record the driver ingests
+        try:
+            with open(sidecar) as f:
+                prev = json.load(f)
+            if prev.get("sf") == sf_val and len(prev.get("queries", {})) > len(timings):
+                sidecar_queries = {**prev["queries"], **timings}
+                sidecar_total = round(sum(sidecar_queries.values()), 3)
+        except (OSError, ValueError):
+            pass
     with open(sidecar, "w") as f:
-        json.dump({"sf": sf_val, "total_sec": total, "queries": timings}, f,
-                  indent=1, sort_keys=True)
+        json.dump(
+            {"sf": sf_val, "total_sec": sidecar_total,
+             "queries": sidecar_queries},
+            f, indent=1, sort_keys=True)
 
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
