@@ -2574,3 +2574,264 @@ def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "llm_gopher_rules",
+    covers="llm:quality-rules llm:quality-score rel:conditional-agg",
+    oracle=f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN len({_W}) BETWEEN 30 AND 100000
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS word_count_violations,
+               CAST(SUM(CASE WHEN CAST(length(text) - (len({_W}) - 1)
+                                       AS DOUBLE) / len({_W})
+                                  BETWEEN 3 AND 10
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS mean_word_len_violations,
+               CAST(SUM(CASE WHEN len(list_filter({_W},
+                                      t -> t IN {_STOP_EN})) >= 2
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS stopword_hits_violations,
+               CAST(SUM(CASE WHEN CAST(len(list_distinct({_W})) AS DOUBLE)
+                                  / len({_W}) >= 0.35
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS lexical_diversity_violations,
+               CAST(SUM(CASE WHEN len({_W}) BETWEEN 30 AND 100000
+                              AND CAST(length(text) - (len({_W}) - 1)
+                                       AS DOUBLE) / len({_W})
+                                  BETWEEN 3 AND 10
+                              AND len(list_filter({_W},
+                                      t -> t IN {_STOP_EN})) >= 2
+                              AND CAST(len(list_distinct({_W})) AS DOUBLE)
+                                  / len({_W}) >= 0.35
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        FROM documents GROUP BY 1
+        """,
+)
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rule audit, reported PER SOURCE
+    (Rae et al. 2021 §A1.1 repetition/quality filters; the reference has
+    no corpus-quality surface — this is training-pipeline coverage).
+    Four document rules — word count in [30, 1e5], mean word length in
+    [3, 10], ≥2 English stopword hits, lexical diversity (distinct/total
+    words) ≥ 0.35 — compiled by ``operators/expect.audit`` into ONE
+    conditional-sum pass with map-side partials: the wire carries one
+    row per source no matter how many rules or how big the corpus, and
+    ``n_clean`` is the quarantine() keep-lane size so the report and an
+    actual split can never drift."""
+    from stream4flow_spark.operators.expect import audit
+    from stream4flow_spark.llmdata.textstats import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    n_words = F.size(toks)
+    stops = [s.strip(" '") for s in _STOP_EN.strip("()").split(",")]
+    rules = {
+        "word_count": n_words.between(30, 100_000),
+        "mean_word_len": (
+            (F.length("text") - (n_words - 1)).cast("double") / n_words
+        ).between(3, 10),
+        "stopword_hits": F.size(
+            F.filter(toks, lambda t: t.isin(stops))
+        ) >= 2,
+        "lexical_diversity": (
+            F.size(F.array_distinct(toks)).cast("double") / n_words
+        ) >= 0.35,
+    }
+    return audit(docs, rules, group_cols=["source"], include_clean=True)
+
+
+@register(
+    "llm_token_budget",
+    covers="llm:token-budget-cap llm:mixture A9",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, CAST(len({_W}) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY n_tokens DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+        FROM t
+        QUALIFY cum_weight <= 800
+        """,
+)
+def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN budget cap (llmdata/sampling.py
+    token_budget_per_group): training mixtures are specified in tokens,
+    not rows, so each source keeps its best documents only until the
+    running token total hits the budget — greedy first-fit in a
+    deterministic order (here longest-first, doc_id tiebreak). ONE
+    exchange keyed by source + an in-partition running-sum window —
+    the same plan shape as cap_per_group's rank window; weights ≥ 1
+    token mean a bucketed rank pre-cap at ``budget`` rows bounds hot
+    sources exactly when needed."""
+    from stream4flow_spark.llmdata.sampling import token_budget_per_group
+    from stream4flow_spark.llmdata.textstats import whitespace_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(whitespace_tokens(F.col("text"))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return token_budget_per_group(
+        docs, "source", budget=800, weight_col="n_tokens"
+    )
+
+
+@register(
+    "llm_perplexity_buckets",
+    covers="llm:lm-quality-score llm:mixture",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, t AS word
+            FROM documents,
+                 unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+            WHERE t <> ''
+        ),
+        doc AS (
+            SELECT doc_id, lang, word, COUNT(*) AS dcnt
+            FROM toks GROUP BY 1, 2, 3
+        ),
+        freq AS (
+            SELECT word, CAST(SUM(dcnt) AS BIGINT) AS cnt FROM doc GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM freq),
+        scored AS (
+            SELECT d.doc_id, ANY_VALUE(d.lang) AS lang,
+                   ROUND(SUM(d.dcnt * LN(CAST(f.cnt AS DOUBLE) / t.n))
+                         / SUM(d.dcnt), 4) AS lp
+            FROM doc d JOIN freq f USING (word) CROSS JOIN tot t
+            GROUP BY 1
+        ),
+        binned AS (
+            SELECT lang, lp,
+                   NTILE(3) OVER (PARTITION BY lang
+                                  ORDER BY lp DESC, doc_id) AS tercile
+            FROM scored
+        )
+        SELECT lang,
+               CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(lp), 4) + 0.0 AS mean_logprob,
+               ROUND(MIN(lp), 4) + 0.0 AS min_logprob,
+               ROUND(MAX(lp), 4) + 0.0 AS max_logprob
+        FROM binned GROUP BY 1, 2
+        """,
+)
+def q_llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail buckets (Wenzek et al. 2019 §4.3): score
+    every document with the corpus's own unigram LM (same machinery as
+    llm_unigram_logprob), then split each language into quality
+    terciles — the mixture knob CCNet exposes ("train on head+middle,
+    drop tail"). Deterministic: scores are rounded to 4dp BEFORE the
+    tercile window orders on them (float noise between engines can't
+    flip the order) with doc_id as tiebreak.
+
+    Scale shape: the scoring join carries (word, two longs) — text
+    never travels; the tercile NTILE is one exchange keyed by lang over
+    (doc_id, lang, lp) rows only; the final rollup is a partial-agg over
+    ≤ 3·|langs| groups."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"),
+    ).filter(F.col("word") != "")
+    doc = toks.groupBy("doc_id", "lang", "word").agg(
+        F.count("*").alias("dcnt")
+    )
+    freq = doc.groupBy("word").agg(F.sum("dcnt").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("n"))
+    scored = (
+        doc.join(freq, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.round(
+                F.sum(
+                    F.col("dcnt")
+                    * F.log(F.col("cnt").cast("double") / F.col("n"))
+                )
+                / F.sum("dcnt"),
+                4,
+            ).alias("lp"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lp").desc(), F.col("doc_id")
+    )
+    binned = scored.withColumn("tercile", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        binned.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.round(F.avg("lp"), 4) + 0.0).alias("mean_logprob"),
+            (F.round(F.min("lp"), 4) + 0.0).alias("min_logprob"),
+            (F.round(F.max("lp"), 4) + 0.0).alias("max_logprob"),
+        )
+    )
+
+
+_EPOCHS = {"src0": 2.5, "src1": 0.25, "src2": 1.0, "src3": 3.0}
+_EPOCH_CASE = (
+    "CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25 "
+    "WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 3.0 END"
+)
+
+
+@register(
+    "llm_epoch_upsample",
+    covers="llm:mixture llm:epoch-upsample",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, source,
+                   CAST(FLOOR({_EPOCH_CASE}) AS INT)
+                   + CASE WHEN CAST(('0x' || substring(md5(
+                             CAST(doc_id AS VARCHAR) || 's4f-epoch'), 1, 4))
+                             AS INT)
+                          < ({_EPOCH_CASE} - FLOOR({_EPOCH_CASE})) * 65536
+                     THEN 1 ELSE 0 END AS n_copies
+            FROM documents
+            WHERE source IN ('src0', 'src1', 'src2', 'src3')
+        )
+        SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+               CAST(u.i AS BIGINT) AS epoch_idx
+        FROM f, unnest(range(n_copies)) AS u(i)
+        """,
+)
+def q_llm_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch mixture upsampling (llmdata/sampling.py
+    epoch_upsample): repeat each source's documents to its target epoch
+    count — floor(e) copies plus a deterministic md5-coin extra for the
+    fraction, the upsampling half of mixture building that
+    mixture_resample's thinning can't express (GPT-3/Llama-style "3.5
+    epochs of the good source"). Literal map lookup + in-task
+    sequence()+explode — no join, no shuffle; the oracle reproduces the
+    exact same coin, so the surviving (doc, copy) multiset is verified
+    row-for-row."""
+    from stream4flow_spark.llmdata.sampling import epoch_upsample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    up = epoch_upsample(docs, _EPOCHS)
+    return up.select(
+        "doc_id",
+        "source",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("epoch_idx").cast("long").alias("epoch_idx"),
+    )

@@ -2038,3 +2038,65 @@ def q_rel_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@register(
+    "rel_scd2_user_state",
+    covers="rel:scd2-versioning rel:window-lag rel:change-compression",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        ),
+        chg AS (
+            SELECT user_id, event_id, event_type, t
+            FROM o WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type,
+               t AS valid_from_ms,
+               COALESCE(LEAD(t) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+               ), -1) AS valid_to_ms,
+               CASE WHEN LEAD(t) OVER (
+                        PARTITION BY user_id ORDER BY t, event_id
+                    ) IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM chg
+        """,
+)
+def q_rel_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an event log: collapse each
+    user's event stream into versioned state rows — change-points only,
+    with [valid_from, valid_to) validity intervals and an is_current
+    flag (the warehouse staple for "what was this user's state at time
+    T"; the reference stores only latest-value dashboards). Two window
+    passes over the SAME (user_id, time) partitioning: a lag()
+    change-point filter, then lead() to close each interval — Catalyst
+    reuses the one exchange+sort for both (no second shuffle; the
+    change-point filter shrinks rows between them). valid_to_ms = -1
+    encodes the open current row (NULL would stringify differently per
+    engine)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    chg = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    nxt = F.lead("t").over(w)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("t").alias("valid_from_ms"),
+        F.coalesce(nxt, F.lit(-1)).alias("valid_to_ms"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

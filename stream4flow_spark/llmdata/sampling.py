@@ -203,3 +203,92 @@ def mixture_resample(
     return in_scope.join(F.broadcast(thresh), group_col).filter(
         hash_bucket(F.col(key_col), salt) < F.col("keep_thresh")
     )
+
+
+def token_budget_per_group(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    weight_col: str,
+    order_by: list[Column] | None = None,
+    key_col: str = "doc_id",
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Keep the best rows of each group up to a cumulative WEIGHT budget.
+
+    `cap_per_group` bounds groups by ROW count; training mixtures are
+    specified in TOKENS, so the cap that matters is "this source
+    contributes at most N tokens".  Rows are ranked inside each group by
+    ``order_by`` (default: ``weight_col`` descending — keep the longest;
+    curation usually passes a quality score) with ``key_col`` as the
+    deterministic tiebreak, and a row survives iff the running total of
+    ``weight_col`` UP TO AND INCLUDING it stays ≤ ``budget``.  First-fit
+    by rank, not knapsack — the industry-standard greedy (reproducible,
+    order-stable), not an optimizer.
+
+    Adds ``cum_col`` (the running post-include total, so downstream can
+    see how full each group's budget ran).
+
+    Plan shape at 100 TB: ONE exchange keyed by the group + an
+    in-partition sort (a running-sum window frame), identical to the
+    rank window `cap_per_group` uses; no collect, no second pass.  A
+    group whose rows exceed a task's sort budget salts the same way —
+    weights are ≥ 1 token, so a bucketed pre-cap at ``budget`` ROWS per
+    (group, bucket) with the SAME ordering keeps every possible
+    survivor (rank r implies cum ≥ r) — that pre-cap is `cap_per_group`
+    itself; compose them when a group is hot.
+    """
+    order = list(order_by) if order_by is not None else [F.col(weight_col).desc()]
+    order.append(F.col(key_col).asc())
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(cum_col, F.sum(F.col(weight_col).cast("long")).over(w))
+        .filter(F.col(cum_col) <= budget)
+    )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    epochs: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "s4f-epoch",
+    out_col: str = "epoch_idx",
+) -> DataFrame:
+    """Deterministic fractional-epoch upsampling per group.
+
+    `mixture_resample` can only THIN groups; real training mixtures also
+    REPEAT the good ones ("3.5 epochs of wiki, 0.3 of crawl"). Each row
+    of group g gets ``floor(epochs[g])`` copies plus one more iff its
+    md5 coin lands under the fractional part — so exactly the target
+    token multiple in expectation, reproducible on any engine/
+    partitioning (same rows get the extra epoch every run), and groups
+    not listed are dropped (consistent with mixture_resample). Adds
+    ``out_col`` (0-based copy index) and ``n_copies``.
+
+    Plan shape at 100 TB: the epochs dict compiles into a literal
+    map-lookup Column — NO join, no aggregate; the repeat is an in-task
+    sequence()+explode fan-out (rows leave the scan already
+    multiplied). Nothing shuffles; downstream shuffles see the
+    upsampled row count, which is the point.
+    """
+    emap = F.create_map(*[F.lit(x) for kv in epochs.items() for x in kv])
+    e = emap[F.col(group_col)]
+    whole = F.floor(e).cast("int")
+    extra = (
+        hash_bucket(F.col(key_col), salt).cast("double")
+        < (e - F.floor(e)) * _BUCKETS
+    ).cast("int")
+    n = (whole + extra).alias("n_copies")
+    copies = F.when(
+        F.col("n_copies") > 0, F.sequence(F.lit(0), F.col("n_copies") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.filter(F.col(group_col).isin(*epochs))
+        .withColumn("n_copies", n)
+        .withColumn(out_col, F.explode(copies))
+    )

@@ -20,18 +20,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def audit(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
-    """One row: ``n_rows`` + one ``<rule>_violations`` count per rule.
+def audit(
+    df: DataFrame,
+    rules: dict[str, Column],
+    group_cols: list[str] | None = None,
+    include_clean: bool = False,
+) -> DataFrame:
+    """Per-rule violation counts: ``n_rows`` + one ``<rule>_violations``
+    per rule — one global row, or one row per group when ``group_cols``
+    is given (the per-source corpus report). Still ONE conditional-sum
+    pass either way; the grouped form shuffles one partial-aggregated
+    row per group, never the data.
 
     A NULL rule result counts as a violation (unknown is not a pass) —
-    the same convention SQL CHECK constraints use.
+    the same convention SQL CHECK constraints use. ``include_clean``
+    adds ``n_clean`` — rows violating NO rule (the quarantine()
+    keep-lane size, so the audit and the split can't drift).
     """
-    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(
-            f"{name}_violations"
-        )
-        for name, cond in rules.items()
+    fails = [
+        (~F.coalesce(cond, F.lit(False))).cast("long")
+        for cond in rules.values()
     ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(f).alias(f"{name}_violations")
+        for name, f in zip(rules, fails)
+    ]
+    if include_clean:
+        aggs.append(
+            F.sum(
+                (sum(fails[1:], fails[0]) == 0).cast("long")
+            ).alias("n_clean")
+        )
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)
 
 

@@ -31,6 +31,46 @@ def _formatted_plan(df: DataFrame) -> str:
     )
 
 
+_SKETCH_NODE = re.compile(r"^[\s+:*-]*([A-Za-z][A-Za-z ]*\S)\s+\((\d+)\)$")
+#: nodes a Window's required ordering/distribution passes through
+_PASS_THROUGH = {"Sort", "Project", "Filter", "WindowGroupLimit"}
+
+
+def _window_fed_by_single_partition(plan: str) -> bool:
+    """True iff some Window node's input spine reaches an Exchange whose
+    detail arguments say SinglePartition — i.e. a genuinely global
+    (no PARTITION BY) window over data, not a scalar aggregate's 1-row
+    SinglePartition elsewhere in the tree."""
+    lines = plan.splitlines()
+    # node id -> detail text (the "(<id>) <Name>" blocks after the sketch)
+    details: dict[str, str] = {}
+    cur = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\)\s+\S", ln.strip())
+        if m:
+            cur = m.group(1)
+            details[cur] = ln
+        elif cur is not None:
+            details[cur] += "\n" + ln
+    # sketch walk: a node's input chain prints on the following lines
+    for i, ln in enumerate(lines):
+        m = _SKETCH_NODE.match(ln)
+        if not m or not m.group(1).startswith("Window"):
+            continue
+        for nxt in lines[i + 1:]:
+            nm = _SKETCH_NODE.match(nxt)
+            if not nm:
+                break
+            name = nm.group(1).split()[0]
+            if name == "Exchange":
+                if "SinglePartition" in details.get(nm.group(2), ""):
+                    return True
+                break
+            if name not in _PASS_THROUGH:
+                break
+    return False
+
+
 def diagnose(df: DataFrame) -> list[Finding]:
     """Static plan audit. Rules (severity — what breaks at 100 TB):
 
@@ -61,7 +101,15 @@ def diagnose(df: DataFrame) -> list[Finding]:
                     "build side is bounded by construction")
         )
     if "SinglePartition" in plan:
-        if "Window" in plan:
+        # Only a SinglePartition exchange on a Window's INPUT spine is
+        # the global-window scale-killer; a 1-row scalar aggregate's
+        # SinglePartition elsewhere in the tree (broadcast corpus
+        # totals under a per-key window) is the normal scalar plan.
+        # The formatted sketch gives the tree (node names + ids); the
+        # detail section gives each Exchange's partitioning — walk each
+        # Window's input chain (Sort/Project pass-throughs) to its
+        # first Exchange and look that id up in the details.
+        if _window_fed_by_single_partition(plan):
             findings.append(
                 Finding("warn", "single-partition-exchange",
                         "Exchange SinglePartition feeding a Window: a "

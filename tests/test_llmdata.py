@@ -1305,3 +1305,90 @@ def test_verify_shards_detects_tampering(spark, tmp_path):
     assert set(res["mismatched"]) == {"2"}
     want, got = res["mismatched"]["2"]
     assert want == manifest["shards"]["2"] and (got or 0) < want
+
+
+def test_token_budget_per_group_first_fit_and_cum(spark):
+    """Greedy first-fit by the given order: each group keeps rows while
+    the running weight total stays <= budget, with the post-include
+    cumulative exposed."""
+    from stream4flow_spark.llmdata.sampling import token_budget_per_group
+
+    rows = [
+        # src a: weights 50, 30, 30 (by id order when scores tie) ->
+        # cum 50, 80, 110 -> third row bursts a 100 budget
+        (1, "a", 50), (2, "a", 30), (3, "a", 30),
+        # src b: one row over budget on its own
+        (4, "b", 500),
+        # src c: exactly-at-budget edge is KEPT (<=)
+        (5, "c", 60), (6, "c", 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    got = {
+        r.doc_id: r.cum_weight
+        for r in token_budget_per_group(
+            df, "source", budget=100, weight_col="w"
+        ).collect()
+    }
+    assert got == {1: 50, 2: 80, 5: 60, 6: 100}
+
+
+def test_token_budget_per_group_partitioning_independent(spark):
+    from stream4flow_spark.llmdata.sampling import token_budget_per_group
+
+    rows = [(i, f"s{i % 4}", 1 + (i * 7) % 13) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    df8 = df1.repartition(8)
+    pick = lambda d: {  # noqa: E731
+        (r.doc_id, r.cum_weight)
+        for r in token_budget_per_group(
+            d, "source", budget=90, weight_col="w"
+        ).collect()
+    }
+    assert pick(df1) == pick(df8)
+
+
+def test_token_budget_respects_explicit_order(spark):
+    """order_by overrides the keep-longest default — curation orders by
+    quality score, and the budget then fills with the BEST docs."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.llmdata.sampling import token_budget_per_group
+
+    rows = [(1, "a", 80, 0.1), (2, "a", 30, 0.9), (3, "a", 40, 0.8)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, w long, score double"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in token_budget_per_group(
+            df, "source", budget=75, weight_col="w",
+            order_by=[F.col("score").desc()],
+        ).collect()
+    )
+    assert kept == [2, 3]  # best-score-first: 30 + 40 fits, the 80 doesn't
+
+
+def test_epoch_upsample_copy_counts_and_determinism(spark):
+    """floor(e) copies per row + a deterministic md5-coin extra; groups
+    not listed are dropped; 0-copy rows vanish; partitioning never
+    changes the surviving (doc, copy) multiset."""
+    from stream4flow_spark.llmdata.sampling import epoch_upsample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    epochs = {"a": 2.5, "b": 0.0}
+    got = epoch_upsample(df, epochs).collect()
+    assert all(r.source == "a" for r in got)  # b -> 0 copies, c unlisted
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch_idx)
+    # every a-doc appears 2 or 3 times with dense 0-based indices
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+    assert {len(v) for v in per_doc.values()} <= {2, 3}
+    # the fractional coin fires on roughly half of a's 30 docs
+    extras = sum(1 for v in per_doc.values() if len(v) == 3)
+    assert 5 <= extras <= 25
+    got8 = epoch_upsample(df.repartition(8), epochs).collect()
+    assert sorted((r.doc_id, r.epoch_idx) for r in got) == sorted(
+        (r.doc_id, r.epoch_idx) for r in got8
+    )

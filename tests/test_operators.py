@@ -566,6 +566,43 @@ def test_plan_doctor_flags_known_anti_patterns(spark):
     assert all(f.severity == "info" for f in findings), findings
 
 
+def test_plan_doctor_distinguishes_scalar_exchange_from_global_window(spark):
+    """r7 precision fix: a PER-KEY window above a scalar aggregate's
+    1-row SinglePartition exchange (the broadcast-total shape
+    llm_unigram_logprob / llm_perplexity_buckets use) must NOT trip the
+    global-window warn — only a window whose own input spine is the
+    SinglePartition exchange does."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.plans.doctor import diagnose
+
+    df = spark.range(100).withColumn("v", (F.col("id") % 7).cast("double"))
+    total = df.agg(F.sum("v").alias("tot"))  # 1-row scalar -> SinglePartition
+    scored = df.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.col("v") / F.col("tot")
+    )
+    keyed = scored.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("v").orderBy("id"))
+    )
+    sev = {
+        f.rule: f.severity
+        for f in diagnose(keyed)
+        if f.rule == "single-partition-exchange"
+    }
+    assert sev == {"single-partition-exchange": "info"}, sev
+
+    glob = scored.withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    sev = {
+        f.rule: f.severity
+        for f in diagnose(glob)
+        if f.rule == "single-partition-exchange"
+    }
+    assert sev == {"single-partition-exchange": "warn"}, sev
+
+
 def test_gap_fill_hourly_fills_gaps_and_carries_forward(spark):
     from datetime import datetime
 
@@ -647,3 +684,36 @@ def test_expect_audit_and_quarantine_agree(spark):
         3: {"v_positive", "v_small"},
         4: {"v_small"},
     }
+
+
+def test_expect_audit_grouped_with_clean_lane(spark):
+    """Grouped audit: one row per group, and n_clean equals the
+    quarantine keep-lane size within each group."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.operators.expect import audit, quarantine
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", -1.0), ("b", None), ("b", 5.0), ("b", 200.0)],
+        "g string, v double",
+    )
+    rules = {
+        "v_positive": F.col("v") > 0,
+        "v_small": F.col("v") < 100,
+    }
+    rows = {
+        r.g: r
+        for r in audit(
+            df, rules, group_cols=["g"], include_clean=True
+        ).collect()
+    }
+    assert rows["a"].n_rows == 2 and rows["a"].n_clean == 1
+    assert rows["a"].v_positive_violations == 1
+    assert rows["b"].n_rows == 3 and rows["b"].n_clean == 1
+    assert rows["b"].v_positive_violations == 1  # the NULL
+    assert rows["b"].v_small_violations == 2     # NULL + 200
+    ok, _ = quarantine(df, rules)
+    per_g = {
+        r.g: r.n for r in ok.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_g == {g: rows[g].n_clean for g in rows}

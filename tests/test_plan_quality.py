@@ -45,6 +45,9 @@ _NESTED_LOOP_OK = {
     "llm_unigram_logprob",
     "llm_heavy_hitters",
     "rel_snapshot_drift",
+    # r7: same 1-row corpus-token total broadcast into the unigram
+    # scoring join that llm_unigram_logprob carries
+    "llm_perplexity_buckets",
 }
 
 
@@ -126,6 +129,9 @@ def test_no_broadcast_hint_on_scale_growing_tables():
         # r6: unigram LM's 1-row corpus-token total; heavy-hitters' MG
         # candidate set (≤ k × partitions rows by construction)
         "tot", "candidates",
+        # r7: trigram source-overlap's per-source gram counts — one row
+        # per SOURCE (bounded by the source vocabulary, not the corpus)
+        "sa", "sb",
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []
@@ -307,9 +313,13 @@ _GLOBAL_WINDOW_OK = {
     "llm_vocab_growth",
     "llm_pack_sequences",
     "llm_mixture_resample",
-    "llm_hybrid_rrf",
-    "rel_funnel_conversion",
     "rel_spend_deciles",
+    # (rel_funnel_conversion and llm_hybrid_rrf dropped in r7: the
+    # doctor now walks each Window's actual input spine, and neither
+    # has a data-sized global window — funnel's windows partition by
+    # user_id, and rrf's one global row_number sits over a bounded
+    # TakeOrderedAndProject; the old plan-wide string match had
+    # conflated their scalar-aggregate SinglePartition exchanges.)
 }
 
 
