@@ -2157,3 +2157,88 @@ def test_flowgen_stream_restart_resumes_exactly_once(spark, tmp_path):
         got.select(*key).exceptAll(batch.select(*key)).count() == 0
         and batch.select(*key).exceptAll(got.select(*key)).count() == 0
     )
+
+
+def test_stream_scd2_matches_batch_closed_versions(spark, tmp_path):
+    """Single-batch parity: the streaming SCD2 fold must emit exactly
+    the batch operator's CLOSED version rows (is_current=0) on the
+    driver events table."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.registry import REGISTRY, queries
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.runner import run_stream_to_table
+    from stream4flow_spark.streaming.scd2 import scd2_stream
+
+    queries()
+    batch = REGISTRY["rel_scd2_user_state"].fn(spark, SF_DIR)
+    want = {
+        (r.user_id, r.event_type, r.valid_from_ms, r.valid_to_ms)
+        for r in batch.filter(F.col("is_current") == 0).collect()
+    }
+    assert want  # the gate data must exercise closures
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("t")
+    )
+    src = tmp_path / "ev"
+    src.mkdir()
+    ev.toPandas().to_parquet(str(src / "all.parquet"), index=False)
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    got_df = run_stream_to_table(
+        scd2_stream(stream, ["user_id"], "event_type", "t", "event_id"),
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.event_type, r.valid_from_ms, r.valid_to_ms)
+        for r in got_df.collect()
+    }
+    assert got == want
+
+
+def test_stream_scd2_closes_versions_across_batches(spark, tmp_path):
+    """The open version carried in state must be closed by a later
+    batch's change; same-value events never close; a pre-horizon late
+    row is dropped rather than rewriting an emitted interval."""
+    import pandas as pd
+
+    from stream4flow_spark.streaming.runner import run_stream_to_table
+    from stream4flow_spark.streaming.scd2 import scd2_stream
+
+    from stream4flow_spark.streaming.runner import run_stream_to_table
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # batch 1 (f0): u1 signs up at t=10, clicks at t=20 (closes signup)
+    pd.DataFrame(
+        {"event_id": [1, 2], "user_id": [1, 1],
+         "event_type": ["signup", "click"], "t": [10, 20]}
+    ).to_parquet(str(src / "f0.parquet"), index=False)
+    # batch 2 (f1): same-type click at t=30 (no close), purchase at t=40
+    # (closes click@20), and a pre-horizon late signup at t=5 (dropped —
+    # an emitted interval can never be rewritten in append mode)
+    pd.DataFrame(
+        {"event_id": [3, 4, 5], "user_id": [1, 1, 1],
+         "event_type": ["click", "purchase", "signup"], "t": [30, 40, 5]}
+    ).to_parquet(str(src / "f1.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, t long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got_df = run_stream_to_table(
+        scd2_stream(stream, ["user_id"], "event_type", "t", "event_id"),
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.event_type, r.valid_from_ms, r.valid_to_ms)
+        for r in got_df.collect()
+    }
+    # signup@10 closed by click@20 in batch 1; click (open across the
+    # batch boundary, the t=30 duplicate type notwithstanding) closed by
+    # purchase@40 in batch 2; purchase stays open; the t=5 late signup
+    # left no trace
+    assert got == {(1, "signup", 10, 20), (1, "click", 20, 40)}
