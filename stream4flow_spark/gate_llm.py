@@ -2835,3 +2835,67 @@ def q_llm_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_copies").cast("long").alias("n_copies"),
         F.col("epoch_idx").cast("long").alias("epoch_idx"),
     )
+
+
+@register(
+    "llm_mixture_plan",
+    covers="llm:mixture llm:corpus-profile",
+    oracle=f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({_W})) AS BIGINT) AS n_tokens,
+                   COALESCE({_EPOCH_CASE}, 1.0) AS epochs
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens, epochs,
+               CAST(ROUND(n_tokens * epochs) AS BIGINT) AS effective_tokens,
+               ROUND(CAST(ROUND(n_tokens * epochs) AS BIGINT)
+                     / SUM(CAST(ROUND(n_tokens * epochs) AS BIGINT))
+                       OVER (), 6) + 0.0 AS share
+        FROM per
+        """,
+)
+def q_llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture spreadsheet: per-source document/token counts, target
+    epoch weights, effective (post-upsampling) token contribution and
+    its share of the training mix — the planning table a data team signs
+    off BEFORE epoch_upsample/token_budget materialize anything.
+
+    Scale shape: ONE conditional-sum scan to per-source aggregates
+    (≤ |sources| rows); the share denominator is a whole-frame window
+    over those aggregate rows only — bounded by the source count, never
+    the corpus (same justification as mixture_resample's threshold
+    window)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from stream4flow_spark.llmdata.textstats import whitespace_tokens
+
+    emap = F.create_map(*[F.lit(x) for kv in _EPOCHS.items() for x in kv])
+    per = (
+        docs.select(
+            "source",
+            F.size(whitespace_tokens(F.col("text"))).alias("__nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+        .withColumn("epochs", F.coalesce(emap[F.col("source")], F.lit(1.0)))
+    )
+    eff = F.round(F.col("n_tokens") * F.col("epochs")).cast("long")
+    whole = Window.partitionBy()
+    return (
+        per.withColumn("effective_tokens", eff)
+        .withColumn(
+            "share",
+            F.round(
+                F.col("effective_tokens")
+                / F.sum("effective_tokens").over(whole),
+                6,
+            )
+            + 0.0,
+        )
+    )

@@ -57,12 +57,12 @@ WINDOW_PRIORITY: list[str] = [
     # item 1).
     "llm_dedup_savings", "llm_vocab_growth", "llm_ngram_novelty",
     "rel_part_cooccurrence",
-    # 5-12: new this round (never verified by definition).
+    # 5-13: new this round (never verified by definition).
     "llm_dedup_corpus_keeper", "llm_source_overlap_trigram",
     "llm_incremental_semantic_neardup", "llm_gopher_rules",
     "llm_token_budget", "llm_perplexity_buckets", "rel_scd2_user_state",
-    "llm_epoch_upsample",
-    # 8-23: the sixteen queries whose latest green is r04 — the
+    "llm_epoch_upsample", "llm_mixture_plan",
+    # 14-29: the sixteen queries whose latest green is r04 — the
     # readside_q3..q9 set and the nine four-green queries the r06
     # registry comment committed to this window.
     "readside_q3_global_sums", "readside_q4_per_host_sums",
@@ -74,7 +74,7 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q3_top_revenue_orders", "tpch_q5ish_revenue_per_region",
     "tpch_q6_forecast_revenue", "rel_semi_anti_customers",
     "rel_pivot_order_priority",
-    # 24-50: backfill with single-green r05 rows (alphabetical; the
+    # 30-50: backfill with single-green r05 rows (alphabetical; the
     # eight deferred singles — tpch_q2ish/q9ish/q11ish/q15ish/q16ish/
     # q17ish/q20ish/q21ish — plus the multi-green r05 set lead the r08
     # window under the ≤2-round staleness invariant).
@@ -85,11 +85,11 @@ WINDOW_PRIORITY: list[str] = [
     "llm_source_cap", "llm_split_drift", "llm_split_leakage",
     "llm_tfidf_terms", "llm_unicode_normalize", "rel_asof_join",
     "rel_cube_mktsegment_year", "rel_funnel_conversion",
-    "rel_gapfill_events", "rel_json_props",
-    # (rel_moving_order_value / rel_retention_cohorts /
+    "rel_gapfill_events",
+    # (rel_json_props / rel_moving_order_value / rel_retention_cohorts /
     # rel_setops_customer_years / rel_spend_deciles /
-    # rel_unpivot_measures yielded their backfill slots to the five new
-    # round-7 queries; their r05 greens join the deferred-singles set
+    # rel_unpivot_measures yielded their backfill slots to the six gate
+    # queries added later in round 7; their r05 greens join the deferred set
     # that leads the r08 window.)
 ]
 

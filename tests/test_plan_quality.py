@@ -314,6 +314,9 @@ _GLOBAL_WINDOW_OK = {
     "llm_pack_sequences",
     "llm_mixture_resample",
     "rel_spend_deciles",
+    # r7: mixture-plan's share denominator — a whole-frame window over
+    # per-SOURCE aggregate rows (bounded by source count, never corpus)
+    "llm_mixture_plan",
     # (rel_funnel_conversion and llm_hybrid_rrf dropped in r7: the
     # doctor now walks each Window's actual input spine, and neither
     # has a data-sized global window — funnel's windows partition by
