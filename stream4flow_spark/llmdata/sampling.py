@@ -213,6 +213,7 @@ def token_budget_per_group(
     order_by: list[Column] | None = None,
     key_col: str = "doc_id",
     cum_col: str = "cum_weight",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Keep the best rows of each group up to a cumulative WEIGHT budget.
 
@@ -232,14 +233,29 @@ def token_budget_per_group(
     Plan shape at 100 TB: ONE exchange keyed by the group + an
     in-partition sort (a running-sum window frame), identical to the
     rank window `cap_per_group` uses; no collect, no second pass.  A
-    group whose rows exceed a task's sort budget salts the same way —
-    weights are ≥ 1 token, so a bucketed pre-cap at ``budget`` ROWS per
-    (group, bucket) with the SAME ordering keeps every possible
-    survivor (rank r implies cum ≥ r) — that pre-cap is `cap_per_group`
-    itself; compose them when a group is hot.
+    group whose rows exceed a task's sort budget salts the same way
+    ``cap_per_group`` does — pass ``salt_buckets``: a first rank window
+    over (group, md5-derived bucket) IN THE SAME ORDER keeps each
+    bucket's first ``budget`` rows, bounding any task at roughly
+    group/buckets rows.  That pre-cap is EXACT because weights are ≥ 1
+    token: a row ranked past ``budget`` within its own bucket is ranked
+    past ``budget`` in the whole group, where its running total would
+    already exceed the budget (cum at rank r is ≥ r) — asserted
+    equivalent in tests.
     """
     order = list(order_by) if order_by is not None else [F.col(weight_col).desc()]
     order.append(F.col(key_col).asc())
+    if salt_buckets is not None:
+        h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("s4f-tb")))
+        bucket = (
+            F.conv(F.substring(h, 29, 4), 16, 10).cast("long") % salt_buckets
+        )
+        pre = Window.partitionBy(F.col(group_col), bucket).orderBy(*order)
+        df = (
+            df.withColumn("__pre_rank", F.row_number().over(pre))
+            .filter(F.col("__pre_rank") <= budget)
+            .drop("__pre_rank")
+        )
     w = (
         Window.partitionBy(group_col)
         .orderBy(*order)

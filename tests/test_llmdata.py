@@ -1392,3 +1392,24 @@ def test_epoch_upsample_copy_counts_and_determinism(spark):
     assert sorted((r.doc_id, r.epoch_idx) for r in got) == sorted(
         (r.doc_id, r.epoch_idx) for r in got8
     )
+
+
+def test_token_budget_salted_pre_cap_matches_single_window(spark):
+    """The (group, bucket) rank pre-cap in the SAME order must never
+    change the surviving set (weights >= 1 make rank > budget
+    unreachable within the budget)."""
+    from stream4flow_spark.llmdata.sampling import token_budget_per_group
+
+    rows = [
+        (i, "hot" if i % 10 else "cold", 1 + (i * 13) % 5) for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, w long"
+    ).repartition(8)
+    pick = lambda d, **kw: {  # noqa: E731
+        (r.doc_id, r.cum_weight)
+        for r in token_budget_per_group(
+            d, "source", budget=120, weight_col="w", **kw
+        ).collect()
+    }
+    assert pick(df) == pick(df, salt_buckets=16)
