@@ -388,3 +388,125 @@ def test_heavy_hitters_matches_counter_truth(spark, tokens, k):
         for r in heavy_hitters(docs, k=k).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=40),
+    st.integers(5, 120),
+)
+def test_token_budget_matches_python_greedy(spark, weights, budget):
+    """For ANY weight multiset and budget, the windowed running-sum cap
+    must equal the sequential greedy first-fit over the same
+    (weight desc, id) order."""
+    from stream4flow_spark.llmdata.sampling import token_budget_per_group
+
+    rows = [(i, "g", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    got = {
+        r.doc_id: r.cum_weight
+        for r in token_budget_per_group(
+            df, "source", budget=budget, weight_col="w"
+        ).collect()
+    }
+    want, cum = {}, 0
+    for i in sorted(range(len(weights)), key=lambda i: (-weights[i], i)):
+        cum += weights[i]
+        if cum > budget:
+            break
+        want[i] = cum
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(0.0, 4.0, allow_nan=False).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(5, 40),
+)
+def test_epoch_upsample_matches_python_coin(spark, epochs, n):
+    """For ANY epoch map, each row's copy count must equal
+    floor(e) + [md5 coin < frac(e)·65536], with dense 0-based indices."""
+    import hashlib
+    import math
+
+    from stream4flow_spark.llmdata.sampling import epoch_upsample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {}
+    for r in epoch_upsample(df, epochs).collect():
+        got.setdefault(r.doc_id, []).append(r.epoch_idx)
+
+    for i, src in rows:
+        e = epochs.get(src)
+        if e is None:
+            assert i not in got
+            continue
+        coin = int(
+            hashlib.md5(f"{i}s4f-epoch".encode()).hexdigest()[:4], 16
+        )
+        copies = math.floor(e) + (1 if coin < (e - math.floor(e)) * 65536 else 0)
+        if copies == 0:
+            assert i not in got
+        else:
+            assert sorted(got[i]) == list(range(copies)), (i, e, copies)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.sampled_from("xyz")),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_scd2_matches_python_change_compression(spark, events):
+    """For ANY keyed event sequence, the two-window SCD2 build must equal
+    the sequential change-point scan: versions at value changes, each
+    closed by its successor, the last one open (valid_to = -1)."""
+    from pyspark.sql import Window
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (eid, user, t, val) for eid, (user, t, val) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t long, event_type string"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    chg = (
+        df.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    nxt = F.lead("t").over(w)
+    got = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to)
+        for r in chg.select(
+            "user_id",
+            "event_type",
+            F.col("t").alias("valid_from"),
+            F.coalesce(nxt, F.lit(-1)).alias("valid_to"),
+        ).collect()
+    }
+
+    want = set()
+    by_user: dict = {}
+    for eid, (user, t, val) in enumerate(events):
+        by_user.setdefault(user, []).append((t, eid, val))
+    for user, evs in by_user.items():
+        evs.sort()
+        versions = []
+        for t, _eid, val in evs:
+            if not versions or versions[-1][0] != val:
+                versions.append((val, t))
+        for i, (val, t) in enumerate(versions):
+            vt = versions[i + 1][1] if i + 1 < len(versions) else -1
+            want.add((user, val, t, vt))
+    assert got == want
