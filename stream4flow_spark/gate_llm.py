@@ -2899,3 +2899,116 @@ def q_llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0,
         )
     )
+
+
+@register(
+    "llm_filter_funnel",
+    covers="llm:corpus-profile llm:quality-rules A15",
+    oracle=f"""
+        WITH flags AS (
+            SELECT doc_id,
+                   (len({_W}) BETWEEN 30 AND 100000) AS f_len,
+                   (len(list_filter({_W}, t -> t IN {_STOP_EN})) >= 2)
+                     AS f_stop,
+                   md5(text) AS fp
+            FROM documents
+        ),
+        keep AS (
+            SELECT fp, MIN(doc_id) AS keeper FROM flags GROUP BY 1
+        ),
+        staged AS (
+            SELECT f.doc_id,
+                   f.f_len AS s1,
+                   (f.f_len AND f.f_stop) AS s2,
+                   (f.f_len AND f.f_stop AND f.doc_id = k.keeper) AS s3
+            FROM flags f JOIN keep k USING (fp)
+        )
+        SELECT stage, n_in, n_out,
+               ROUND(1.0 - n_out / CAST(n_in AS DOUBLE), 6) AS drop_rate
+        FROM (
+            SELECT 'p1_length' AS stage,
+                   CAST(COUNT(*) AS BIGINT) AS n_in,
+                   CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+            FROM staged
+            UNION ALL
+            SELECT 'p2_stopwords',
+                   CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM staged
+            UNION ALL
+            SELECT 'p3_exact_dedup',
+                   CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM staged
+        )
+        """,
+)
+def q_llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-filter attrition funnel: the docs-in/docs-out table every
+    curation writeup reports (C4 table 1, Gopher A1, RefinedWeb fig 2 —
+    "N docs → after length filter → after quality → after dedup").
+    Stages compose conjunctively on ONE scan: each doc computes its
+    per-stage flags map-side (length band, stopword evidence, exact-dup
+    keeper via the digest-keyed min join), then a single conditional-sum
+    aggregate emits the whole funnel — adding stages adds Columns, not
+    scans. The keeper join is digest-narrow (md5, never text) exactly
+    like llm_exact_dedup.
+
+    Stage names carry a p<N>_ prefix so the funnel orders correctly
+    under the driver's sorted-column hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    from stream4flow_spark.llmdata.textstats import whitespace_tokens
+
+    stops = [s.strip(" '") for s in _STOP_EN.strip("()").split(",")]
+    toks = whitespace_tokens(F.col("text"))
+    flags = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.size(toks).between(30, 100_000).alias("f_len"),
+        (F.size(F.filter(toks, lambda t: t.isin(stops))) >= 2).alias(
+            "f_stop"
+        ),
+    )
+    keep = flags.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    staged = flags.join(keep, "fp").select(
+        F.col("f_len").alias("s1"),
+        (F.col("f_len") & F.col("f_stop")).alias("s2"),
+        (
+            F.col("f_len")
+            & F.col("f_stop")
+            & (F.col("doc_id") == F.col("keeper"))
+        ).alias("s3"),
+    )
+    agg = staged.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.col("s1").cast("long")).alias("n1"),
+        F.sum(F.col("s2").cast("long")).alias("n2"),
+        F.sum(F.col("s3").cast("long")).alias("n3"),
+    )
+    stage = F.explode(
+        F.array(
+            F.struct(
+                F.lit("p1_length").alias("stage"),
+                F.col("n0").alias("n_in"),
+                F.col("n1").alias("n_out"),
+            ),
+            F.struct(
+                F.lit("p2_stopwords").alias("stage"),
+                F.col("n1").alias("n_in"),
+                F.col("n2").alias("n_out"),
+            ),
+            F.struct(
+                F.lit("p3_exact_dedup").alias("stage"),
+                F.col("n2").alias("n_in"),
+                F.col("n3").alias("n_out"),
+            ),
+        )
+    )
+    return agg.select(stage.alias("s")).select(
+        "s.stage",
+        "s.n_in",
+        "s.n_out",
+        F.round(1.0 - F.col("s.n_out") / F.col("s.n_in"), 6).alias(
+            "drop_rate"
+        ),
+    )
