@@ -10,12 +10,17 @@ so the final line must be small):
   truncation);
 - the FINAL stdout line is a compact JSON summary — total wall, rows/s,
   sf, n_queries — kept under the tail window. The full per-query map
-  rides IN this line as ``qz``: base85(zlib(names-newline-joined + "|" +
-  comma-joined integer times)), times in the unit named by ``qz_unit``
+  rides IN this line as ``qz``: base85(zlib(comma-joined integer
+  times)) in SORTED-NAME order, times in the unit named by ``qz_unit``
   ("cs" centiseconds, "ds" deciseconds — precision degrades before the
-  map is dropped). Decode:
-  ``names, vals = zlib.decompress(b64.b85decode(qz)).decode().split("|")``
-  → ``dict(zip(names.split("\\n"), map(int, vals.split(","))))``.
+  map is dropped); ``qn`` is md5("\\n".join(sorted names))[:8] so a
+  decoder can verify its name list (from the registry at that commit,
+  or the ``queries_file`` sidecar) matches before zipping. Embedding
+  the names themselves stopped fitting the tail window at ~140 queries
+  — the sidecar stays the authoritative self-contained map. Decode:
+  ``vals = zlib.decompress(b64.b85decode(qz)).decode().split(",")``
+  → ``dict(zip(sorted(names), map(int, vals)))`` after asserting
+  ``md5("\\n".join(sorted(names))).hexdigest()[:8] == qn``.
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect)."""
@@ -121,23 +126,30 @@ def main() -> int:
                            "bench_queries.json")
     sidecar_queries = dict(timings)
     sidecar_total = total
+    write_sidecar = True
     if only:
         # a filtered run (SPARK_GRAFT_BENCH_ONLY) refreshes only its own
         # entries — clobbering the tracked full map with a 1-query run
-        # would destroy the durable per-query record the driver ingests
+        # would destroy the durable per-query record the driver ingests.
+        # Same sf: merge. DIFFERENT sf (a spot-check at sf0.01 while the
+        # record is sf0.1): leave the record alone entirely.
         try:
             with open(sidecar) as f:
                 prev = json.load(f)
-            if prev.get("sf") == sf_val and len(prev.get("queries", {})) > len(timings):
-                sidecar_queries = {**prev["queries"], **timings}
-                sidecar_total = round(sum(sidecar_queries.values()), 3)
+            if prev.get("sf") == sf_val:
+                if len(prev.get("queries", {})) > len(timings):
+                    sidecar_queries = {**prev["queries"], **timings}
+                    sidecar_total = round(sum(sidecar_queries.values()), 3)
+            else:
+                write_sidecar = False
         except (OSError, ValueError):
             pass
-    with open(sidecar, "w") as f:
-        json.dump(
-            {"sf": sf_val, "total_sec": sidecar_total,
-             "queries": sidecar_queries},
-            f, indent=1, sort_keys=True)
+    if write_sidecar:
+        with open(sidecar, "w") as f:
+            json.dump(
+                {"sf": sf_val, "total_sec": sidecar_total,
+                 "queries": sidecar_queries},
+                f, indent=1, sort_keys=True)
 
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
@@ -158,13 +170,17 @@ def main() -> int:
         import base64
         import zlib
 
-        names = sorted(timings)
-        blob = (
-            "\n".join(names)
-            + "|"
-            + ",".join(str(int(round(timings[n] * scale))) for n in names)
+        blob = ",".join(
+            str(int(round(timings[n] * scale))) for n in sorted(timings)
         ).encode()
         return base64.b85encode(zlib.compress(blob, 9)).decode()
+
+    def _qn() -> str:
+        import hashlib
+
+        return hashlib.md5(
+            "\n".join(sorted(timings)).encode()
+        ).hexdigest()[:8]
 
     # the summary line must survive the driver's ~2000-char stdout tail
     # INTACT (a cut line is unparseable), so the embedded per-query map
@@ -172,9 +188,9 @@ def main() -> int:
     # deciseconds → no map (sidecar still has full precision)
     compact = dict(separators=(",", ":"))
     for attempt in (
-        {**base, "slowest5": slowest, "qz_unit": "cs", "qz": _qz(100)},
-        {**base, "qz_unit": "cs", "qz": _qz(100)},
-        {**base, "qz_unit": "ds", "qz": _qz(10)},
+        {**base, "slowest5": slowest, "qz_unit": "cs", "qz": _qz(100), "qn": _qn()},
+        {**base, "qz_unit": "cs", "qz": _qz(100), "qn": _qn()},
+        {**base, "qz_unit": "ds", "qz": _qz(10), "qn": _qn()},
         {**base, "slowest5": slowest},
     ):
         summary = json.dumps(attempt, **compact)

@@ -129,3 +129,52 @@ def test_no_query_regresses_2x_vs_recorded_bench():
         "in a retry run): "
         + ", ".join(f"{n}: {t:.2f}s vs baseline {b:.2f}s" for n, (t, b) in over.items())
     )
+
+
+def test_bench_summary_embeds_decodable_per_query_map():
+    """r06 verdict item 2: the driver keeps only the final stdout line
+    of bench.py, so the full per-query map must ride in it (values-only
+    base85+zlib in sorted-name order + a name-list checksum) and decode
+    back to the per-query timings exactly."""
+    import base64
+    import hashlib
+    import zlib
+
+    only = ["llm_text_clean", "iso_timestamps", "domain_entropy"]
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01",
+        SPARK_GRAFT_BENCH_ONLY=",".join(only),
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, cwd=str(REPO), capture_output=True, text=True,
+        timeout=600, check=True,
+    ).stdout.strip().splitlines()
+    per = {
+        json.loads(ln)["query"]: json.loads(ln)["sec"]
+        for ln in out
+        if ln.startswith('{"query"')
+    }
+    summary = json.loads(out[-1])
+    assert len(summary["qz"]) + 400 < 2000  # stays inside the tail window
+    scale = {"cs": 100, "ds": 10}[summary["qz_unit"]]
+    names = sorted(per)
+    assert summary["qn"] == hashlib.md5(
+        "\n".join(names).encode()
+    ).hexdigest()[:8]
+    vals = zlib.decompress(base64.b85decode(summary["qz"])).decode()
+    decoded = dict(zip(names, (int(v) for v in vals.split(","))))
+    assert decoded == {n: int(round(s * scale)) for n, s in per.items()}
+
+
+def test_committed_sidecar_is_the_full_sf01_record():
+    """bench_queries.json is the durable per-query record the driver
+    artifacts point at; a spot-check run at another sf (or a filtered
+    run) must never be committed in its place."""
+    doc = json.loads((REPO / "bench_queries.json").read_text())
+    from stream4flow_spark.registry import queries
+
+    assert doc["sf"] == 0.1, f"sidecar recorded at sf={doc['sf']}, not 0.1"
+    missing = set(queries()) - set(doc["queries"])
+    assert not missing, f"sidecar missing queries: {sorted(missing)}"
