@@ -3012,3 +3012,43 @@ def q_llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drop_rate"
         ),
     )
+
+
+@register(
+    "llm_importance_sample",
+    covers="llm:quality-score llm:mixture llm:dynamic-selection",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   LEAST(CAST(len({_W}) AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + LEAST(CAST(len(list_filter({_W}, t -> t IN {_STOP_EN}))
+                                AS DOUBLE) / len({_W}) * 5.0, 1.0) * 0.3
+                   + CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                          AS DOUBLE) / length(text) * 0.3 AS q
+            FROM documents
+        )
+        SELECT doc_id, source, ROUND(q, 6) + 0.0 AS quality_score
+        FROM scored
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                          || 's4f-imp'), 1, 4)) AS INT)
+              < LEAST(GREATEST(q, 0.0), 1.0) * 65536
+        """,
+)
+def q_llm_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-quality sampling (CCNet-style soft
+    filter, llmdata/sampling.py importance_sample): each document
+    survives with p = its deterministic quality score, so the borderline
+    mass thins smoothly instead of cliff-dropping at a threshold — and
+    the md5 coin makes the survivor set reproducible enough for the
+    DuckDB oracle to verify row-for-row. Map-only predicate on ONE scan:
+    no shuffle, no state."""
+    from stream4flow_spark.llmdata.sampling import importance_sample
+    from stream4flow_spark.llmdata.textstats import quality_features
+
+    docs = quality_features(load_table(spark, sf_dir, "documents"))
+    kept = importance_sample(docs, F.col("quality_score"))
+    return kept.select(
+        "doc_id",
+        "source",
+        (F.round(F.col("quality_score"), 6) + 0.0).alias("quality_score"),
+    )

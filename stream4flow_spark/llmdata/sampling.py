@@ -308,3 +308,28 @@ def epoch_upsample(
         .withColumn("n_copies", n)
         .withColumn(out_col, F.explode(copies))
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    prob_col: Column,
+    key_col: str = "doc_id",
+    salt: str = "s4f-imp",
+) -> DataFrame:
+    """Keep each row with probability ``prob_col`` — deterministically.
+
+    The soft-filtering half of quality curation (CCNet §4.2 /
+    fastText-classifier pipelines keep docs with probability
+    proportional to the model score, rather than a hard threshold that
+    cliff-drops the borderline mass). The coin is the same md5 bucket
+    `hash_split` uses, so the surviving row set is identical on every
+    run, partitioning, and engine — `df.sample()` can promise none of
+    that, and the DuckDB oracle verifies the exact rows.
+
+    Map-only Column predicate on the scan: no shuffle, no state; the
+    probability can be any Column expression (a quality score, a
+    per-source weight lookup, a blend)."""
+    p = F.greatest(F.lit(0.0), F.least(F.lit(1.0), prob_col))
+    return df.filter(
+        hash_bucket(F.col(key_col), salt).cast("double") < p * _BUCKETS
+    )

@@ -510,3 +510,26 @@ def test_scd2_matches_python_change_compression(spark, events):
             vt = versions[i + 1][1] if i + 1 < len(versions) else -1
             want.add((user, val, t, vt))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.floats(-0.5, 1.5, allow_nan=False), min_size=1, max_size=30))
+def test_importance_sample_matches_python_coin(spark, probs):
+    """Keep iff md5 coin < clamp(p)·65536, any probability column —
+    including out-of-range values, which clamp."""
+    import hashlib
+
+    from stream4flow_spark.llmdata.sampling import importance_sample
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probs)], "doc_id long, p double"
+    )
+    got = {r.doc_id for r in importance_sample(df, F.col("p")).collect()}
+    want = set()
+    for i, p in enumerate(probs):
+        coin = int(
+            hashlib.md5(f"{i}s4f-imp".encode()).hexdigest()[:4], 16
+        )
+        if coin < max(0.0, min(1.0, p)) * 65536:
+            want.add(i)
+    assert got == want
