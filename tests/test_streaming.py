@@ -2242,3 +2242,72 @@ def test_stream_scd2_closes_versions_across_batches(spark, tmp_path):
     # purchase@40 in batch 2; purchase stays open; the t=5 late signup
     # left no trace
     assert got == {(1, "signup", 10, 20), (1, "click", 20, 40)}
+
+
+def test_stream_budget_admission_matches_batch_prefix(spark, tmp_path):
+    """Single-batch parity: arrival-order admission must equal the batch
+    token_budget_per_group over the same (arrival) order."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.llmdata.sampling import token_budget_per_group
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.admission import admit_by_budget_stream
+    from stream4flow_spark.streaming.runner import run_stream_to_table
+    from stream4flow_spark.llmdata.textstats import whitespace_tokens
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        "source",
+        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("w"),
+    )
+    want = {
+        (r.source, r.doc_id, r.cum_weight)
+        for r in token_budget_per_group(
+            docs, "source", budget=800, weight_col="w",
+            order_by=[F.col("doc_id").asc()],
+        ).collect()
+    }
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    docs.toPandas().to_parquet(str(src / "all.parquet"), index=False)
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    got_df = run_stream_to_table(
+        admit_by_budget_stream(stream, "source", 800, "w", "doc_id"),
+        output_mode="append",
+    )
+    got = {(r.source, r.doc_id, r.cum_weight) for r in got_df.collect()}
+    assert got == want and got
+
+
+def test_stream_budget_admission_ledger_spans_batches(spark, tmp_path):
+    """The spent-budget ledger must persist: rows in batch 2 are judged
+    against batch 1's cumulative total, and a burst closes the group
+    even for smaller later rows (prefix semantics, not bin packing)."""
+    import pandas as pd
+
+    from stream4flow_spark.streaming.admission import admit_by_budget_stream
+    from stream4flow_spark.streaming.runner import run_stream_to_table
+
+    src = tmp_path / "s"
+    src.mkdir()
+    pd.DataFrame(
+        {"source": ["a", "a"], "doc_id": [1, 2], "w": [40, 30]}
+    ).to_parquet(str(src / "f0.parquet"), index=False)
+    # batch 2: 31 bursts the 100 budget (cum 101); the later 5-token doc
+    # is NOT admitted (ledger counts all seen rows)
+    pd.DataFrame(
+        {"source": ["a", "a"], "doc_id": [3, 4], "w": [31, 5]}
+    ).to_parquet(str(src / "f1.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema("source string, doc_id long, w long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got_df = run_stream_to_table(
+        admit_by_budget_stream(stream, "source", 100, "w", "doc_id"),
+        output_mode="append",
+    )
+    got = {(r.doc_id, r.cum_weight) for r in got_df.collect()}
+    assert got == {(1, 40), (2, 70)}
