@@ -100,3 +100,81 @@ def prepare_corpus(
         survivors.select(id_col, *out_cols, "n_tokens"), weights,
         key_col=id_col,
     )
+
+
+def build_training_set(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    token_budget_per_source: int | None = None,
+    seq_budget: int = 2048,
+    n_shards: int = 16,
+    n_pack_buckets: int = 256,
+    prepare_kwargs: dict | None = None,
+) -> dict:
+    """The whole corpus build, end to end: prepare → mixture-cap → pack
+    → sharded export with a verified manifest.
+
+    Composes the operators a migrating user would otherwise wire by
+    hand — `prepare_corpus` (scrub → quality floors → exact dedup →
+    decontaminate → split), then the per-``group_col`` TOKEN budget cap
+    on the TRAIN split only (eval splits are never thinned — their
+    whole point is stability), `pack_sequences` for training-sequence
+    offsets, and `export.write_shards` + `verify_shards` so the output
+    directory carries a consumer-checkable manifest.
+
+    Returns {"manifest": ..., "verify": ..., "splits": {split: rows}}.
+
+    Plan shape: prepare_corpus materializes its quality intermediate
+    once (see its docstring); everything after operates on the
+    metadata-narrow survivor frame (id, source, n_tokens, split) —
+    text is re-joined ONLY for the packed shard write, by id, at the
+    very end. At 100 TB the expensive scans stay inside
+    prepare_corpus; the mixture/pack/export tail is id-keyed
+    arithmetic."""
+    from stream4flow_spark.llmdata.export import verify_shards, write_shards
+    from stream4flow_spark.llmdata.packing import pack_sequences
+    from stream4flow_spark.llmdata.sampling import token_budget_per_group
+
+    prepared = prepare_corpus(
+        corpus, benchmark, id_col=id_col, text_col=text_col,
+        **(prepare_kwargs or {}),
+    )
+
+    train = prepared.filter(F.col("split") == "train")
+    rest = prepared.filter(F.col("split") != "train")
+    if token_budget_per_source is not None:
+        train = token_budget_per_group(
+            train,
+            group_col,
+            budget=token_budget_per_source,
+            weight_col="n_tokens",
+            key_col=id_col,
+        ).drop("cum_weight")
+    final = train.unionByName(rest)
+
+    packed = pack_sequences(
+        final,
+        budget=seq_budget,
+        n_buckets=n_pack_buckets,
+        key_col=id_col,
+        token_col="n_tokens",  # already counted — no re-tokenize, no text
+    ).select(id_col, "token_offset", "seq_first", "seq_last")
+    with_text = final.join(packed, id_col).join(
+        corpus.select(id_col, text_col), id_col
+    )
+
+    manifest = write_shards(
+        with_text, out_dir, n_shards=n_shards, key_col=id_col
+    )
+    verify = verify_shards(corpus.sparkSession, out_dir)
+    splits = {
+        r["split"]: r["n"]
+        for r in final.groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    return {"manifest": manifest, "verify": verify, "splits": splits}
