@@ -819,3 +819,81 @@ def q_application_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream4flow_spark.apps.template import count_by_minute
 
     return count_by_minute(flows_df(spark, sf_dir))
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    """Replays operators/pagerank.py CTE-for-CTE: fixed power iterations
+    over the distinct src→dst host graph of the derived flows."""
+    head = """
+        WITH edges AS (
+            SELECT DISTINCT ipfix_sourceIPv4Address AS src,
+                            ipfix_destinationIPv4Address AS dst
+            FROM flows
+            WHERE ipfix_sourceIPv4Address IS NOT NULL
+              AND ipfix_destinationIPv4Address IS NOT NULL
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges
+        ),
+        outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+        nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        pr0 AS (SELECT node, 1.0 / nv.n AS r FROM nodes, nv)
+    """
+    steps = []
+    for i in range(iterations):
+        steps.append(f"""
+        pr{i + 1} AS (
+            SELECT nodes.node,
+                   (1.0 - {damping}) / nv.n
+                   + {damping} * COALESCE(c.in_mass, 0.0) AS r
+            FROM nodes CROSS JOIN nv
+            LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.r / od.deg) AS in_mass
+                FROM pr{i} p
+                JOIN edges e ON p.node = e.src
+                JOIN outdeg od ON od.src = e.src
+                GROUP BY 1
+            ) c ON c.node = nodes.node
+        )""")
+    tail = f"""
+        SELECT node AS host, ROUND(r * 1000, 6) + 0.0 AS pagerank_milli
+        FROM pr{iterations}
+    """
+    return oracle_query(head.strip() + "," + ",".join(steps) + tail)
+
+
+@register(
+    "host_pagerank",
+    covers="net:graph-centrality J1 A2",
+    oracle=_pagerank_oracle(),
+)
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-importance ranking: 5 power iterations of PageRank over the
+    distinct src→dst communication graph (operators/pagerank.py) — the
+    'which hosts are hubs' view that follows top-talkers, and on the
+    LLM side the same operator ranks documents in citation/near-dup
+    graphs. The DuckDB oracle replays the identical fixed-iteration
+    arithmetic CTE-for-CTE, so the green row certifies an ITERATIVE
+    multi-join pipeline end to end (ranks reported ×1000 and rounded,
+    both sides)."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.operators.pagerank import pagerank
+
+    fl = flows_df(spark, sf_dir)
+    edges = fl.filter(
+        F.col("ipfix_sourceIPv4Address").isNotNull()
+        & F.col("ipfix_destinationIPv4Address").isNotNull()
+    ).select(
+        F.col("ipfix_sourceIPv4Address").alias("src"),
+        F.col("ipfix_destinationIPv4Address").alias("dst"),
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select(
+        F.col("node").alias("host"),
+        (F.round(F.col("pagerank") * 1000, 6) + 0.0).alias(
+            "pagerank_milli"
+        ),
+    )
