@@ -2100,3 +2100,101 @@ def q_rel_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt, F.lit(-1)).alias("valid_to_ms"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "rel_time_to_convert",
+    covers="rel:funnel rel:bounded-percentile rel:conditional-window",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup'
+                            THEN epoch_ms(ts) END) AS t_signup
+            FROM events GROUP BY 1
+        ),
+        conv AS (
+            SELECT e.user_id, s.t_signup,
+                   MIN(CASE WHEN e.event_type = 'purchase'
+                            AND epoch_ms(e.ts) > s.t_signup
+                            THEN epoch_ms(e.ts) END) AS t_conv
+            FROM events e JOIN s USING (user_id)
+            WHERE s.t_signup IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT CAST(FLOOR(t_signup / 86400000.0 / 7) AS BIGINT)
+                     AS cohort_7d,
+                   t_conv - t_signup AS lag_ms
+            FROM conv
+        )
+        SELECT cohort_7d,
+               CAST(COUNT(*) AS BIGINT) AS n_signups,
+               CAST(COUNT(lag_ms) AS BIGINT) AS n_converted,
+               ROUND(quantile_cont(lag_ms, 0.5) / 3600000.0, 4) + 0.0
+                 AS p50_hours,
+               ROUND(quantile_cont(lag_ms, 0.9) / 3600000.0, 4) + 0.0
+                 AS p90_hours
+        FROM lagged GROUP BY 1
+        """,
+)
+def q_rel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per signup cohort: for every user who signed up,
+    the lag to their first purchase AFTER the signup, rolled up per
+    7-day cohort (pure ms arithmetic — no calendar/timezone
+    dependence, so every engine buckets identically) with exact
+    interpolated p50/p90 lag hours. The product-analytics question
+    behind the funnel counts: not just HOW MANY convert, but HOW FAST.
+
+    Plan: the two conditional mins share ONE user-keyed aggregation
+    pass each (funnel pattern); percentiles come from
+    operators/percentiles.grouped_exact_percentiles — aggregate state
+    bounded by DISTINCT lag values per cohort, not rows, the same
+    bounded-state exactness the length profile uses."""
+    from stream4flow_spark.operators.percentiles import (
+        grouped_exact_percentiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("t")
+    )
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("t"))).alias(
+            "t_signup"
+        )
+    ).filter(F.col("t_signup").isNotNull())
+    conv = (
+        ev.join(s, "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("t") > F.col("t_signup")),
+                    F.col("t"),
+                )
+            ).alias("t_conv")
+        )
+    )
+    lagged = conv.select(
+        F.floor(F.col("t_signup") / 86400000.0 / 7)
+        .cast("long")
+        .alias("cohort_7d"),
+        (F.col("t_conv") - F.col("t_signup")).alias("lag_ms"),
+    )
+    stats = grouped_exact_percentiles(
+        lagged.filter(F.col("lag_ms").isNotNull()),
+        group_cols=["cohort_7d"],
+        value_col="lag_ms",
+        percentiles={"p50_ms": 0.5, "p90_ms": 0.9},
+        extra_aggs={"n_converted": F.sum("cnt").cast("long")},
+    )
+    counts = lagged.groupBy("cohort_7d").agg(
+        F.count("*").alias("n_signups")
+    )
+    return counts.join(stats, "cohort_7d", "left").select(
+        "cohort_7d",
+        "n_signups",
+        F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
+        (F.round(F.col("p50_ms") / 3600000.0, 4) + 0.0).alias("p50_hours"),
+        (F.round(F.col("p90_ms") / 3600000.0, 4) + 0.0).alias("p90_hours"),
+    )
