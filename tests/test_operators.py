@@ -717,3 +717,27 @@ def test_expect_audit_grouped_with_clean_lane(spark):
         r.g: r.n for r in ok.groupBy("g").agg(F.count("*").alias("n")).collect()
     }
     assert per_g == {g: rows[g].n_clean for g in rows}
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    """On a star (all spokes -> center) the center must dominate; ranks
+    stay within [base, 1], the result is partitioning-independent, and
+    dangling mass (the center has no out-edges) only shrinks the total
+    (the documented simplification)."""
+    from stream4flow_spark.operators.pagerank import pagerank
+
+    edges = [(f"s{i}", "center") for i in range(8)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    pr = {r.node: r.pagerank for r in pagerank(df).collect()}
+    assert set(pr) == {"center", *{f"s{i}" for i in range(8)}}
+    assert pr["center"] == max(pr.values())
+    assert all(v > 0 for v in pr.values())
+    assert sum(pr.values()) <= 1.0 + 1e-9  # dangling mass dropped, never added
+    spokes = {v for k, v in pr.items() if k != "center"}
+    assert len(spokes) == 1  # symmetry: all spokes identical
+
+    pr8 = {
+        r.node: r.pagerank
+        for r in pagerank(df.repartition(8)).collect()
+    }
+    assert pr8 == pr
