@@ -3052,3 +3052,57 @@ def q_llm_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.round(F.col("quality_score"), 6) + 0.0).alias("quality_score"),
     )
+
+
+@register(
+    "llm_weighted_sample",
+    covers="llm:mixture llm:quality-score A9",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   LEAST(CAST(len({_W}) AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + LEAST(CAST(len(list_filter({_W}, t -> t IN {_STOP_EN}))
+                                AS DOUBLE) / len({_W}) * 5.0, 1.0) * 0.3
+                   + CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                          AS DOUBLE) / length(text) * 0.3 AS q
+            FROM documents
+        ),
+        keyed AS (
+            SELECT doc_id, source, q,
+                   ROUND(LN((CAST(('0x' || substring(md5(
+                              CAST(doc_id AS VARCHAR) || 's4f-wrs'), 1, 4))
+                              AS INT) + 0.5) / 65536.0) / q, 9) AS wkey
+            FROM scored
+        )
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY wkey DESC, doc_id
+               ) AS INT) AS sample_rank,
+               ROUND(q, 6) + 0.0 AS quality_score
+        FROM keyed
+        QUALIFY sample_rank <= 10
+        """,
+)
+def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional k-sample WITHOUT replacement per source
+    (Efraimidis–Spirakis A-ES via llmdata/sampling.py
+    weighted_sample_per_group): keep 10 docs per source with selection
+    probability proportional to quality — the 'best but diverse' knob
+    between cap_per_group's uniform cut and a greedy top-k-by-score.
+    The reservoir key ln(u)/w uses the shared md5 uniform and is
+    rounded to 9dp before ranking (doc_id tiebreak), so the DuckDB
+    oracle re-derives the exact same selection. One exchange keyed by
+    source + a rank window — cap_per_group's plan shape."""
+    from stream4flow_spark.llmdata.sampling import weighted_sample_per_group
+    from stream4flow_spark.llmdata.textstats import quality_features
+
+    docs = quality_features(load_table(spark, sf_dir, "documents"))
+    kept = weighted_sample_per_group(
+        docs, "source", k=10, weight_col=F.col("quality_score")
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        "sample_rank",
+        (F.round(F.col("quality_score"), 6) + 0.0).alias("quality_score"),
+    )

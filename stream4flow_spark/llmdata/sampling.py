@@ -333,3 +333,50 @@ def importance_sample(
     return df.filter(
         hash_bucket(F.col(key_col), salt).cast("double") < p * _BUCKETS
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    weight_col: Column,
+    key_col: str = "doc_id",
+    salt: str = "s4f-wrs",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Keep k rows per group, sampled WITHOUT replacement with
+    probability proportional to ``weight_col`` — deterministically.
+
+    Efraimidis–Spirakis A-ES reservoir keys: rank rows by
+    ``ln(u) / w`` descending, where ``u`` is the md5-derived uniform in
+    (0, 1) — the top-k under that key are exactly a
+    weight-proportional without-replacement sample, and because the
+    uniform comes from the same md5 coin the other samplers use, the
+    selection is identical on every run, partitioning, and engine
+    (the DuckDB oracle re-derives it row-for-row). Zero-weight rows
+    never win over positive-weight ones (their key is -inf).
+
+    Completes the sampling family: uniform (`stratified_sample`),
+    probability-per-row (`importance_sample`), count cap
+    (`cap_per_group`), token budget (`token_budget_per_group`) — this
+    is the "keep the best k, but diversely" knob (score-proportional,
+    not score-greedy).
+
+    Plan: ONE exchange keyed by the group + rank window, the exact
+    cap_per_group shape; the same (group, bucket) pre-cap composes for
+    hot groups. The sort key is rounded to 9 decimals with ``key_col``
+    as tiebreak so float noise between engines can't flip the order.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        hash_bucket(F.col(key_col), salt).cast("double") + 0.5
+    ) / _BUCKETS  # uniform in (0, 1), never exactly 0 or 1
+    key = F.round(F.log(u) / weight_col, 9)
+    w = Window.partitionBy(group_col).orderBy(
+        key.desc_nulls_last(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -57,12 +57,13 @@ WINDOW_PRIORITY: list[str] = [
     # item 1).
     "llm_dedup_savings", "llm_vocab_growth", "llm_ngram_novelty",
     "rel_part_cooccurrence",
-    # 5-17: new this round (never verified by definition).
+    # 5-18: new this round (never verified by definition).
     "llm_dedup_corpus_keeper", "llm_source_overlap_trigram",
     "llm_incremental_semantic_neardup", "llm_gopher_rules",
     "llm_token_budget", "llm_perplexity_buckets", "rel_scd2_user_state",
     "llm_epoch_upsample", "llm_mixture_plan", "llm_filter_funnel",
     "llm_importance_sample", "host_pagerank", "rel_time_to_convert",
+    "llm_weighted_sample",
     # 14-29: the sixteen queries whose latest green is r04 — the
     # readside_q3..q9 set and the nine four-green queries the r06
     # registry comment committed to this window.
@@ -84,12 +85,12 @@ WINDOW_PRIORITY: list[str] = [
     "llm_length_floor", "llm_mixture_resample", "llm_pack_sequences",
     "llm_pii_stats", "llm_prepare_corpus", "llm_repetition",
     "llm_source_cap", "llm_split_drift", "llm_split_leakage",
-    "llm_tfidf_terms", "llm_unicode_normalize",
-    # (rel_asof_join / rel_cube_mktsegment_year /
+    "llm_tfidf_terms",
+    # (llm_unicode_normalize / rel_asof_join / rel_cube_mktsegment_year /
     # rel_funnel_conversion / rel_gapfill_events / rel_json_props /
     # rel_moving_order_value / rel_retention_cohorts /
     # rel_setops_customer_years / rel_spend_deciles /
-    # rel_unpivot_measures yielded their backfill slots to the ten
+    # rel_unpivot_measures yielded their backfill slots to the eleven
     # gate queries added later in round 7; their r05 greens join the
     # deferred set that leads the r08 window.)
 ]

@@ -533,3 +533,34 @@ def test_importance_sample_matches_python_coin(spark, probs):
         if coin < max(0.0, min(1.0, p)) * 65536:
             want.add(i)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.floats(0.05, 5.0, allow_nan=False), min_size=1, max_size=30),
+    st.integers(1, 8),
+)
+def test_weighted_sample_matches_python_aes_keys(spark, weights, k):
+    """The kept set and ranks must equal the sequential A-ES selection
+    with the same md5 uniforms (ln(u)/w keys, 9dp, id tiebreak)."""
+    import hashlib
+    import math
+
+    from stream4flow_spark.llmdata.sampling import weighted_sample_per_group
+
+    rows = [(i, "g", float(w)) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    got = {
+        r.doc_id: r.sample_rank
+        for r in weighted_sample_per_group(
+            df, "source", k=k, weight_col=F.col("w")
+        ).collect()
+    }
+
+    def wkey(i, w):
+        u = (int(hashlib.md5(f"{i}s4f-wrs".encode()).hexdigest()[:4], 16) + 0.5) / 65536
+        return round(math.log(u) / w, 9)
+
+    order = sorted(range(len(weights)), key=lambda i: (-wkey(i, weights[i]), i))
+    want = {i: r + 1 for r, i in enumerate(order[:k])}
+    assert got == want
