@@ -137,9 +137,11 @@ def main() -> int:
             with open(sidecar) as f:
                 prev = json.load(f)
             if prev.get("sf") == sf_val:
-                if len(prev.get("queries", {})) > len(timings):
-                    sidecar_queries = {**prev["queries"], **timings}
-                    sidecar_total = round(sum(sidecar_queries.values()), 3)
+                # merge unconditionally — gating on relative sizes let a
+                # filtered run with >= as many entries as the stored map
+                # silently REPLACE the durable record instead of merging
+                sidecar_queries = {**prev.get("queries", {}), **timings}
+                sidecar_total = round(sum(sidecar_queries.values()), 3)
             else:
                 write_sidecar = False
         except (OSError, ValueError):

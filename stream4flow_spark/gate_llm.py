@@ -2650,6 +2650,7 @@ def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH t AS (
             SELECT doc_id, source, CAST(len({_W}) AS BIGINT) AS n_tokens
             FROM documents
+            WHERE n_tokens >= 1
         )
         SELECT doc_id, source, n_tokens,
                CAST(SUM(n_tokens) OVER (

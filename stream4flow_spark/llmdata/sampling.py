@@ -242,9 +242,17 @@ def token_budget_per_group(
     past ``budget`` in the whole group, where its running total would
     already exceed the budget (cum at rank r is ≥ r) — asserted
     equivalent in tests.
+
+    Rows with non-positive weight are DROPPED in both paths: a 0-token
+    document contributes nothing to a token budget, and keeping them
+    would break the pre-cap's exactness argument above (a 0-weight row
+    ranked past ``budget`` leaves cum unchanged, so the single-window
+    path would keep it while the bucketed pre-cap dropped it — the
+    salted and unsalted results would diverge on exactly those rows).
     """
     order = list(order_by) if order_by is not None else [F.col(weight_col).desc()]
     order.append(F.col(key_col).asc())
+    df = df.filter(F.col(weight_col) >= 1)
     if salt_buckets is not None:
         h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("s4f-tb")))
         bucket = (

@@ -493,8 +493,6 @@ def lsh_bucketed_neighbors(
     Map-only — the corpus is scanned once, no shuffle before the
     (id, tbl, bucket) exchange.
     """
-    vec = F.col(vec_col).cast("array<double>")
-    vecs = corpus.select(F.col(id_col).alias("id"), vec.alias("v"))
     keyed = sign_lsh_bucket_table(
         corpus,
         num_planes=num_planes,
@@ -517,6 +515,10 @@ def lsh_bucketed_neighbors(
         .distinct()
     )
 
+    # payload vectors re-fetched by id ONLY for the exact check — the
+    # candidate join above never shuffles them
+    vec = F.col(vec_col).cast("array<double>")
+    vecs = corpus.select(F.col(id_col).alias("id"), vec.alias("v"))
     va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     sim = cosine(F.col("va"), F.col("vb"))

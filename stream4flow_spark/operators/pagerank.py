@@ -58,6 +58,12 @@ def pagerank(
     nodes = nodes.persist()
 
     n = nodes.count()  # scalar: the teleport term needs |V|
+    if n == 0:
+        # an all-null/empty edge slice has no graph — return the empty
+        # (node, out_col) frame instead of tripping 1.0/0 below
+        e_deg.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn(out_col, F.lit(0.0))
     base = (1.0 - damping) / n
     ranks = nodes.withColumn(out_col, F.lit(1.0 / n))
     for _ in range(iterations):

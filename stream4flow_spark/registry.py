@@ -48,51 +48,43 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 # listed keep registration order after the pinned prefix, so nothing is
 # ever dropped from ``queries()`` itself.
 WINDOW_PRIORITY: list[str] = [
-    # Round-7 window. Policy unchanged: never-driver-verified first,
-    # then oldest-green (nothing changed implementation this round).
-    # After this round every oracle-backed query's latest green row is
-    # ≤ 2 rounds old (the staleness invariant test_results_store pins).
-    # 1-4: the only pre-existing oracle-backed queries with NO driver
-    # row anywhere (added after the r06 window was pinned — r06 verdict
-    # item 1).
-    "llm_dedup_savings", "llm_vocab_growth", "llm_ngram_novelty",
-    "rel_part_cooccurrence",
-    # 5-18: new this round (never verified by definition).
-    "llm_dedup_corpus_keeper", "llm_source_overlap_trigram",
-    "llm_incremental_semantic_neardup", "llm_gopher_rules",
-    "llm_token_budget", "llm_perplexity_buckets", "rel_scd2_user_state",
-    "llm_epoch_upsample", "llm_mixture_plan", "llm_filter_funnel",
-    "llm_importance_sample", "host_pagerank", "rel_time_to_convert",
-    "llm_weighted_sample",
-    # 14-29: the sixteen queries whose latest green is r04 — the
-    # readside_q3..q9 set and the nine four-green queries the r06
-    # registry comment committed to this window.
-    "readside_q3_global_sums", "readside_q4_per_host_sums",
-    "readside_q5_histogram_multimetric", "readside_q6_top1_per_type",
-    "readside_q7_latest_per_group", "readside_q8_either_term",
-    "readside_q9_ordered",
-    "llm_minhash_lsh_dedup", "llm_ann_cosine_topk",
-    "llm_dedup_components", "tpch_q1_pricing_summary",
-    "tpch_q3_top_revenue_orders", "tpch_q5ish_revenue_per_region",
-    "tpch_q6_forecast_revenue", "rel_semi_anti_customers",
-    "rel_pivot_order_priority",
-    # 30-50: backfill with single-green r05 rows (alphabetical; the
-    # eight deferred singles — tpch_q2ish/q9ish/q11ish/q15ish/q16ish/
-    # q17ish/q20ish/q21ish — plus the multi-green r05 set lead the r08
-    # window under the ≤2-round staleness invariant).
-    "llm_bm25_topk", "llm_decontaminate", "llm_embedding_stats",
-    "llm_hybrid_rrf", "llm_incremental_dedup", "llm_knn_label_vote",
-    "llm_length_floor", "llm_mixture_resample", "llm_pack_sequences",
-    "llm_pii_stats", "llm_prepare_corpus", "llm_repetition",
-    "llm_source_cap", "llm_split_drift", "llm_split_leakage",
-    "llm_tfidf_terms",
-    # (llm_unicode_normalize / rel_asof_join / rel_cube_mktsegment_year /
-    # rel_funnel_conversion / rel_gapfill_events / rel_json_props /
-    # rel_moving_order_value / rel_retention_cohorts /
-    # rel_setops_customer_years / rel_spend_deciles /
-    # rel_unpivot_measures yielded their backfill slots to the eleven
-    # gate queries added later in round 7; their r05 greens join the
-    # deferred set that leads the r08 window.)
+    # Round-8 window. Rotation policy (capacity-aware, enforced by
+    # tests/test_results_store.py::test_window_rotation_staleness_policy):
+    # with N oracle-backed queries and 50 slots/round, a full rotation
+    # takes k = ceil(N/50) rounds, so any query NOT in this window must
+    # have a driver-green row at most k-1 rounds old. The r07 verdict's
+    # 2-round horizon became arithmetically unsatisfiable at N=133
+    # (133 > 2x50); k self-adjusts as the registry grows.
+    # 1-33: the entire r05-latest-green cohort (the 33 queries the r07
+    # staleness tripwire named — r07 verdict item 1).
+    "detection_ddos", "llm_embedding_neardup", "llm_exact_dedup",
+    "llm_fingerprints", "llm_hash_split", "llm_language_id",
+    "llm_length_stats", "llm_multimodal_decode", "llm_multimodal_features",
+    "llm_multimodal_frames", "llm_multimodal_resize", "llm_ngram_jaccard",
+    "llm_stratified_sample", "llm_text_stats", "llm_unicode_normalize",
+    "rel_asof_join", "rel_cube_mktsegment_year", "rel_funnel_conversion",
+    "rel_gapfill_events", "rel_json_props", "rel_moving_order_value",
+    "rel_retention_cohorts", "rel_setops_customer_years",
+    "rel_spend_deciles", "rel_unpivot_measures",
+    "tpch_q2ish_min_cost_supplier", "tpch_q9ish_nation_year_profit",
+    "tpch_q11ish_important_parts", "tpch_q15ish_top_supplier",
+    "tpch_q16ish_supplier_variety", "tpch_q17ish_small_quantity_revenue",
+    "tpch_q20ish_excess_suppliers", "tpch_q21ish_sole_supplier",
+    # 34-39: six of the twelve rows-only queries — seven rounds with no
+    # driver row of ANY kind because oracle-backed staleness always
+    # consumed the window (r07 verdict item 3); the driver records its
+    # weaker rows-only check for these. The other six get r09 slots.
+    "llm_simhash_dedup", "llm_winnow_neardup", "llm_embedding_neardup_lsh",
+    "llm_ann_ivf_topk", "llm_bpe_tokenize", "llm_quality_model",
+    # 40-50: new-in-r08 queries (never verified by definition), then
+    # r06-cohort pre-rotation filling the remainder — pulling part of
+    # next round's 50-query r06 cohort forward so the r09 window
+    # (remaining r06 cohort + r09 additions + the other 6 rows-only)
+    # fits its 50 slots.
+    "alert_suppression", "application_template",
+    "dns_external_resolvers", "dns_open_resolvers", "dns_statistics",
+    "domain_entropy", "host_daily_profile", "host_stats",
+    "iso_timestamps", "llm_chunk_documents", "llm_corpus_select",
 ]
 
 

@@ -51,21 +51,25 @@ def _list_fs(spark, pattern: str) -> list[str]:
     scheme the cluster mounts (local, HDFS, S3A), unlike ``glob.glob``
     which silently finds nothing on non-local paths (the index would be
     treated as empty every batch, with no error). Same API family as
-    ``llmdata.export._write_side_file``; local-glob fallback only if the
-    JVM gateway is unavailable."""
+    ``llmdata.export._write_side_file``; local-glob fallback ONLY when
+    the JVM gateway itself is absent (a mocked/driverless session) —
+    real FS errors must PROPAGATE and fail the batch, because a
+    swallowed transient error here would read as "index empty" and
+    silently admit + double-index duplicates, the exact failure this
+    function exists to prevent."""
     try:
         jvm = spark._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(pattern)
-        fs = p.getFileSystem(conf)
-        statuses = fs.globStatus(p)
-        if statuses is None:
-            return []
-        return [str(s.getPath()) for s in statuses]
-    except Exception:  # pragma: no cover - local-fs fallback
+    except AttributeError:  # pragma: no cover - gateway-less session
         import glob
 
         return glob.glob(pattern)
+    p = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = p.getFileSystem(conf)
+    statuses = fs.globStatus(p)
+    if statuses is None:
+        return []
+    return [str(s.getPath()) for s in statuses]
 
 
 class _ArrivalIndexState:

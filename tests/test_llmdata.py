@@ -1403,6 +1403,11 @@ def test_token_budget_salted_pre_cap_matches_single_window(spark):
     rows = [
         (i, "hot" if i % 10 else "cold", 1 + (i * 13) % 5) for i in range(600)
     ]
+    # 0-weight rows (empty docs) are dropped by BOTH paths — before the
+    # explicit filter, a 0-weight row ranked past ``budget`` survived the
+    # single window (cum unchanged) but not the (group, bucket) pre-cap,
+    # so salt_buckets changed the result set (round-8 ADVICE fix)
+    rows += [(1000 + i, "hot", 0) for i in range(200)]
     df = spark.createDataFrame(
         rows, "doc_id long, source string, w long"
     ).repartition(8)

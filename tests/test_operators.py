@@ -741,3 +741,15 @@ def test_pagerank_star_graph_ranks_center_highest(spark):
         for r in pagerank(df.repartition(8)).collect()
     }
     assert pr8 == pr
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """A filtered flow slice with no edges must yield an empty (node,
+    rank) frame, not ZeroDivisionError on the 1/|V| teleport term
+    (round-8 ADVICE fix)."""
+    from stream4flow_spark.operators.pagerank import pagerank
+
+    df = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(df)
+    assert out.columns == ["node", "pagerank"]
+    assert out.count() == 0
