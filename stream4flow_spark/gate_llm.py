@@ -3107,3 +3107,83 @@ def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rank",
         (F.round(F.col("quality_score"), 6) + 0.0).alias("quality_score"),
     )
+
+
+@register(
+    "llm_exact_substr_dedup",
+    covers="llm:dedup-substr A15",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(
+                       string_split_regex(trim(text), '\\s+'), 1) AS rp
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, tok,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY rp) - 1
+                       AS pos
+            FROM raw WHERE tok <> ''
+        ),
+        grams AS (
+            SELECT doc_id, pos,
+                   array_to_string(list(tok) OVER w, ' ') AS gram,
+                   count(*) OVER w AS glen
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 14 FOLLOWING)
+        ),
+        g2 AS (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY gram) AS c,
+                   row_number() OVER (
+                       PARTITION BY gram ORDER BY doc_id, pos) AS rn
+            FROM grams WHERE glen = 15
+        ),
+        marked AS (SELECT doc_id, pos AS s FROM g2 WHERE c >= 2 AND rn >= 2),
+        events AS (
+            SELECT doc_id, pos, sum(d) AS d FROM (
+                SELECT doc_id, s AS pos, 1 AS d FROM marked
+                UNION ALL
+                SELECT doc_id, s + 15, -1 FROM marked
+            ) GROUP BY 1, 2
+        ),
+        cov AS (
+            SELECT t.doc_id, t.pos, t.tok,
+                   sum(coalesce(e.d, 0)) OVER (
+                       PARTITION BY t.doc_id ORDER BY t.pos) AS c
+            FROM toks t
+            LEFT JOIN events e ON t.doc_id = e.doc_id AND t.pos = e.pos
+        ),
+        reb AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(*) FILTER (WHERE c > 0) AS n_removed,
+                   coalesce(string_agg(tok, ' ' ORDER BY pos)
+                            FILTER (WHERE c = 0), '') AS dedup_text
+            FROM cov GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(r.n_tokens, 0) AS n_tokens,
+               coalesce(r.n_removed, 0) AS n_removed,
+               coalesce(r.dedup_text, '') AS dedup_text
+        FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+        """,
+)
+def q_llm_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring removal (ExactSubstr, Lee et
+    al. 2021; llmdata/dedup.py exact_substr_dedup) — the dedup tier the
+    line-level and whole-document tiers both miss: a >=15-token passage
+    copied verbatim between otherwise-distinct documents is cut from
+    every non-first occurrence, first copy kept. Distributed shape: a
+    run of >=L duplicated tokens is exactly the union of its L-token
+    windows whose grams occur >=2x corpus-wide, so the suffix array
+    becomes one O(total tokens) xxhash64 gram exchange (8 B/gram, text
+    never shuffles) + a partial-agg min(struct) first-occurrence pick +
+    a two-events-per-window difference-array coverage cumsum. The
+    oracle replays it on raw gram STRINGS — also certifying that the
+    64-bit hash path loses nothing at gate SF."""
+    from stream4flow_spark.llmdata.dedup import exact_substr_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substr_dedup(docs, min_len=15)

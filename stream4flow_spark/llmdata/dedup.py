@@ -879,3 +879,128 @@ def incremental_neardup(
             "best_jaccard",
         )
     )
+
+
+# ----------------------------------------------- cross-document substrings
+
+def exact_substr_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 15,
+) -> DataFrame:
+    """Cross-document repeated-SUBSTRING removal (ExactSubstr, Lee et
+    al. 2021 "Deduplicating Training Data Makes Language Models
+    Better") — the dedup tier between segment_dedup (identical whole
+    lines) and the near-dup document tiers: a >= ``min_len``-token
+    passage copied verbatim between two otherwise-distinct documents
+    survives all three, and this removes it from every NON-first
+    occurrence while keeping the corpus-wide first copy intact.
+
+    The suffix-array formulation of the paper is single-machine; the
+    distributed equivalence this uses instead: a duplicated token run of
+    length >= L is EXACTLY the union of its length-L windows, and a
+    window is part of such a run iff its L-token gram occurs >= 2 times
+    in the corpus. So:
+
+    1. tokenize (whitespace; same rule as every other tier);
+    2. per document, hash every L-token window in-task —
+       ``transform(sequence(...))`` over the token array, so only
+       (id, pos, xxhash64) rows ever leave the scan, never gram text
+       (8 B/gram on the wire, the ``llm_source_overlap_trigram``
+       pattern);
+    3. one groupBy(gram_hash) with a partial-agg ``min(struct(id,
+       pos))`` names each gram's corpus-wide first occurrence and its
+       count — state is one struct per distinct gram, no window sort;
+    4. every occurrence of a count>=2 gram that is not the first marks
+       its window [pos, pos+L) for removal;
+    5. coverage resolves with a difference array — two (+1/-1) events
+       per marked window, cumulative-summed per document — so
+       overlapping marked windows cost two rows each, not L;
+    6. documents rebuild from surviving tokens (one doc-keyed exchange,
+       same reassembly as ``segment_dedup``).
+
+    Shuffle cost is O(total tokens) 16-byte rows for the gram exchange —
+    linear, like the suffix-array build itself — plus the (small) marked
+    set; text travels only in the final per-doc rebuild. xxhash64
+    collisions could merge two distinct grams (~n²/2⁶⁵ — negligible
+    below ~10⁸ distinct grams; production can widen to a 128-bit pair
+    exactly like ``minhash_signature``'s seed trick).
+
+    Returns (id_col, n_tokens, n_removed, dedup_text) for EVERY input
+    document (untouched docs pass through with n_removed = 0).
+    """
+    from pyspark.sql import Window
+
+    L = min_len
+    base = df.select(
+        F.col(id_col).alias("id"), whitespace_tokens(F.col(text_col)).alias("toks")
+    )
+    toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    # L-gram hashes computed in-task over the token array: joining the
+    # window with a separator reproduces the exact token sequence
+    # (whitespace tokens cannot contain the separator), so equal hash
+    # <=> equal L-token window modulo xxhash64 collisions.
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - L),
+                    lambda i: F.xxhash64(F.array_join(F.slice("toks", i + 1, L), " ")),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(F.struct(F.col("id").alias("k"), F.col("pos").alias("p"))).alias("w"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("gh", "w")
+    )
+    marked = (
+        grams.join(dup, "gh")
+        .filter(~((F.col("id") == F.col("w.k")) & (F.col("pos") == F.col("w.p"))))
+        .select("id", F.col("pos").alias("s"))
+    )
+    events = (
+        marked.select("id", F.col("s").alias("pos"), F.lit(1).alias("d"))
+        .unionByName(marked.select("id", (F.col("s") + L).alias("pos"), F.lit(-1).alias("d")))
+        .groupBy("id", "pos")
+        .agg(F.sum("d").alias("d"))
+    )
+    cov = toks.join(events, ["id", "pos"], "left").withColumn(
+        "c",
+        F.sum(F.coalesce("d", F.lit(0))).over(
+            Window.partitionBy("id").orderBy("pos")
+        ),
+    )
+    reb = cov.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("c") == 0, F.struct("pos", "tok"))
+                    )
+                ),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(reb, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

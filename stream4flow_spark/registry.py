@@ -81,10 +81,11 @@ WINDOW_PRIORITY: list[str] = [
     # next round's 50-query r06 cohort forward so the r09 window
     # (remaining r06 cohort + r09 additions + the other 6 rows-only)
     # fits its 50 slots.
+    "llm_exact_substr_dedup",
     "alert_suppression", "application_template",
     "dns_external_resolvers", "dns_open_resolvers", "dns_statistics",
     "domain_entropy", "host_daily_profile", "host_stats",
-    "iso_timestamps", "llm_chunk_documents", "llm_corpus_select",
+    "iso_timestamps", "llm_chunk_documents",
 ]
 
 

@@ -1464,3 +1464,57 @@ def test_build_training_set_end_to_end(spark, tmp_path):
         F.max(F.col("token_offset") + F.col("n_tokens"))
     ).first()[0]
     assert max_end == total_tokens  # dense global packing, no holes
+
+
+def test_exact_substr_dedup_keeps_first_and_cuts_copies(spark):
+    """ExactSubstr semantics: a >=L-token verbatim passage shared by two
+    documents survives only in the corpus-wide first occurrence; tokens
+    outside the duplicated run are untouched; short docs and docs with
+    no duplicated window pass through whole."""
+    from stream4flow_spark.llmdata.dedup import exact_substr_dedup
+
+    passage = " ".join(f"p{i}" for i in range(6))  # 6 shared tokens
+    docs = _docs(
+        spark,
+        [
+            f"intro one {passage} outro one",       # first occurrence
+            f"other beginning {passage} other end",  # later copy -> cut
+            "nothing shared here at all",            # untouched
+            "tiny",                                  # shorter than L
+        ],
+    )
+    out = {r.doc_id: r for r in exact_substr_dedup(docs, min_len=6).collect()}
+    assert out[0].dedup_text == f"intro one {passage} outro one"
+    assert out[0].n_removed == 0
+    assert out[1].dedup_text == "other beginning other end"
+    assert out[1].n_removed == 6
+    assert out[2].n_removed == 0 and out[2].dedup_text.startswith("nothing")
+    assert (out[3].n_tokens, out[3].n_removed, out[3].dedup_text) == (
+        1, 0, "tiny",
+    )
+
+
+def test_exact_substr_dedup_long_run_and_overlap_coverage(spark):
+    """A duplicated run LONGER than L removes the whole run (overlapping
+    marked windows coalesce via the difference array, not just one
+    window); an intra-document repeat keeps only its first copy; empty
+    docs survive the rebuild."""
+    from stream4flow_spark.llmdata.dedup import exact_substr_dedup
+
+    run = " ".join(f"r{i}" for i in range(10))  # 10-token run, L=4
+    docs = _docs(
+        spark,
+        [
+            f"{run} trailer",
+            f"header {run}",          # whole 10-token run cut, not 4
+            f"aa bb cc dd x aa bb cc dd",  # intra-doc repeat of a 4-gram
+            "",
+        ],
+    )
+    out = {r.doc_id: r for r in exact_substr_dedup(docs, min_len=4).collect()}
+    assert out[0].dedup_text == f"{run} trailer"
+    assert out[1].dedup_text == "header"
+    assert out[1].n_removed == 10
+    assert out[2].dedup_text == "aa bb cc dd x"
+    assert out[2].n_removed == 4
+    assert (out[3].n_tokens, out[3].n_removed, out[3].dedup_text) == (0, 0, "")
