@@ -3187,3 +3187,113 @@ def q_llm_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return exact_substr_dedup(docs, min_len=15)
+
+
+def _cluster_balanced_oracle(
+    k: int = 5, iters: int = 3, cap: int = 20, salt: str = "s4f-cluster"
+) -> str:
+    """CTE-for-CTE DuckDB replay of cluster_balanced_sample's
+    replay-rounding mode (the host_pagerank certification pattern,
+    applied to a LEARNED-parameter pipeline): id-ordered maximin
+    seeding, ``iters`` spherical Lloyd rounds, nearest-centroid
+    assignment, md5 per-cluster cap. Normalized vectors round to 7dp
+    and similarities to 6dp on BOTH engines, so numpy-vs-SQL float
+    summation order can never flip an argmin/argmax."""
+    parts = [
+        """base AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+            x -> round(CAST(x AS DOUBLE) / greatest(sqrt(list_sum(
+                 list_transform(embedding,
+                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))),
+                 1e-12), 7)) AS v
+  FROM embeddings
+)""",
+        "s0 AS (SELECT v FROM base ORDER BY id LIMIT 1)",
+        "m0 AS (SELECT b.id, b.v, round(list_dot_product(b.v,"
+        " (SELECT v FROM s0)), 6) AS ms FROM base b)",
+    ]
+    for j in range(1, k):
+        parts.append(
+            f"s{j} AS (SELECT v FROM m{j-1} ORDER BY ms, id LIMIT 1)"
+        )
+        if j < k - 1:
+            parts.append(
+                f"m{j} AS (SELECT id, v, greatest(ms, round("
+                f"list_dot_product(v, (SELECT v FROM s{j})), 6)) AS ms "
+                f"FROM m{j-1})"
+            )
+    seeds = " UNION ALL ".join(
+        f"SELECT {j} AS cid, (SELECT v FROM s{j}) AS v" for j in range(k)
+    )
+    parts.append(f"c0 AS ({seeds})")
+    assign = """a{o} AS (SELECT id, v, cid FROM (
+    SELECT b.id, b.v, c.cid,
+           row_number() OVER (PARTITION BY b.id
+               ORDER BY round(list_dot_product(b.v, c.v), 6) DESC,
+                        c.cid) AS rn
+    FROM base b CROSS JOIN c{i} c) WHERE rn = 1)"""
+    for t in range(1, iters + 1):
+        parts.append(assign.format(o=t, i=t - 1))
+        parts.append(
+            f"""n{t} AS (SELECT cid, d, avg(x) AS mx FROM (
+    SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS d
+    FROM a{t}) GROUP BY cid, d)"""
+        )
+        parts.append(
+            f"g{t} AS (SELECT cid, list(mx ORDER BY d) AS m "
+            f"FROM n{t} GROUP BY cid)"
+        )
+        parts.append(
+            f"""c{t} AS (SELECT c.cid,
+    CASE WHEN g.cid IS NOT NULL
+              AND sqrt(list_sum(list_transform(g.m, x -> x * x))) > 1e-12
+         THEN list_transform(g.m, x -> round(x / sqrt(list_sum(
+              list_transform(g.m, y -> y * y))), 7))
+         ELSE c.v END AS v
+    FROM c{t-1} c LEFT JOIN g{t} g ON c.cid = g.cid)"""
+        )
+    parts.append(
+        """af AS (SELECT id, cid FROM (
+    SELECT b.id, c.cid,
+           row_number() OVER (PARTITION BY b.id
+               ORDER BY round(list_dot_product(b.v, c.v), 6) DESC,
+                        c.cid) AS rn
+    FROM base b CROSS JOIN c%d c) WHERE rn = 1)"""
+        % iters
+    )
+    tail = f"""
+SELECT id AS vec_id, cid AS cluster_id, CAST(rnk AS INT) AS sample_rank
+FROM (SELECT id, cid,
+        row_number() OVER (PARTITION BY cid
+            ORDER BY md5(CAST(id AS VARCHAR) || '{salt}')) AS rnk
+      FROM af)
+WHERE rnk <= {cap}"""
+    return "WITH " + ",\n".join(parts) + tail
+
+
+@register(
+    "llm_cluster_balanced_sample",
+    covers="llm:diversity-sample llm:clustering A9",
+    oracle=_cluster_balanced_oracle(),
+)
+def q_llm_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced diversity sampling (SemDeDup-adjacent curation;
+    llmdata/sampling.py cluster_balanced_sample): spherical k-means
+    over the embedding space, then at most ``cap`` rows PER CLUSTER via
+    the md5-deterministic cap rule — per-semantic-region balance, the
+    axis the source/quality/token samplers can't see. The DuckDB
+    oracle replays centroid training (maximin init + 3 Lloyd rounds),
+    assignment, and the cap CTE-for-CTE under shared 7dp/6dp rounding —
+    hash-certifying a LEARNED-parameter pipeline end to end, the
+    host_pagerank pattern. Spark plan: bounded driver sample for
+    training, ONE map-side assignment pass (centroid matrix in the
+    closure, zip_with/aggregate dots), one cluster-keyed rank window."""
+    from stream4flow_spark.llmdata.sampling import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, n_clusters=5, cap=20, n_iters=3, replay_rounding=True
+    )

@@ -388,3 +388,71 @@ def weighted_sample_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    cap: int = 25,
+    n_iters: int = 5,
+    sample_per_centroid: int = 500,
+    salt: str = "s4f-cluster",
+    replay_rounding: bool = False,
+) -> DataFrame:
+    """Semantic-density-balanced sampling (SemDeDup-adjacent curation):
+    cluster the embedding space with sample-trained spherical k-means
+    (`simsearch._kmeans_centroids`), then keep at most ``cap`` rows PER
+    CLUSTER via the md5-deterministic `cap_per_group` rule — so a
+    corpus where one topic owns 90% of the rows contributes at most
+    1/n_clusters-ish of the sample, where every source/quality/token
+    knob in this module would happily keep the mode. The missing axis
+    of the sampling family: uniform, per-row-probability, count cap,
+    token budget, weight-proportional — and now per-semantic-region.
+
+    Plan shape at 100 TB: centroid training pulls a bounded hash-spread
+    sample to the driver (the documented `_kmeans_centroids` bound);
+    assignment is ONE map-side pass — the (n_clusters × dim) matrix
+    rides the closure, scores are JVM-side zip_with/aggregate dots,
+    argmax is array_position — and the only exchange is cap_per_group's
+    cluster-keyed rank window (salt-bucket pre-cap composes for hot
+    clusters). No corpus-wide Lloyd, no driver collect of data rows.
+
+    ``replay_rounding=True`` selects the cross-engine-deterministic
+    trainer AND rounds row vectors/scores identically, so a DuckDB
+    oracle can replay centroid training, assignment, and the cap
+    CTE-for-CTE (the host_pagerank certification pattern).
+
+    Returns (id_col, cluster_id, sample_rank) for the kept rows.
+    """
+    from stream4flow_spark.llmdata.simsearch import _kmeans_centroids, dot
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.greatest(
+        F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x)),
+        F.lit(1e-12),
+    )
+    v = F.transform(vd, lambda x: x / nrm)
+    if replay_rounding:
+        v = F.transform(v, lambda x: F.round(x, 7))
+    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    C = _kmeans_centroids(
+        base,
+        n_clusters,
+        n_iters,
+        sample_per_centroid,
+        replay_rounding=replay_rounding,
+    )
+    sims = [
+        dot(F.col("v"), F.array(*[F.lit(float(c)) for c in row])) for row in C
+    ]
+    if replay_rounding:
+        sims = [F.round(s, 6) for s in sims]
+    scores = F.array(*sims)
+    cid = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    assigned = base.select("id", cid.alias("cluster_id"))
+    capped = cap_per_group(assigned, "cluster_id", cap, key_col="id", salt=salt)
+    return capped.select(
+        F.col("id").alias(id_col), "cluster_id", "sample_rank"
+    )

@@ -224,6 +224,7 @@ def _kmeans_centroids(
     n_centroids: int,
     n_iters: int = 5,
     sample_per_centroid: int = 500,
+    replay_rounding: bool = False,
 ) -> "np.ndarray":  # noqa: F821 — numpy imported lazily
     """Deterministic spherical k-means over a bounded training sample
     (see ``ivf_topk``).
@@ -241,33 +242,50 @@ def _kmeans_centroids(
     distributed pass regardless of corpus size — the standard IVF
     training shape. Init is deterministic maximin (k-means++-style
     farthest-point) from the sample; Lloyd then runs locally in numpy.
+
+    ``replay_rounding=True`` switches to the CROSS-ENGINE-REPLAYABLE
+    variant an SQL oracle can re-derive CTE-for-CTE (the host_pagerank
+    certification pattern): the sample orders by id instead of
+    xxhash64 (DuckDB has no xxhash64), normalized vectors round to 7dp
+    and every similarity to 6dp before any argmin/argmax (so float
+    summation-order differences between numpy and an SQL engine can
+    never flip a comparison), centroids re-round to 7dp each
+    iteration, and Lloyd runs EXACTLY ``n_iters`` rounds with no
+    convergence break. Production keeps the default: hash-spread
+    sampling is unbiased under id-content correlation and the early
+    break saves dead iterations.
     """
     import numpy as np
 
+    order = [F.col("id")] if replay_rounding else [F.xxhash64(F.col("id")), F.col("id")]
     cand = (
-        base.withColumn("h", F.xxhash64(F.col("id")))
-        .orderBy("h", "id")
+        base.orderBy(*order)
         .limit(n_centroids * sample_per_centroid)
         .select("v")
         .toPandas()
     )
     X = np.vstack(cand["v"].to_numpy())
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if replay_rounding:
+        X = np.round(X, 7)
 
-    # deterministic maximin init: start from the first hash-ordered
-    # sample row, repeatedly add the row farthest (in cosine distance)
-    # from every chosen seed.
+    def _sim(S):
+        return np.round(S, 6) if replay_rounding else S
+
+    # deterministic maximin init: start from the first sample row,
+    # repeatedly add the row farthest (in cosine distance) from every
+    # chosen seed.
     chosen = [0]
-    min_sim = X @ X[0]
+    min_sim = _sim(X @ X[0])
     while len(chosen) < min(n_centroids, len(X)):
         nxt = int(np.argmin(min_sim))
         chosen.append(nxt)
-        min_sim = np.maximum(min_sim, X @ X[nxt])
+        min_sim = np.maximum(min_sim, _sim(X @ X[nxt]))
     C = X[chosen]
 
     # local spherical Lloyd on the sample
     for _ in range(n_iters):
-        a = np.argmax(X @ C.T, axis=1)
+        a = np.argmax(_sim(X @ C.T), axis=1)
         newC = C.copy()
         for j in range(C.shape[0]):
             members = X[a == j]
@@ -276,7 +294,9 @@ def _kmeans_centroids(
                 nrm = np.linalg.norm(m)
                 if nrm > 1e-12:
                     newC[j] = m / nrm
-        if np.allclose(newC, C):
+                    if replay_rounding:
+                        newC[j] = np.round(newC[j], 7)
+        if not replay_rounding and np.allclose(newC, C):
             break
         C = newC
     return C

@@ -81,11 +81,11 @@ WINDOW_PRIORITY: list[str] = [
     # next round's 50-query r06 cohort forward so the r09 window
     # (remaining r06 cohort + r09 additions + the other 6 rows-only)
     # fits its 50 slots.
-    "llm_exact_substr_dedup",
+    "llm_exact_substr_dedup", "llm_cluster_balanced_sample",
     "alert_suppression", "application_template",
     "dns_external_resolvers", "dns_open_resolvers", "dns_statistics",
     "domain_entropy", "host_daily_profile", "host_stats",
-    "iso_timestamps", "llm_chunk_documents",
+    "iso_timestamps",
 ]
 
 

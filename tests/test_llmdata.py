@@ -1518,3 +1518,42 @@ def test_exact_substr_dedup_long_run_and_overlap_coverage(spark):
     assert out[2].dedup_text == "aa bb cc dd x"
     assert out[2].n_removed == 4
     assert (out[3].n_tokens, out[3].n_removed, out[3].dedup_text) == (0, 0, "")
+
+
+def test_cluster_balanced_sample_caps_dense_regions(spark):
+    """A corpus where one semantic mode owns 90% of the rows: the
+    per-cluster cap keeps the mode's share bounded while the sparse
+    mode survives whole — the balance no source/quality/token sampler
+    provides. Ranks are contiguous 1..n within each cluster and the
+    selection is deterministic across runs."""
+    from stream4flow_spark.llmdata.sampling import cluster_balanced_sample
+
+    rows = []
+    for i in range(90):  # dense mode around e_0
+        rows.append((i, [10.0 + (i % 7) * 0.01, float(i % 3) * 0.01]))
+    for i in range(10):  # sparse mode around e_1
+        rows.append((100 + i, [float(i % 3) * 0.01, 10.0 + (i % 5) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(
+        df, n_clusters=2, cap=8, n_iters=3, replay_rounding=True
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert len(by_cluster) == 2
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes == [8, 8]  # dense mode capped at 8, sparse keeps 8 of 10
+    for members in by_cluster.values():
+        assert sorted(r.sample_rank for r in members) == list(
+            range(1, len(members) + 1)
+        )
+    # the two modes actually separate: no cluster mixes id ranges
+    for members in by_cluster.values():
+        ids = [r.vec_id for r in members]
+        assert all(i < 100 for i in ids) or all(i >= 100 for i in ids)
+    again = cluster_balanced_sample(
+        df, n_clusters=2, cap=8, n_iters=3, replay_rounding=True
+    ).collect()
+    assert {(r.vec_id, r.cluster_id, r.sample_rank) for r in out} == {
+        (r.vec_id, r.cluster_id, r.sample_rank) for r in again
+    }
