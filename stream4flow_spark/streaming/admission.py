@@ -88,3 +88,115 @@ def admit_by_budget_stream(
         admit, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def weighted_reservoir_stream(
+    events: DataFrame,
+    group_col: str,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    salt: str = "s4f-wrs",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Streaming twin of ``llmdata.sampling.weighted_sample_per_group``
+    (r07 verdict item 8): maintain, per group, the CURRENT
+    Efraimidis–Spirakis weighted k-sample over everything seen so far.
+
+    A-ES makes this trivially streamable — selection is "top-k rows by
+    round(ln(u)/w, 9) desc, id asc", and the reservoir key is a pure
+    deterministic function of (id, weight), computed Column-side with
+    the exact md5 coin the batch operator uses. Top-k is
+    prefix-mergeable, so state per group is just the current k (key,
+    id) pairs (two fixed-length arrays — ~16 bytes × k, independent of
+    stream length), and after any prefix of the stream the reservoir
+    EQUALS the batch selection over that prefix (parity-tested).
+
+    Because a later heavy row can evict an earlier pick, this emits in
+    UPDATE mode: each trigger re-emits the full current reservoir of
+    every group that received rows (k rows with fresh ranks) —
+    downstream keeps the latest (group, rank) snapshot. Merging on id
+    also makes foreachBatch redelivery idempotent (a re-sent id carries
+    the identical key, so the reservoir is unchanged).
+
+    Output: (group_col, key_col, rank_col, wkey) — the current
+    selection; ``wkey`` is the rounded reservoir key for audit.
+    """
+    from stream4flow_spark.llmdata.sampling import _BUCKETS, hash_bucket
+
+    key_t = events.schema[group_col].dataType
+    id_t = events.schema[key_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, key_t, True),
+            T.StructField(key_col, id_t, True),
+            T.StructField(rank_col, T.IntegerType(), True),
+            T.StructField("wkey", T.DoubleType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ks", T.ArrayType(T.DoubleType()), True),
+            T.StructField("ids", T.ArrayType(id_t), True),
+        ]
+    )
+
+    u = (hash_bucket(F.col(key_col), salt).cast("double") + 0.5) / _BUCKETS
+    src = events.select(
+        group_col,
+        F.col(key_col).alias("__id"),
+        F.round(F.log(u) / F.col(weight_col), 9).alias("__k"),
+    )
+
+    def reservoir(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ks, ids = list(state.get[0]), list(state.get[1])
+        else:
+            ks, ids = [], []
+        cur = pd.DataFrame({"__k": pd.array(ks, dtype="float64"), "__id": ids})
+        changed = False
+        for pdf in pdfs:
+            changed = True
+            # an EMPTY cur must not join the concat: pandas would coerce
+            # the typed batch ids to float64 (then int64 state arrays
+            # round-trip as nulls)
+            cur = pd.concat(
+                ([cur] if len(cur) else []) + [pdf[["__k", "__id"]]],
+                ignore_index=True,
+            )
+            cur = cur.drop_duplicates("__id")
+            # desc_nulls_last with id tiebreak: stable-sort by id first,
+            # then by key desc (NaN last) — stability keeps id order
+            # inside every tie block, -inf (zero weight) stays ahead of
+            # NaN (null weight), matching the batch window exactly
+            cur = cur.sort_values("__id", kind="mergesort").sort_values(
+                "__k", ascending=False, kind="mergesort", na_position="last"
+            )[:k]
+        if changed:
+            state.update(
+                (
+                    [None if pd.isna(x) else float(x) for x in cur["__k"]],
+                    # unwrap numpy scalars (object-dtype .tolist() keeps
+                    # them, and they serialize to null in the state row)
+                    [
+                        x.item() if hasattr(x, "item") else x
+                        for x in cur["__id"]
+                    ],
+                )
+            )
+            out = cur.reset_index(drop=True)
+            yield pd.DataFrame(
+                {
+                    group_col: key[0],
+                    key_col: out["__id"],
+                    rank_col: (out.index + 1).astype("int32"),
+                    "wkey": out["__k"],
+                }
+            )
+
+    return src.groupBy(group_col).applyInPandasWithState(
+        reservoir, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -2311,3 +2311,100 @@ def test_stream_budget_admission_ledger_spans_batches(spark, tmp_path):
     )
     got = {(r.doc_id, r.cum_weight) for r in got_df.collect()}
     assert got == {(1, 40), (2, 70)}
+
+
+def test_stream_weighted_reservoir_matches_batch_selection(spark, tmp_path):
+    """Prefix parity for the A-ES streaming twin: after the whole stream
+    is consumed, the latest emitted reservoir per group equals the
+    batch weighted_sample_per_group selection over the same rows — even
+    though the stream saw the data in two batches and later rows can
+    evict earlier picks."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.llmdata.sampling import weighted_sample_per_group
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.admission import weighted_reservoir_stream
+    from stream4flow_spark.streaming.runner import run_stream_to_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        "source",
+        (F.length("text").cast("double") + 1.0).alias("w"),
+    )
+    want = {
+        (r.source, r.doc_id, r.sample_rank)
+        for r in weighted_sample_per_group(
+            docs, "source", k=5, weight_col=F.col("w")
+        ).collect()
+    }
+
+    pdf = docs.toPandas().sort_values("doc_id")
+    src = tmp_path / "docs"
+    src.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(src / "f0.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(str(src / "f1.parquet"), index=False)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got_df = run_stream_to_table(
+        weighted_reservoir_stream(stream, "source", 5, "w", "doc_id"),
+        output_mode="update",
+    )
+    # update mode: the memory sink holds every emission; keep the LAST
+    # snapshot per (source, rank)
+    emitted = got_df.toPandas()
+    latest = emitted.groupby(["source", "sample_rank"]).tail(1)
+    got = {
+        (r.source, r.doc_id, r.sample_rank) for r in latest.itertuples()
+    }
+    assert got == want and got
+
+
+def test_stream_weighted_reservoir_evicts_and_is_idempotent(spark, tmp_path):
+    """A heavier batch-2 row must evict a batch-1 pick from the k=2
+    reservoir (state carries keys across batches), and re-delivering an
+    id leaves the reservoir unchanged (id-merge idempotence)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.llmdata.sampling import weighted_sample_per_group
+    from stream4flow_spark.streaming.admission import weighted_reservoir_stream
+    from stream4flow_spark.streaming.runner import run_stream_to_table
+
+    b1 = pd.DataFrame({"source": ["a"] * 3, "doc_id": [1, 2, 3],
+                       "w": [1.0, 1.0, 1.0]})
+    # batch 2: one huge-weight row (wins with overwhelming probability
+    # under ln(u)/w) + a re-delivery of id 1
+    b2 = pd.DataFrame({"source": ["a", "a"], "doc_id": [4, 1],
+                       "w": [1e9, 1.0]})
+    src = tmp_path / "s"
+    src.mkdir()
+    b1.to_parquet(str(src / "f0.parquet"), index=False)
+    b2.to_parquet(str(src / "f1.parquet"), index=False)
+    stream = (
+        spark.readStream.schema("source string, doc_id long, w double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got_df = run_stream_to_table(
+        weighted_reservoir_stream(stream, "source", 2, "w", "doc_id"),
+        output_mode="update",
+    )
+    emitted = got_df.toPandas()
+    latest = emitted.groupby(["source", "sample_rank"]).tail(1)
+    got = {(r.doc_id, r.sample_rank) for r in latest.itertuples()}
+
+    docs = spark.createDataFrame(
+        pd.concat([b1, b2]).drop_duplicates("doc_id"))
+    want = {
+        (r.doc_id, r.sample_rank)
+        for r in weighted_sample_per_group(
+            docs, "source", k=2, weight_col=F.col("w")
+        ).collect()
+    }
+    assert got == want
+    assert 4 in {d for d, _ in got}  # the heavy row made the reservoir
