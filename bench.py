@@ -127,25 +127,25 @@ def main() -> int:
     sidecar_queries = dict(timings)
     sidecar_total = total
     write_sidecar = True
-    if only:
+    try:
+        with open(sidecar) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = None
+    if prev is not None and prev.get("sf") != sf_val:
+        # a spot-check at another sf (full OR filtered) must never
+        # replace the durable default-sf record the driver ingests —
+        # full runs at sf0.01 clobbered the sf0.1 map before this guard
+        write_sidecar = sf_val == 0.1 or prev.get("sf") is None
+    elif prev is not None and only:
         # a filtered run (SPARK_GRAFT_BENCH_ONLY) refreshes only its own
         # entries — clobbering the tracked full map with a 1-query run
-        # would destroy the durable per-query record the driver ingests.
-        # Same sf: merge. DIFFERENT sf (a spot-check at sf0.01 while the
-        # record is sf0.1): leave the record alone entirely.
-        try:
-            with open(sidecar) as f:
-                prev = json.load(f)
-            if prev.get("sf") == sf_val:
-                # merge unconditionally — gating on relative sizes let a
-                # filtered run with >= as many entries as the stored map
-                # silently REPLACE the durable record instead of merging
-                sidecar_queries = {**prev.get("queries", {}), **timings}
-                sidecar_total = round(sum(sidecar_queries.values()), 3)
-            else:
-                write_sidecar = False
-        except (OSError, ValueError):
-            pass
+        # would destroy the durable per-query record. Merge
+        # unconditionally at the same sf: gating on relative sizes let a
+        # filtered run with >= as many entries as the stored map
+        # silently REPLACE the durable record instead of merging.
+        sidecar_queries = {**prev.get("queries", {}), **timings}
+        sidecar_total = round(sum(sidecar_queries.values()), 3)
     if write_sidecar:
         with open(sidecar, "w") as f:
             json.dump(

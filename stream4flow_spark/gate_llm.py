@@ -3297,3 +3297,80 @@ def q_llm_cluster_balanced_sample(
     return cluster_balanced_sample(
         emb, n_clusters=5, cap=20, n_iters=3, replay_rounding=True
     )
+
+
+@register(
+    "llm_dsir_select",
+    covers="llm:dsir llm:mixture llm:quality-score",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               w -> w <> '') AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, source = 'src0' AS tgt, g
+            FROM words,
+                 unnest(list_concat(ws,
+                     [ws[i] || ' ' || ws[i+1]
+                      FOR i IN range(1, greatest(len(ws), 1))])) AS u(g)
+        ),
+        per_db AS (
+            SELECT doc_id, tgt,
+                   CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
+                       % 4096 AS b,
+                   COUNT(*) AS dcnt
+            FROM grams GROUP BY 1, 2, 3
+        ),
+        counts AS (
+            SELECT b,
+                   SUM(CASE WHEN tgt THEN dcnt ELSE 0 END) AS ct,
+                   SUM(CASE WHEN NOT tgt THEN dcnt ELSE 0 END) AS cr
+            FROM per_db GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(ct) AS DOUBLE) AS nt,
+                   CAST(SUM(cr) AS DOUBLE) AS nr
+            FROM counts
+        ),
+        lam AS (
+            SELECT b,
+                   LN((ct + 1.0) / (nt + 4096.0))
+                 - LN((cr + 1.0) / (nr + 4096.0)) AS lam
+            FROM counts CROSS JOIN tot
+        ),
+        w AS (
+            SELECT p.doc_id, CAST(SUM(p.dcnt) AS BIGINT) AS n_grams,
+                   ROUND(SUM(p.dcnt * l.lam), 4) + 0.0 AS weight
+            FROM per_db p JOIN lam l USING (b)
+            WHERE NOT p.tgt
+            GROUP BY 1
+        ),
+        sel AS (SELECT * FROM w ORDER BY weight DESC, doc_id LIMIT 120)
+        SELECT s.doc_id, d.source, s.n_grams, s.weight
+        FROM sel s JOIN documents d USING (doc_id)
+        """,
+)
+def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023; llmdata/dsir.py): treat
+    src0 as the target domain, fit target-vs-raw hashed unigram+bigram
+    LMs (4096 md5 buckets, Laplace 1.0), and keep the 120 raw documents
+    whose gram bags have the highest log-likelihood ratio — "crawl data
+    that looks like the target", the distribution-matching knob the
+    absolute-quality tiers (Gopher rules, CCNet buckets) can't express.
+    The oracle replays hashing, both LMs, the scoring join, and the
+    ranked select CTE-for-CTE on the shared md5 bucket function.
+
+    Scale shape: text never shuffles (grams hash in-task); the two LMs
+    are one <=4096-row conditional-sum aggregate; the log-ratio table
+    broadcasts into the scoring join; selection is
+    TakeOrderedAndProject. See dsir.py's module docstring."""
+    from stream4flow_spark.llmdata.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = dsir_select(docs, F.col("source") == "src0", 120)
+    # broadcast the 120-row selection against the corpus, not vice versa
+    return F.broadcast(sel).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "n_grams", "weight")

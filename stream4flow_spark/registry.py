@@ -82,10 +82,10 @@ WINDOW_PRIORITY: list[str] = [
     # (remaining r06 cohort + r09 additions + the other 6 rows-only)
     # fits its 50 slots.
     "llm_exact_substr_dedup", "llm_cluster_balanced_sample",
+    "llm_dsir_select",
     "alert_suppression", "application_template",
     "dns_external_resolvers", "dns_open_resolvers", "dns_statistics",
     "domain_entropy", "host_daily_profile", "host_stats",
-    "iso_timestamps",
 ]
 
 

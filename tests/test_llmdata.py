@@ -1557,3 +1557,50 @@ def test_cluster_balanced_sample_caps_dense_regions(spark):
     assert {(r.vec_id, r.cluster_id, r.sample_rank) for r in out} == {
         (r.vec_id, r.cluster_id, r.sample_rank) for r in again
     }
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """A raw doc sharing the target's vocabulary must outscore a raw
+    doc from a disjoint vocabulary, in BOTH bucket modes (md5 is the
+    oracle-replayable mode; xxhash is the production hash)."""
+    from stream4flow_spark.llmdata.dsir import dsir_select, dsir_weights
+
+    rows = [
+        # target corpus: cooking vocabulary
+        (0, "simmer the onion butter garlic sauce", "tgt"),
+        (1, "garlic butter sauce simmer slowly onion", "tgt"),
+        # raw pool: one cooking-like, two about engines
+        (10, "butter garlic onion sauce simmer gently", "raw"),
+        (11, "executor shuffle partition codegen stage task", "raw"),
+        (12, "partition stage shuffle task codegen executor", "raw"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, pool string"
+    )
+    for mode in ("md5", "xxhash"):
+        w = dsir_weights(
+            docs, F.col("pool") == "tgt", n_buckets=512, bucket_mode=mode
+        ).toPandas().set_index("doc_id")
+        assert set(w.index) == {10, 11, 12}  # raw pool only
+        assert w.loc[10, "weight"] > w.loc[11, "weight"]
+        assert w.loc[10, "weight"] > w.loc[12, "weight"]
+        top1 = dsir_select(
+            docs, F.col("pool") == "tgt", 1, n_buckets=512, bucket_mode=mode
+        ).collect()
+        assert [r.doc_id for r in top1] == [10]
+
+
+def test_dsir_omits_gramless_docs_and_counts_grams(spark):
+    from stream4flow_spark.llmdata.dsir import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", True),
+            (1, "alpha beta gamma", False),  # 3 unigrams + 2 bigrams
+            (2, "12345 !!!", False),  # no [a-z] grams -> omitted
+        ],
+        "doc_id long, text string, tgt boolean",
+    )
+    w = dsir_weights(docs, F.col("tgt")).toPandas().set_index("doc_id")
+    assert set(w.index) == {1}
+    assert int(w.loc[1, "n_grams"]) == 5
