@@ -167,12 +167,55 @@ def q_llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(docs, threshold=0.5)
 
 
-@register("llm_simhash_dedup", covers="llm:dedup-simhash")  # rows-only:
-# the per-token 64-bit hash (xxhash64) has no DuckDB equivalent; semantics
-# are property-tested in tests/test_llmdata.py
+# SimHash oracle: replay signature (64 vote sums over two md5 32-bit
+# halves), 4×16-bit chunk banding, and the hamming verify — generated
+# programmatically because 64 bit positions don't hand-write well.
+_SH_V = ", ".join(
+    f"SUM((({'h2' if j < 32 else 'h1'} >> {j % 32}) & 1) * 2 - 1) AS v{j}"
+    for j in range(64)
+)
+_SH_BITS = " + ".join(
+    [f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(63)]
+    + ["(CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END)"]
+)
+_SIMHASH_ORACLE = f"""
+    WITH w AS (SELECT doc_id AS id, {_GRAMS3} AS grams FROM documents),
+    g AS (SELECT id, unnest(grams) AS g FROM w),
+    h AS (SELECT id,
+                 CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) AS h1,
+                 CAST(('0x' || substring(md5(g), 9, 8)) AS BIGINT) AS h2
+          FROM g),
+    v AS (SELECT id, {_SH_V} FROM h GROUP BY id),
+    sh0 AS (SELECT id, {_SH_BITS} AS sh FROM v),
+    sh AS (SELECT d.doc_id AS id, COALESCE(s.sh, 0) AS sh
+           FROM documents d LEFT JOIN sh0 s ON d.doc_id = s.id),
+    ch AS (SELECT id, sh, c, (sh >> (c * 16)) & 65535 AS val
+           FROM sh, unnest([0, 1, 2, 3]) AS t(c)),
+    pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     a.sh AS sh_a, b.sh AS sh_b
+              FROM ch a JOIN ch b
+                ON a.c = b.c AND a.val = b.val AND a.id < b.id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= 16
+    """
+
+
+@register("llm_simhash_dedup", covers="llm:dedup-simhash", oracle=_SIMHASH_ORACLE)
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, oracle-certified end to end: the gate runs
+    ``hash_mode="md5"`` (dedup.simhash_table derives each shingle's 64
+    bits from two 32-bit md5 halves DuckDB can recompute), so signature
+    construction, chunk banding AND the hamming-distance verify are
+    hash-checked value-for-value — this was rows-only for seven rounds
+    because xxhash64 has no DuckDB twin; the dual-mode trick (same as
+    dsir._bucket) closes that. Production keeps the faster xxhash64
+    default; the mode changes which grams collide, not the algorithm
+    (both modes property-tested in tests/test_llmdata.py).
+    max_bucket (10k) cannot trigger on the 500-doc gate table, so the
+    oracle omits the cap replay."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_dedup(docs, max_hamming=16)
+    return simhash_dedup(docs, max_hamming=16, hash_mode="md5")
 
 
 @register(

@@ -305,28 +305,62 @@ def simhash64(grams: Column) -> Column:
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hash_mode: str = "xx",
 ) -> DataFrame:
     """(id, sh) per document — aggregation-form SimHash.
 
-    explode(shingles) → xxhash64 once per shingle → groupBy(id) with 64
+    explode(shingles) → one hash per shingle → groupBy(id) with 64
     flat ``sum`` columns (map-side partial aggregation, whole-stage
     codegen) → fold votes into the 64-bit hash. At scale this is one
     shuffle keyed by document id with 64-long rows — the nested
     aggregate/zip_with expression form is ~10× slower because the
     per-shingle 64-element array allocation falls out of codegen.
-    Documents with no shingles hash to 0 (explode_outer keeps them)."""
+    Documents with no shingles hash to 0 (explode_outer keeps them).
+
+    ``hash_mode`` picks the per-shingle 64-bit source:
+    - ``"xx"`` (default, production) — one ``xxhash64`` per shingle.
+    - ``"md5"`` — two 32-bit halves from the md5 hex digest (chars 1-8 →
+      bits 32-63, chars 9-16 → bits 0-31). Same digest exists in DuckDB,
+      so a SQL oracle can replay signature, banding and hamming verify
+      value-for-value — feature hashing changes which grams collide, not
+      the algorithm, exactly like ``dsir._bucket``'s dual mode. Halves
+      stay below 2^32, so no sign/overflow divergence between engines.
+    """
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    if hash_mode == "xx":
         # xxhash64(NULL) would return the seed, not NULL — guard so docs
         # with no shingles (explode_outer null) still hash to 0
-    ).select("id", F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("h"))
-    votes = exploded.groupBy("id").agg(
+        hashed = exploded.select(
+            "id", F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("h")
+        )
+
+        def bit(j: int) -> Column:
+            return F.shiftright(F.col("h"), j).bitwiseAND(1)
+
+    elif hash_mode == "md5":
+        d = F.md5(F.col("g"))  # md5(NULL) is NULL — no guard needed
+        hashed = exploded.select(
+            "id",
+            F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+
+        def bit(j: int) -> Column:
+            half = F.col("h2") if j < 32 else F.col("h1")
+            return F.shiftright(half, j % 32).bitwiseAND(1)
+
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+    votes = hashed.groupBy("id").agg(
         *[
-            F.coalesce(
-                F.sum(F.shiftright(F.col("h"), j).bitwiseAND(1) * 2 - 1), F.lit(0)
-            )
+            F.coalesce(F.sum(bit(j) * 2 - 1), F.lit(0))
             .cast("long")
             .alias(f"v{j}")
             for j in range(64)
@@ -345,6 +379,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     max_bucket: int | None = 10_000,
     cache_intermediate: bool = False,
+    hash_mode: str = "xx",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -356,7 +391,7 @@ def simhash_dedup(
     chunk buckets, so without the cap one mass-duplicated document goes
     quadratic.
     """
-    hashed = simhash_table(df, text_col, id_col, n)
+    hashed = simhash_table(df, text_col, id_col, n, hash_mode=hash_mode)
     chunked = hashed.select(
         "id",
         "sh",

@@ -39,10 +39,13 @@ _OVERRIDES = {
 # r5 semantics changes: multimodal now really decodes (more work than the
 # metadata fake it replaced), length_stats pays two exchanges for bounded
 # state, detection_ddos defaults to the two-stage skew-safe plan.
+# r8: llm_simhash_dedup's gate query switched to the md5 hash mode so the
+# oracle can replay it (two conv(substring(md5)) per shingle vs one
+# xxhash64) — pre-r8 records timed the cheaper hash.
 _SEMANTICS_RESET = {
     "llm_multimodal_decode", "llm_multimodal_resize",
     "llm_multimodal_frames", "llm_multimodal_features",
-    "llm_length_stats", "detection_ddos",
+    "llm_length_stats", "detection_ddos", "llm_simhash_dedup",
 }
 
 

@@ -58,6 +58,28 @@ def test_simhash_near_dup_has_smaller_hamming(spark):
     assert pairs[(0, 1)] < pairs.get((1, 2), 64)
 
 
+def test_simhash_md5_mode_same_semantics_as_xx(spark):
+    """The md5 bucket mode (oracle-replayable) is the same algorithm
+    under a different feature hash: identical docs collide at hamming 0,
+    the planted near-dup outranks the far pair, and an unknown mode
+    raises."""
+    import pytest
+
+    df = _docs(spark, [BASE, BASE, NEAR, FAR])
+    for mode in ("xx", "md5"):
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_dedup(df, max_hamming=64, hash_mode=mode).collect()
+        }
+        # identical docs share every chunk — banding MUST pair them at 0;
+        # distant pairs may not share a 16-bit chunk at all (banding is
+        # recall-limited above hamming 3), so order-check only when found
+        assert pairs[(0, 1)] == 0
+        assert pairs.get((0, 2), 63) < pairs.get((0, 3), 64)
+    with pytest.raises(ValueError):
+        simhash_dedup(df, hash_mode="fnv").collect()
+
+
 def test_cosine_topk_identity_and_orthogonal(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

@@ -498,12 +498,32 @@ def test_registry_window_priority_names_are_valid():
     unknown = [n for n in WINDOW_PRIORITY if n not in REGISTRY]
     assert not unknown, f"WINDOW_PRIORITY names not in registry: {unknown}"
     assert len(WINDOW_PRIORITY) == 50
-    # the driver hash-verifies the window: every pinned query should
-    # carry an oracle (rows-only entries would waste a verified slot)
-    no_oracle = [
-        n for n in WINDOW_PRIORITY if REGISTRY[n].oracle is None
+    # The driver hash-verifies oracle-backed window entries; a rows-only
+    # entry gets only the weaker rows-check, so a window slot is mostly
+    # wasted on it — EXCEPT for its first-ever driver row (r07 verdict
+    # item 3: twelve rows-only queries spent seven rounds with no driver
+    # signal of any kind because staleness always consumed the window).
+    # Allow rows-only entries only while they await that first row; once
+    # any CORRECTNESS_r*.json records them, they must rotate back out.
+    import json
+    import pathlib
+
+    seen: set[str] = set()
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.loads(path.read_text()))
+        except ValueError:
+            continue
+    stale_rows_only = [
+        n
+        for n in WINDOW_PRIORITY
+        if REGISTRY[n].oracle is None and n in seen
     ]
-    assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
+    assert not stale_rows_only, (
+        "rows-only queries holding a window slot after their first "
+        f"driver row landed: {stale_rows_only}"
+    )
 
 
 def test_asof_join_forward_direction(spark):
