@@ -3417,3 +3417,81 @@ def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(sel).join(
         docs.select("doc_id", "source"), "doc_id"
     ).select("doc_id", "source", "n_grams", "weight")
+
+
+def _split_case_sql(key: str, salt: str = "s4f-split") -> str:
+    """DuckDB replay of sampling.split_expr for the 0.8/0.1/0.1 weights:
+    same md5 bucket, same cumulative thresholds (int(0.8*65536)=52428,
+    int(0.9*65536)=58982)."""
+    b = (
+        f"CAST(('0x' || substring(md5(CAST({key} AS VARCHAR) "
+        f"|| '{salt}'), 1, 4)) AS INT)"
+    )
+    return (
+        f"CASE WHEN {b} < 52428 THEN 'train' "
+        f"WHEN {b} < 58982 THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "llm_leakage_safe_split",
+    covers="llm:split-repair llm:train-split llm:dedup-components",
+    # oracle: brute-force near-dup pairs -> recursive-CTE transitive
+    # closure (the llm_dedup_corpus pattern) -> every doc re-split on its
+    # component representative with the same md5 cumulative-bucket rule
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id AS id, {_GRAMS3} AS grams FROM documents
+            WHERE len({_W}) >= 3
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(a.grams || b.grams)) >= 0.5
+        ),
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT DISTINCT src AS id, src AS r FROM e
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+        ),
+        comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        lab AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        ),
+        sp AS (
+            SELECT doc_id,
+                   {_split_case_sql('doc_id')} AS split_orig,
+                   {_split_case_sql('rep')} AS split
+            FROM lab
+        )
+        SELECT doc_id, split_orig, split,
+               split <> split_orig AS moved
+        FROM sp
+        """,
+)
+def q_llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-SAFE train/val/test split (llmdata/sampling.py
+    leakage_safe_split): llm_split_leakage AUDITS near-dup pairs that
+    straddle splits; this op makes them impossible — every document in a
+    near-dup connected component inherits the split of the component's
+    min-id representative, computed with the same md5 cumulative-bucket
+    rule, so the repair is one id-only join + map-side Column math.
+    Pairs come from the same effectively-exhaustive MinHash-LSH +
+    exact-Jaccard-verify chain the dedup_corpus oracle certifies; the
+    DuckDB oracle replays brute-force pairs -> recursive-CTE transitive
+    closure -> representative re-split CTE-for-CTE."""
+    from stream4flow_spark.llmdata.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, threshold=0.5).select("id_a", "id_b")
+    return leakage_safe_split(
+        docs.select("doc_id"),
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "split_orig", "split", "moved")

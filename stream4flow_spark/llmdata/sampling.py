@@ -27,6 +27,22 @@ def hash_bucket(key: Column, salt: str) -> Column:
     return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
 
 
+def split_expr(key: Column, weights: dict[str, float], salt: str) -> Column:
+    """The split name for ``key`` under cumulative-bucket assignment —
+    a pure Column function of the key, so any id-typed expression (a
+    row's own id, or its dedup-component representative) can be split
+    with the identical rule."""
+    v = hash_bucket(key, salt)
+    names = list(weights)
+    cum = 0.0
+    expr: Column | None = None
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = v < int(cum * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],
@@ -37,16 +53,54 @@ def hash_split(
     """Assign every row to a named split by cumulative weight fraction.
 
     weights must sum to 1 (the last split absorbs rounding)."""
-    v = hash_bucket(F.col(key_col), salt)
-    names = list(weights)
-    cum = 0.0
-    expr: Column | None = None
-    for name in names[:-1]:
-        cum += weights[name]
-        cond = v < int(cum * _BUCKETS)
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    out = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
-    return df.withColumn(out_col, out)
+    return df.withColumn(out_col, split_expr(F.col(key_col), weights, salt))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "s4f-split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Hash split REPAIRED so near-duplicate groups never straddle splits.
+
+    ``llm_split_leakage`` measures eval contamination after the fact;
+    this operator prevents it: every document in a near-dup connected
+    component (from ``pairs``, e.g. the LSH-verified pair graph) is
+    assigned the split its component REPRESENTATIVE (min-id member)
+    would get, so a train/test near-dup pair is impossible by
+    construction. Documents in no pair keep their own hash split — the
+    repair never perturbs the clean majority, and fractions drift only
+    by the (small) duplicated mass.
+
+    Because the base split is a pure function of the key, the repaired
+    split needs NO second join against representative rows: after the
+    one id-only left join against the component map, the final split is
+    ``split_expr(coalesce(component, id))`` — map-side Column math.
+
+    Output: ``df``'s columns + ``split_orig`` (the naive assignment),
+    ``out_col`` (the repaired one), ``moved`` (did the repair change it).
+
+    Scale shape: component labels are id-pairs on the wire
+    (``connected_components``' bound), the corpus joins them by id once;
+    at 100 TB the component map is tiny next to the corpus — Spark's
+    AQE broadcasts it.
+    """
+    from stream4flow_spark.llmdata.dedup import connected_components
+
+    comp = connected_components(pairs)
+    base = df.withColumn(
+        "split_orig", split_expr(F.col(key_col), weights, salt)
+    )
+    joined = base.join(comp, base[key_col] == comp["id"], "left").drop("id")
+    rep = F.coalesce(F.col("component"), F.col(key_col))
+    return (
+        joined.withColumn(out_col, split_expr(rep, weights, salt))
+        .withColumn("moved", F.col(out_col) != F.col("split_orig"))
+        .drop("component")
+    )
 
 
 def stratified_sample(

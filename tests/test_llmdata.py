@@ -1626,3 +1626,38 @@ def test_dsir_omits_gramless_docs_and_counts_grams(spark):
     w = dsir_weights(docs, F.col("tgt")).toPandas().set_index("doc_id")
     assert set(w.index) == {1}
     assert int(w.loc[1, "n_grams"]) == 5
+
+
+def test_leakage_safe_split_component_coherence(spark):
+    from stream4flow_spark.llmdata.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # pair graph: {3,17,29} is one transitive component (3-17, 17-29);
+    # {5,6} another; everyone else is a singleton
+    pairs = spark.createDataFrame(
+        [(3, 17), (17, 29), (5, 6)], "id_a long, id_b long"
+    )
+    weights = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = leakage_safe_split(docs, pairs, weights).toPandas().set_index(
+        "doc_id"
+    )
+    base = hash_split(docs, weights).toPandas().set_index("doc_id")
+
+    # every component member lands in ONE split: the min-id member's own
+    for comp in [(3, 17, 29), (5, 6)]:
+        rep = min(comp)
+        for m in comp:
+            assert out.loc[m, "split"] == base.loc[rep, "split"]
+            assert out.loc[m, "split_orig"] == base.loc[m, "split"]
+            assert bool(out.loc[m, "moved"]) == (
+                base.loc[m, "split"] != base.loc[rep, "split"]
+            )
+    # singletons keep their naive split, unmoved
+    for m in set(range(40)) - {3, 17, 29, 5, 6}:
+        assert out.loc[m, "split"] == base.loc[m, "split"]
+        assert not bool(out.loc[m, "moved"])
