@@ -3495,3 +3495,48 @@ def q_llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs,
         {"train": 0.8, "val": 0.1, "test": 0.1},
     ).select("doc_id", "split_orig", "split", "moved")
+
+
+@register(
+    "llm_hard_negatives",
+    covers="llm:hard-negatives llm:ann-topk A9",
+    oracle="""
+        WITH emb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+        ),
+        q AS (SELECT * FROM emb WHERE vec_id < 20),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 4) AS cos
+            FROM q JOIN emb c
+              ON q.vec_id <> c.vec_id
+             AND q.label IS DISTINCT FROM c.label
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id)
+                        AS INT) AS rank
+            FROM scored
+            WHERE cos IS NOT NULL AND NOT isnan(cos)
+        )
+        SELECT query_id, neighbor_id, cos, rank
+        FROM ranked WHERE rank <= 5
+        """,
+)
+def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (llmdata/
+    simsearch.py hard_negatives): for each of 20 anchor embeddings, the
+    5 most-cosine-similar vectors with a DIFFERENT label — the
+    embedding-space neighbors a contrastive loss needs as negatives.
+    cosine_topk's plan with the null-safe label exclusion pushed into
+    the broadcast-join condition: anchors broadcast, ONE map-only corpus
+    scan, JVM-side dots, per-partition top-k prune, exact rank window
+    over ≤ k·partitions survivors. The oracle brute-forces the same
+    scored set and rank at shared 4dp rounding."""
+    from stream4flow_spark.llmdata.simsearch import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 20), k=5)

@@ -68,9 +68,6 @@ def cosine_topk(
       |corpus| rows per query. At 100 TB the wide |Q|·|C| score relation
       never hits a shuffle.
     """
-    import pandas as pd
-    from pyspark.sql import Window
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -98,6 +95,14 @@ def cosine_topk(
     q_id_t = queries.schema[id_col].dataType.simpleString()
     c_id_t = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {q_id_t}, neighbor_id {c_id_t}, cos double"
+    return _rank_partial_topk(scored, k, out_schema)
+
+
+def _partial_topk_kernel(k: int):
+    """Per-partition incremental top-k reducer over (query_id,
+    neighbor_id, cos) Arrow batches — state bounded at k rows per query
+    seen in the partition."""
+    import pandas as pd
 
     def partial_topk(batches):
         # Incremental per-partition top-k: fold each Arrow batch into a
@@ -115,7 +120,15 @@ def cosine_topk(
         if buf is not None and len(buf):
             yield buf
 
-    pruned = scored.mapInPandas(partial_topk, out_schema)
+    return partial_topk
+
+
+def _rank_partial_topk(scored: DataFrame, k: int, out_schema: str) -> DataFrame:
+    """Local per-partition top-k prune, then the exact global rank window
+    over ≤ k · num_partitions survivors per query."""
+    from pyspark.sql import Window
+
+    pruned = scored.mapInPandas(_partial_topk_kernel(k), out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -124,6 +137,57 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor (query),
+    the top-k most-cosine-similar corpus vectors with a DIFFERENT label —
+    "looks like the anchor, isn't the anchor's class", the negatives that
+    actually move a contrastive loss.
+
+    Same plan as ``cosine_topk`` (the anchors broadcast, ONE map-only
+    corpus scan, JVM-side dots, per-partition top-k prune, tiny exact
+    rank window) with the label exclusion pushed into the broadcast-join
+    condition, so same-label rows never reach scoring. Label equality is
+    null-safe (two NULL labels count as the same class and are excluded)
+    — the deterministic rule both engines agree on.
+
+    Output: query_id, neighbor_id, cos, rank.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.col(label_col).alias("c_label"),
+    )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & ~F.col("q_label").eqNullSafe(F.col("c_label")),
+        )
+        .select("query_id", "neighbor_id", sim.alias("cos"))
+        .filter(F.col("cos").isNotNull() & ~F.isnan(F.col("cos")))
+    )
+    q_id_t = queries.schema[id_col].dataType.simpleString()
+    c_id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {q_id_t}, neighbor_id {c_id_t}, cos double"
+    return _rank_partial_topk(scored, k, out_schema)
 
 
 def cosine_pairs_blocked(

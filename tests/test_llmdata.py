@@ -1661,3 +1661,32 @@ def test_leakage_safe_split_component_coherence(spark):
     for m in set(range(40)) - {3, 17, 29, 5, 6}:
         assert out.loc[m, "split"] == base.loc[m, "split"]
         assert not bool(out.loc[m, "moved"])
+
+
+def test_hard_negatives_excludes_same_label_and_ranks_by_cos(spark):
+    from stream4flow_spark.llmdata.simsearch import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),     # anchor, class 1
+            (1, [0.99, 0.1], 1),    # nearest overall but SAME label
+            (2, [0.9, 0.2], 2),     # nearest cross-label
+            (3, [0.5, 0.5], 2),
+            (4, [0.0, 1.0], 3),
+            (5, [1.0, 0.01], None), # null label: distinct from 1
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = hard_negatives(
+        emb, emb.filter(F.col("vec_id") == 0), k=3
+    ).toPandas()
+    assert list(out["neighbor_id"]) == [5, 2, 3]  # 1 excluded (same label)
+    assert list(out["rank"]) == [1, 2, 3]
+    assert out["cos"].is_monotonic_decreasing
+
+    # null-safe rule: a NULL-label anchor treats NULL-label rows as SAME
+    out5 = hard_negatives(
+        emb, emb.filter(F.col("vec_id") == 5), k=10
+    ).toPandas()
+    assert 5 not in set(out5["neighbor_id"])
+    assert set(out5["neighbor_id"]) == {0, 1, 2, 3, 4}
