@@ -3540,3 +3540,47 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@register(
+    "llm_corpus_diff",
+    covers="llm:snapshot-diff llm:doc-fingerprint J6",
+    oracle="""
+        WITH o AS (
+            SELECT doc_id, md5(text) AS fp FROM documents
+            WHERE doc_id % 10 <> 0
+        ),
+        n AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 10 = 2
+                            THEN text || ' [v2]' ELSE text END) AS fp
+            FROM documents WHERE doc_id % 10 <> 1
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp <> n.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+)
+def q_llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff (llmdata/snapshot.py
+    corpus_diff): which documents were added / removed / changed /
+    unchanged between two corpus versions — the membership audit before
+    a retrain consumes a new crawl (rel_snapshot_drift answers the
+    statistical half). Old/new snapshots are carved deterministically
+    from the documents table (doc_id%10==0 absent from old, ==1 absent
+    from new, ==2 edited in new). Text digests map-side, so the
+    full-outer join carries (id, digest) only — text never shuffles."""
+    from stream4flow_spark.llmdata.snapshot import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 != 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 2, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)

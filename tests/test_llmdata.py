@@ -1690,3 +1690,31 @@ def test_hard_negatives_excludes_same_label_and_ranks_by_cos(spark):
     ).toPandas()
     assert 5 not in set(out5["neighbor_id"])
     assert set(out5["neighbor_id"]) == {0, 1, 2, 3, 4}
+
+
+def test_corpus_diff_statuses_and_digest_modes(spark):
+    from stream4flow_spark.llmdata.snapshot import (
+        corpus_diff,
+        corpus_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c-edited"), (4, "d")], "doc_id long, text string"
+    )
+    for digest in ("md5", "xxhash64"):
+        got = {
+            r.doc_id: r.status
+            for r in corpus_diff(old, new, digest=digest).collect()
+        }
+        assert got == {
+            1: "removed", 2: "unchanged", 3: "changed", 4: "added"
+        }
+    summary = {
+        r.status: r.n_docs for r in corpus_diff_summary(old, new).collect()
+    }
+    assert summary == {
+        "added": 1, "removed": 1, "changed": 1, "unchanged": 1
+    }
