@@ -25,7 +25,8 @@ files — while the same data written shuffle-random overlaps every file.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_clustered(
@@ -49,6 +50,99 @@ def write_clustered(
         part.sortWithinPartitions(*cluster_cols)
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def _quantile_bucket(col_name: str, boundaries: list[float]):
+    """Map-side quantile-bucket index for a numeric column: the count of
+    broadcast boundaries ≤ the value, folded JVM-side with a higher-order
+    aggregate (no UDF, no join). ``len(boundaries)+1`` buckets."""
+    v = F.col(col_name).cast("double")
+    return F.aggregate(
+        F.lit(boundaries),
+        F.lit(0),
+        lambda acc, b: acc + (v >= b).cast("int"),
+    )
+
+
+def zorder_column(bucket_cols, bits: int):
+    """Interleave the low ``bits`` bits of each bucket index into one
+    Z-value (Morton code) — pure Column shift/or math. Nearby Z-values
+    are nearby in EVERY dimension, so range-clustering on the Z-value
+    narrows per-file min/max on all participating columns at once."""
+    ncols = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for i, b in enumerate(bucket_cols):
+        b = b.cast("long")
+        for j in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, j).bitwiseAND(F.lit(1)), j * ncols + i
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    z_cols: list[str],
+    bits: int = 6,
+    n_files: int | None = None,
+    relative_error: float = 0.001,
+) -> None:
+    """Write ``df`` as parquet Z-ORDERED on multiple numeric columns.
+
+    ``write_clustered`` prunes perfectly on ONE column (the leading
+    sort key) and not at all on the others; Z-ordering trades a little
+    of that single-column tightness for pruning on EVERY ``z_col``: each
+    file owns a contiguous Z-range = a bounded set of hyper-rectangles,
+    so min/max footer stats are narrow in all dimensions — the layout a
+    table wants when queries filter on different columns on different
+    days (host AND time; source AND length).
+
+    Mechanics (the public recipe Delta/Iceberg OPTIMIZE uses, expressed
+    in plain Spark): per column, 2^bits quantile buckets from an
+    approxQuantile boundary list (driver-bounded: 2^bits-1 doubles per
+    column — the IVF-centroid pattern); bucket indices interleave into a
+    Morton code map-side; ``repartitionByRange`` + sort on the Z-value;
+    the synthetic column is dropped before write. Quantile (not linear)
+    bucketing keeps skewed columns balanced.
+
+    Numeric columns only (cast timestamps to long upstream).
+    """
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    zb = []
+    for c in z_cols:
+        bs = (
+            df.select(F.col(c).cast("double").alias("__zq"))
+            .na.drop()
+            .approxQuantile("__zq", probs, relative_error)
+        )
+        # dedupe collapsed boundaries (heavy skew) — fewer, wider buckets
+        bs = sorted(set(bs))
+        zb.append(_quantile_bucket(c, bs))
+    zdf = df.withColumn("__z", zorder_column(zb, bits))
+    if n_files is not None:
+        part = zdf.repartitionByRange(n_files, F.col("__z"))
+    else:
+        part = zdf.repartitionByRange(F.col("__z"))
+    (
+        part.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def overlapping_files(path: str, column: str, lo, hi) -> int:
+    """How many files a [lo, hi] predicate on ``column`` must read,
+    judged from footer min/max alone — the pruning meter for layout
+    tests and production health checks."""
+    return sum(
+        1 for fmin, fmax in file_ranges(path, column)
+        if not (fmax < lo or fmin > hi)
     )
 
 

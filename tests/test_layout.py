@@ -51,3 +51,69 @@ def test_clustered_layout_prunes_shuffled_layout_does_not(spark, tmp_path):
     assert back.count() == ev.filter(
         (F.col("user_id") >= lo) & (F.col("user_id") <= lo + 1)
     ).count()
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    from stream4flow_spark.sources.layout import (
+        overlapping_files,
+        write_zordered,
+    )
+
+    # deterministic 64x64 grid: x and y are independent, uniformly dense
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    n_files = 16
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(grid, zpath, ["x", "y"], bits=6, n_files=n_files)
+
+    # control: single-column range clustering prunes x, not y
+    cpath = str(tmp_path / "clustered_x")
+    write_clustered(grid, cpath, ["x"], n_files=n_files)
+    # control: shuffle-random prunes nothing
+    spath = str(tmp_path / "shuffled")
+    grid.repartition(n_files, "payload").write.parquet(spath)
+
+    # a one-value slice on EITHER dimension touches a minority of
+    # z-ordered files (ideally ~sqrt(n_files) = 4 of 16)
+    for col in ("x", "y"):
+        z_hit = overlapping_files(zpath, col, 31, 31)
+        assert z_hit <= n_files // 2, (col, z_hit)
+        assert overlapping_files(spath, col, 31, 31) == n_files
+    # single-column clustering: perfect on x, useless on y — the gap
+    # z-ordering closes
+    assert overlapping_files(cpath, "x", 31, 31) <= 2
+    assert overlapping_files(cpath, "y", 31, 31) == n_files
+
+    # round trip: no rows lost, predicate still pushed to the scan
+    back = spark.read.parquet(zpath)
+    assert back.count() == 4096
+    q = back.filter((F.col("y") >= 31) & (F.col("y") <= 31))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert q.count() == 64
+
+
+def test_zorder_quantile_buckets_balance_skewed_column(spark, tmp_path):
+    from stream4flow_spark.sources.layout import (
+        file_ranges,
+        overlapping_files,
+        write_zordered,
+    )
+
+    # y is heavily skewed (quadratic growth): linear bucketing would
+    # put most rows in one bucket; quantile bucketing keeps files narrow
+    # around the dense region
+    skewed = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") * F.col("id") / 1024).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(tmp_path / "zskew")
+    write_zordered(skewed, zpath, ["x", "y"], bits=6, n_files=16)
+    assert len(file_ranges(zpath, "y")) == 16
+    # dense region (y small): a point predicate still skips most files
+    assert overlapping_files(zpath, "y", 0, 0) <= 8
