@@ -2198,3 +2198,35 @@ def q_rel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("p50_ms") / 3600000.0, 4) + 0.0).alias("p50_hours"),
         (F.round(F.col("p90_ms") / 3600000.0, 4) + 0.0).alias("p90_hours"),
     )
+
+
+@register(
+    "rel_distinct_sketch_rollup",
+    covers="rel:sketch-rollup A3",
+    # rows-only by design: DataSketches HLL bytes are engine-specific —
+    # no DuckDB replay exists. Correctness is carried by the property
+    # tests (error <5% vs exact, daily-rollup merge == direct sketch,
+    # partitioning independence) in tests/test_operators.py.
+)
+def q_rel_distinct_sketch_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable distinct-count sketch rollup (operators/sketches.py):
+    one HLL sketch of distinct user_ids per (event_type, day),
+    materialized once, then UNIONED per event_type to answer the
+    arbitrary-range question from the rollup table instead of the raw
+    corpus — the Druid/BigQuery sketch-column pattern on Spark's
+    built-in hll_sketch_agg/hll_union_agg. At 100 TB the range query
+    aggregates |groups| ~4 KB sketches, not the event stream."""
+    from stream4flow_spark.operators.sketches import (
+        sketch_merge,
+        sketch_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    rollup = sketch_rollup(ev, ["event_type", "day"], "user_id")
+    return sketch_merge(rollup, ["event_type"]).select(
+        "event_type", F.col("n_distinct").cast("long").alias("n_users_est")
+    )

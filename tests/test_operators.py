@@ -773,3 +773,54 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank(df)
     assert out.columns == ["node", "pagerank"]
     assert out.count() == 0
+
+
+def test_hll_sketch_rollup_error_bound_and_merge_identity(spark):
+    from stream4flow_spark.operators.sketches import (
+        sketch_estimate,
+        sketch_merge,
+        sketch_rollup,
+    )
+    from stream4flow_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    # rollup per (type, day), merged back to type: within 5% of exact
+    rollup = sketch_rollup(ev, ["event_type", "day"], "user_id")
+    merged = {
+        r.event_type: r.n_distinct
+        for r in sketch_merge(rollup, ["event_type"]).collect()
+    }
+    assert set(merged) == set(exact)
+    for t, n in exact.items():
+        assert abs(merged[t] - n) / n < 0.05, (t, merged[t], n)
+
+    # merging daily sketches == sketching the whole stream directly
+    # (HLL registers are per-item maxima, so elementwise max over parts
+    # equals the registers of the combined stream)
+    direct = {
+        r.event_type: r.n_distinct
+        for r in sketch_estimate(
+            sketch_rollup(ev, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    assert merged == direct
+
+    # estimates are order/partitioning independent
+    re7 = {
+        r.event_type: r.n_distinct
+        for r in sketch_merge(
+            sketch_rollup(ev.repartition(7), ["event_type", "day"], "user_id"),
+            ["event_type"],
+        ).collect()
+    }
+    assert re7 == merged
