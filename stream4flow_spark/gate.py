@@ -897,3 +897,62 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pagerank_milli"
         ),
     )
+
+
+@register(
+    "host_triangles",
+    covers="net:graph-triangles J1 A2",
+    # oracle: canonical x<y<z three-way self-join over the distinct
+    # undirected host graph, then corner counts — the brute-force
+    # enumeration the degree-oriented Spark plan must reproduce exactly
+    oracle=oracle_query("""
+        WITH und AS (
+            SELECT DISTINCT
+                   LEAST(ipfix_sourceIPv4Address,
+                         ipfix_destinationIPv4Address) AS a,
+                   GREATEST(ipfix_sourceIPv4Address,
+                            ipfix_destinationIPv4Address) AS b
+            FROM flows
+            WHERE ipfix_sourceIPv4Address IS NOT NULL
+              AND ipfix_destinationIPv4Address IS NOT NULL
+              AND ipfix_sourceIPv4Address <> ipfix_destinationIPv4Address
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+            SELECT x AS host FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        )
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY 1
+        """),
+)
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle participation over the communication graph
+    (operators/triangles.py) — the peer-group density signal next to
+    host_pagerank's hub signal: scanners have many edges but no
+    triangles, service clusters are triangle-dense. Spark plan uses the
+    published degree-ordered orientation (Suri & Vassilvitskii WWW'11):
+    every edge points low→high in (degree, id) order, so each triangle
+    is enumerated once from its lowest corner and the wedge join's
+    fan-out is O(sqrt(m)) per node no matter how large a hub the raw
+    graph has — the property that survives a 100 TB flow graph. The
+    oracle brute-forces the canonical x<y<z enumeration."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.operators.triangles import triangle_count
+
+    fl = flows_df(spark, sf_dir)
+    edges = fl.filter(
+        F.col("ipfix_sourceIPv4Address").isNotNull()
+        & F.col("ipfix_destinationIPv4Address").isNotNull()
+    ).select(
+        F.col("ipfix_sourceIPv4Address").alias("src"),
+        F.col("ipfix_destinationIPv4Address").alias("dst"),
+    )
+    return triangle_count(edges)

@@ -1,0 +1,98 @@
+"""Distributed triangle counting (degree-ordered orientation).
+
+Triangles are the graph primitive behind clustering coefficients and
+peer-group detection (a scanning host has many edges but few triangles;
+a normal service cluster is triangle-dense), and on the curation side
+they density-profile near-dup/citation graphs.
+
+The naive three-way self-join explodes on hubs: a node of degree d
+contributes d² wedge candidates. The published fix (compact-forward;
+also Cohen's MapReduce variant, Suri & Vassilvitskii WWW'11) is to
+orient every undirected edge from the LOWER endpoint to the HIGHER in
+the total order (degree, id) and enumerate each triangle exactly once
+from its lowest-order corner: out-degrees under this orientation are
+bounded by O(sqrt(m)), so the wedge join is skew-bounded no matter how
+large a hub the raw graph has. Everything is DataFrame joins on narrow
+(id, id) pairs — Catalyst/AQE handle the physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _oriented(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Distinct undirected edges oriented low→high by (degree, id).
+
+    Output columns: u, v, du, dv (endpoint degrees carried along so the
+    wedge stage can enforce the order without re-joining degrees)."""
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    withdeg = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+
+
+def triangles(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Every triangle of the undirected graph exactly once: columns
+    x, y, z with x < y < z (plain id order, engine-portable)."""
+    o = _oriented(edges, src_col, dst_col)
+    # wedges at the lowest-order corner u: two out-edges u→v, u→w with
+    # (dv,v) < (dw,w); the closing edge v→w is oriented v→w by
+    # transitivity of the total order, so ONE semi-join closes it
+    e1 = o.select(
+        F.col("u"), F.col("v"), F.col("dv").alias("d1")
+    )
+    e2 = o.select(
+        F.col("u"), F.col("v").alias("w"), F.col("dv").alias("d2")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v") < F.col("w")))
+    )
+    closing = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    # canonicalize corners to plain id order for a stable, oracle-
+    # replayable output (the orientation order was an internal device)
+    arr = F.array_sort(F.array("u", "v", "w"))
+    return tri.select(
+        arr[0].alias("x"), arr[1].alias("y"), arr[2].alias("z")
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(host, n_triangles) for every node in at least one triangle."""
+    tri = triangles(edges, src_col, dst_col)
+    corners = (
+        tri.select(F.col("x").alias("host"))
+        .unionAll(tri.select(F.col("y").alias("host")))
+        .unionAll(tri.select(F.col("z").alias("host")))
+    )
+    return corners.groupBy("host").agg(F.count("*").alias("n_triangles"))

@@ -824,3 +824,36 @@ def test_hll_sketch_rollup_error_bound_and_merge_identity(spark):
         ).collect()
     }
     assert re7 == merged
+
+
+def test_triangle_count_known_graphs(spark):
+    from stream4flow_spark.operators.triangles import (
+        triangle_count,
+        triangles,
+    )
+
+    # K4 on {a,b,c,d}: 4 triangles, every node in exactly 3; edges fed
+    # with duplicates / reversed direction / a self-loop to exercise
+    # canonicalization
+    k4 = [("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
+          ("b","a"),("c","c"),("a","b")]
+    e = spark.createDataFrame(k4, "src string, dst string")
+    tri = triangles(e).collect()
+    assert len(tri) == 4
+    assert all(r.x < r.y < r.z for r in tri)
+    counts = {r.host: r.n_triangles for r in triangle_count(e).collect()}
+    assert counts == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    # star graph (hub h): many wedges at the hub, zero triangles — the
+    # degree orientation points every edge INTO the hub, so no wedge
+    # even forms there
+    star = [("h", f"s{i}") for i in range(20)]
+    e2 = spark.createDataFrame(star, "src string, dst string")
+    assert triangle_count(e2).count() == 0
+
+    # star + one closing rim edge: exactly 1 triangle
+    e3 = spark.createDataFrame(
+        star + [("s3", "s7")], "src string, dst string"
+    )
+    counts3 = {r.host: r.n_triangles for r in triangle_count(e3).collect()}
+    assert counts3 == {"h": 1, "s3": 1, "s7": 1}
