@@ -70,21 +70,24 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q11ish_important_parts", "tpch_q15ish_top_supplier",
     "tpch_q16ish_supplier_variety", "tpch_q17ish_small_quantity_revenue",
     "tpch_q20ish_excess_suppliers", "tpch_q21ish_sole_supplier",
-    # 34-39: six of the twelve rows-only queries — seven rounds with no
-    # driver row of ANY kind because oracle-backed staleness always
-    # consumed the window (r07 verdict item 3); the driver records its
-    # weaker rows-only check for these. The other six get r09 slots.
-    "llm_simhash_dedup", "llm_winnow_neardup", "llm_embedding_neardup_lsh",
-    "llm_ann_ivf_topk", "llm_bpe_tokenize", "llm_quality_model",
-    # 40-50: new-in-r08 queries (never verified by definition), then
+    # 34-39: six of the twelve rows-only queries with NO driver row of
+    # any kind yet, so the driver's weaker rows-only check runs at least
+    # once on each (r07 verdict item 3). llm_embedding_neardup_lsh and
+    # llm_ann_ivf_topk, first drafted here, already HAD early-round rows
+    # (the staleness CI caught it) — swapped for two genuinely
+    # never-seen ones; the remaining never-seen rows-only queries get
+    # r09 slots.
+    "llm_simhash_dedup", "llm_winnow_neardup", "llm_winnow_fingerprints",
+    "llm_ann_quantized_topk", "llm_bpe_tokenize", "llm_quality_model",
+    # 40-50: new-in-r08 queries (never verified by definition — the
+    # staleness policy REQUIRES the oracle-backed ones here), then
     # r06-cohort pre-rotation filling the remainder — pulling part of
     # next round's 50-query r06 cohort forward so the r09 window
-    # (remaining r06 cohort + r09 additions + the other 6 rows-only)
+    # (remaining r06 cohort + r09 additions + the other rows-only)
     # fits its 50 slots.
     "llm_exact_substr_dedup", "llm_cluster_balanced_sample",
-    "llm_dsir_select",
-    "alert_suppression", "application_template",
-    "dns_external_resolvers", "dns_open_resolvers", "dns_statistics",
+    "llm_dsir_select", "llm_leakage_safe_split", "llm_hard_negatives",
+    "llm_corpus_diff", "host_triangles", "rel_distinct_sketch_rollup",
     "domain_entropy", "host_daily_profile", "host_stats",
 ]
 

@@ -48,6 +48,12 @@ _NESTED_LOOP_OK = {
     # r7: same 1-row corpus-token total broadcast into the unigram
     # scoring join that llm_unigram_logprob carries
     "llm_perplexity_buckets",
+    # r8: DSIR's 1-row target/raw gram-total aggregate broadcast into
+    # the log-ratio arithmetic — build side is exactly one row
+    "llm_dsir_select",
+    # r8: inherits cosine_topk's broadcast-bounded-queries kernel with
+    # the label exclusion in the join condition (20 anchor rows)
+    "llm_hard_negatives",
 }
 
 
@@ -132,6 +138,10 @@ def test_no_broadcast_hint_on_scale_growing_tables():
         # r7: trigram source-overlap's per-source gram counts — one row
         # per SOURCE (bounded by the source vocabulary, not the corpus)
         "sa", "sb",
+        # r8: DSIR's 1-row gram totals ("totals"), its ≤n_buckets-row
+        # log-ratio table ("lam"), and the gate's LIMIT-k selection
+        # ("sel") — all bounded by construction, never by the corpus
+        "totals", "lam", "sel",
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []
