@@ -2230,3 +2230,46 @@ def q_rel_distinct_sketch_rollup(
     return sketch_merge(rollup, ["event_type"]).select(
         "event_type", F.col("n_distinct").cast("long").alias("n_users_est")
     )
+
+
+@register(
+    "rel_rolling_active_users",
+    covers="rel:rolling-distinct W2 A3",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                            user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM pairs)
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_active_7d
+        FROM days d
+        JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1
+        """,
+)
+def q_rel_rolling_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day active users per day (operators/window_agg.py
+    rolling_distinct) — the DAU→WAU product metric, in the shape that
+    survives 100 TB: ONE distinct collapses events to (day, user)
+    pairs, each pair fans out IN-TASK to the ≤7 window days it serves
+    (sequence+explode, zero join), one distinct-count per day. Shuffle
+    is O(7 · active pairs), independent of raw event count — the oracle
+    brute-forces the day×pairs range join instead. The HLL twin
+    (operators/sketches.rolling_distinct_sketch, property-tested within
+    5% of this exact result) replaces the pair fan-out with 7 daily
+    sketch unions when key cardinality itself is the problem."""
+    from stream4flow_spark.operators.window_agg import rolling_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_distinct(
+        ev, "ts", "user_id", window_days=7, out_col="n_active_7d"
+    )
+    # DATE dtypes stringify differently across engines (date vs
+    # midnight timestamp) — emit the canonical string on both sides
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_active_7d"
+    )

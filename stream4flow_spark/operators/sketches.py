@@ -76,3 +76,46 @@ def sketch_estimate(
         *key_cols,
         F.hll_sketch_estimate(F.col(sketch_col)).alias(estimate_col),
     )
+
+
+def rolling_distinct_sketch(
+    df: DataFrame,
+    time_col: str,
+    key_col: str,
+    window_days: int = 7,
+    lg_config_k: int = 12,
+    day_col: str = "day",
+    out_col: str = "n_active_est",
+) -> DataFrame:
+    """Sketch twin of ``operators/window_agg.rolling_distinct``: one HLL
+    per day (built once), then each output day UNIONS its ≤W trailing
+    daily sketches — shuffle O(W · days · 4 KB), independent of both raw
+    rows AND key cardinality. The exact twin's W·pairs fan-out grows
+    with the active-key set; this one never does — the right side of
+    the trade for MAU-style windows over huge key spaces."""
+    daily = sketch_rollup(
+        df.select(
+            F.to_date(F.col(time_col)).alias(day_col), F.col(key_col)
+        ),
+        [day_col],
+        key_col,
+        lg_config_k=lg_config_k,
+    )
+    days = daily.select(day_col)
+    fan = daily.select(
+        F.explode(
+            F.sequence(
+                F.col(day_col),
+                F.date_add(F.col(day_col), window_days - 1),
+            )
+        ).alias(day_col),
+        "hll",
+    )
+    merged = (
+        fan.join(F.broadcast(days), day_col)
+        .groupBy(day_col)
+        .agg(F.hll_union_agg("hll").alias("__m"))
+    )
+    return merged.select(
+        day_col, F.hll_sketch_estimate("__m").alias(out_col)
+    )

@@ -88,7 +88,7 @@ WINDOW_PRIORITY: list[str] = [
     "llm_exact_substr_dedup", "llm_cluster_balanced_sample",
     "llm_dsir_select", "llm_leakage_safe_split", "llm_hard_negatives",
     "llm_corpus_diff", "host_triangles", "rel_distinct_sketch_rollup",
-    "domain_entropy", "host_daily_profile", "host_stats",
+    "rel_rolling_active_users", "host_daily_profile", "host_stats",
 ]
 
 

@@ -857,3 +857,23 @@ def test_triangle_count_known_graphs(spark):
     )
     counts3 = {r.host: r.n_triangles for r in triangle_count(e3).collect()}
     assert counts3 == {"h": 1, "s3": 1, "s7": 1}
+
+
+def test_rolling_distinct_sketch_tracks_exact(spark):
+    from stream4flow_spark.operators.sketches import rolling_distinct_sketch
+    from stream4flow_spark.operators.window_agg import rolling_distinct
+    from stream4flow_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.day: r.n_active
+        for r in rolling_distinct(ev, "ts", "user_id", 7).collect()
+    }
+    est = {
+        r.day: r.n_active_est
+        for r in rolling_distinct_sketch(ev, "ts", "user_id", 7).collect()
+    }
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) / n < 0.05, (day, est[day], n)
