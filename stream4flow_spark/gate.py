@@ -956,3 +956,75 @@ def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ipfix_destinationIPv4Address").alias("dst"),
     )
     return triangle_count(edges)
+
+
+def _kcore_oracle(k: int = 6, rounds: int = 5) -> str:
+    """Replays operators/kcore.py fixed_rounds CTE-for-CTE: R peel
+    rounds (degree filter + both-endpoint semi-join) over the distinct
+    undirected host graph."""
+    head = """
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT
+                   LEAST(ipfix_sourceIPv4Address,
+                         ipfix_destinationIPv4Address) AS a,
+                   GREATEST(ipfix_sourceIPv4Address,
+                            ipfix_destinationIPv4Address) AS b
+            FROM flows
+            WHERE ipfix_sourceIPv4Address IS NOT NULL
+              AND ipfix_destinationIPv4Address IS NOT NULL
+              AND ipfix_sourceIPv4Address <> ipfix_destinationIPv4Address
+        )
+    """
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+        d{i} AS MATERIALIZED (
+            SELECT n, COUNT(*) AS deg FROM (
+                SELECT a AS n FROM e{i} UNION ALL SELECT b FROM e{i}
+            ) GROUP BY 1
+        ),
+        k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE deg >= {k}),
+        e{i + 1} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{i} e
+            JOIN k{i} x ON e.a = x.n
+            JOIN k{i} y ON e.b = y.n
+        )""")
+    tail = f"""
+        SELECT n AS host, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM (
+            SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+        ) GROUP BY 1
+    """
+    return oracle_query(head.strip() + "," + ",".join(steps) + tail)
+
+
+@register(
+    "host_kcore",
+    covers="net:graph-kcore J1 A2",
+    oracle=_kcore_oracle(),
+)
+def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-backbone extraction: the subgraph left after 5 fixed peel
+    rounds toward the 6-core of the host communication graph
+    (operators/kcore.py) — scanners and leaf hosts peel out in the
+    first rounds, infrastructure meshes survive; the third graph lens
+    next to host_pagerank (hubs) and host_triangles (local density).
+    fixed_rounds composes the peel as ONE static plan with no
+    driver-side state, which is what lets the DuckDB oracle replay all
+    5 rounds CTE-for-CTE and the driver hash-certify an ITERATIVE
+    pipeline — the host_pagerank device. Each round is a degree
+    aggregate + two semi-joins over (id, id) edges; payloads never
+    travel."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.operators.kcore import kcore
+
+    fl = flows_df(spark, sf_dir)
+    edges = fl.filter(
+        F.col("ipfix_sourceIPv4Address").isNotNull()
+        & F.col("ipfix_destinationIPv4Address").isNotNull()
+    ).select(
+        F.col("ipfix_sourceIPv4Address").alias("src"),
+        F.col("ipfix_destinationIPv4Address").alias("dst"),
+    )
+    return kcore(edges, k=6, fixed_rounds=5)

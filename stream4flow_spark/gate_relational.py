@@ -2273,3 +2273,88 @@ def q_rel_rolling_active_users(
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n_active_7d"
     )
+
+
+@register(
+    "rel_attribution",
+    covers="rel:attribution rel:forward-fill A1",
+    oracle="""
+        WITH tl AS (
+            SELECT user_id, event_type, value,
+                   FIRST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                    THEN event_type END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS ft,
+                   LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                                   THEN event_type END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS lt
+            FROM events
+        ),
+        conv AS (
+            SELECT COALESCE(ft, 'none') AS ft, COALESCE(lt, 'none') AS lt,
+                   CAST(value AS DECIMAL(10,2)) AS v
+            FROM tl WHERE event_type = 'purchase'
+        ),
+        unioned AS (
+            SELECT 'first_touch' AS model, ft AS touch_type, v FROM conv
+            UNION ALL
+            SELECT 'last_touch', lt, v FROM conv
+        )
+        SELECT model, touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS STRING) AS revenue
+        FROM unioned GROUP BY 1, 2
+        """,
+)
+def q_rel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: every purchase
+    credits its revenue to the user's FIRST and MOST RECENT preceding
+    touch event (view/click) — the product-analytics question behind
+    every funnel. ONE per-user forward-fill window (ordered by ts with
+    an event_id tiebreak) carries both the first and latest touch;
+    purchases then fan out in-task to the two attribution models
+    (explode of a 2-struct array, no second scan). Revenue sums in
+    per-row-cast DECIMAL so the result is shuffle-order independent and
+    emitted as the canonical string both engines agree on."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tl = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(10,2)").alias("v"),
+        F.first(touch, ignorenulls=True).over(w).alias("ft"),
+        F.last(touch, ignorenulls=True).over(w).alias("lt"),
+    )
+    conv = tl.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("ft", F.lit("none")).alias("ft"),
+        F.coalesce("lt", F.lit("none")).alias("lt"),
+        "v",
+    )
+    unioned = conv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("ft").alias("touch_type"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("lt").alias("touch_type"),
+                ),
+            )
+        ).alias("m"),
+        "v",
+    ).select("m.model", "m.touch_type", "v")
+    return unioned.groupBy("model", "touch_type").agg(
+        F.count("*").alias("n_conversions"),
+        F.sum("v").cast("decimal(38,2)").cast("string").alias("revenue"),
+    )

@@ -79,16 +79,15 @@ WINDOW_PRIORITY: list[str] = [
     # r09 slots.
     "llm_simhash_dedup", "llm_winnow_neardup", "llm_winnow_fingerprints",
     "llm_ann_quantized_topk", "llm_bpe_tokenize", "llm_quality_model",
-    # 40-50: new-in-r08 queries (never verified by definition — the
-    # staleness policy REQUIRES the oracle-backed ones here), then
-    # r06-cohort pre-rotation filling the remainder — pulling part of
-    # next round's 50-query r06 cohort forward so the r09 window
-    # (remaining r06 cohort + r09 additions + the other rows-only)
-    # fits its 50 slots.
+    # 40-50: the eleven new-in-r08 queries (never verified by
+    # definition — the staleness policy REQUIRES the oracle-backed ones
+    # here). They filled the slots previously reserved for r06-cohort
+    # pre-rotation; the r09 window takes the full r06 cohort plus the
+    # remaining never-seen rows-only queries.
     "llm_exact_substr_dedup", "llm_cluster_balanced_sample",
     "llm_dsir_select", "llm_leakage_safe_split", "llm_hard_negatives",
     "llm_corpus_diff", "host_triangles", "rel_distinct_sketch_rollup",
-    "rel_rolling_active_users", "host_daily_profile", "host_stats",
+    "rel_rolling_active_users", "rel_attribution", "host_kcore",
 ]
 
 

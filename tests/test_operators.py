@@ -877,3 +877,26 @@ def test_rolling_distinct_sketch_tracks_exact(spark):
     assert set(est) == set(exact)
     for day, n in exact.items():
         assert abs(est[day] - n) / n < 0.05, (day, est[day], n)
+
+
+def test_kcore_peels_pendants_and_keeps_clique(spark):
+    from stream4flow_spark.operators.kcore import kcore
+
+    # K5 on a..e (4-core) + a pendant chain e-p1-p2-p3: chain peels out
+    # over cascading rounds, clique survives with in-core degree 4
+    k5 = [(x, y) for i, x in enumerate("abcde") for y in "abcde"[i+1:]]
+    chain = [("e", "p1"), ("p1", "p2"), ("p2", "p3")]
+    e = spark.createDataFrame(k5 + chain, "src string, dst string")
+
+    core = {r.host: r.core_degree for r in kcore(e, k=2).collect()}
+    assert core == {x: 4 for x in "abcde"}
+    # k above the clique's connectivity: everything peels
+    assert kcore(e, k=5).count() == 0
+    # fixed_rounds too small to finish the cascade leaves chain remnants;
+    # enough rounds matches the converged result
+    assert kcore(e, k=2, fixed_rounds=1).count() > 5
+    fixed = {
+        r.host: r.core_degree
+        for r in kcore(e, k=2, fixed_rounds=4).collect()
+    }
+    assert fixed == core

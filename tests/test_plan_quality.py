@@ -142,6 +142,10 @@ def test_no_broadcast_hint_on_scale_growing_tables():
         # log-ratio table ("lam"), and the gate's LIMIT-k selection
         # ("sel") — all bounded by construction, never by the corpus
         "totals", "lam", "sel",
+        # r8: rolling-distinct's observed-day set — one row per calendar
+        # day in the data span (years of days is still KBs), never a
+        # function of row or key count
+        "days",
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []
