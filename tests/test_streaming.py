@@ -2408,3 +2408,61 @@ def test_stream_weighted_reservoir_evicts_and_is_idempotent(spark, tmp_path):
     }
     assert got == want
     assert 4 in {d for d, _ in got}  # the heavy row made the reservoir
+
+
+def test_stream_rolling_active_matches_batch(spark, tmp_path):
+    """The chained dedup→sliding-window streaming twin must track the
+    batch fan-out rolling_distinct within the approx_count_distinct
+    error on every observed day once the watermark closes all windows
+    (sentinel trick). Exact COUNT(DISTINCT) is not expressible in a
+    streaming aggregate — the twin's window state is an HLL± sketch."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.operators.window_agg import rolling_distinct
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.rolling import rolling_active_stream
+
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        str(r.day): r.n_active
+        for r in rolling_distinct(ev, "ts", "user_id", 7).collect()
+    }
+    observed_days = set(want)
+
+    src = tmp_path / "ev_roll"
+    src.mkdir()
+    pdf = (
+        ev.select("user_id", F.unix_millis("ts").alias("tms"))
+        .toPandas()
+        .sort_values("tms")
+    )
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(src / "f0.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(str(src / "f1.parquet"), index=False)
+    # sentinel 30 days past the end: the global watermark passes every
+    # real window, so all counts emit in append mode
+    pd.DataFrame(
+        {"user_id": [-1], "tms": [int(pdf["tms"].max()) + 30 * 86_400_000]}
+    ).to_parquet(str(src / "f2.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema("user_id long, tms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("user_id", F.timestamp_millis(F.col("tms")).alias("ts"))
+    )
+    out = run_stream_to_table(
+        rolling_active_stream(stream, "user_id", "ts", 7),
+        output_mode="append",
+    )
+    got = {
+        r.day: r.n_active_est
+        for r in out.collect()
+        if r.day in observed_days  # batch restricts to observed days
+    }
+    # the sentinel is 30 days out, so no observed window counts it
+    exact = dict(want)
+    assert set(got) == set(exact)
+    for day, n in exact.items():
+        assert abs(got[day] - n) / n <= 0.05, (day, got[day], n)
