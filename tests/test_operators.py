@@ -900,3 +900,25 @@ def test_kcore_peels_pendants_and_keeps_clique(spark):
         for r in kcore(e, k=2, fixed_rounds=4).collect()
     }
     assert fixed == core
+
+
+def test_triangle_orientation_bounds_hub_fanout(spark):
+    """The scale property itself, quantified: degree-ordered orientation
+    caps the wedge-join fan-out. A 2000-edge hub in a sparse rim keeps
+    its raw degree, but every hub edge points INTO it (out-degree 0),
+    and no rim node's out-degree exceeds its own tiny degree — the
+    wedge work is O(sum outdeg²), independent of the hub."""
+    from stream4flow_spark.operators.triangles import _oriented
+
+    hub = [("hub", f"r{i}") for i in range(2000)]
+    rim = [(f"r{i}", f"r{i+1}") for i in range(0, 2000, 4)]
+    e = spark.createDataFrame(hub + rim, "src string, dst string")
+    out = (
+        _oriented(e, "src", "dst")
+        .groupBy("u")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    # raw max degree is 2000 (the hub); oriented out-degree stays tiny
+    assert out <= 3, out
