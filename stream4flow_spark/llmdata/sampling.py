@@ -90,16 +90,22 @@ def leakage_safe_split(
     """
     from stream4flow_spark.llmdata.dedup import connected_components
 
-    comp = connected_components(pairs)
+    # internal aliases so caller columns named "id"/"component" survive
+    # (drop-by-name after a join removes ALL matching columns)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("__lss_id"), F.col("component").alias("__lss_comp")
+    )
     base = df.withColumn(
         "split_orig", split_expr(F.col(key_col), weights, salt)
     )
-    joined = base.join(comp, base[key_col] == comp["id"], "left").drop("id")
-    rep = F.coalesce(F.col("component"), F.col(key_col))
+    joined = base.join(
+        comp, base[key_col] == comp["__lss_id"], "left"
+    ).drop("__lss_id")
+    rep = F.coalesce(F.col("__lss_comp"), F.col(key_col))
     return (
         joined.withColumn(out_col, split_expr(rep, weights, salt))
         .withColumn("moved", F.col(out_col) != F.col("split_orig"))
-        .drop("component")
+        .drop("__lss_comp")
     )
 
 

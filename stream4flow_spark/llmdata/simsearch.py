@@ -48,11 +48,18 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 4,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (excluding self).
 
     Output: query_id, neighbor_id, cos (double, optionally rounded so
     ranking ties break deterministically by neighbor_id).
+
+    ``exclude_label_col``: additionally exclude pairs whose label (that
+    column on both inputs) MATCHES — null-safely, so two NULL labels
+    count as the same class. This is hard-negative mining (see
+    ``hard_negatives``); the exclusion evaluates inside the broadcast
+    join, so same-label rows never reach scoring.
 
     Scale shape (the corpus is the big side, the query set is bounded):
 
@@ -68,14 +75,21 @@ def cosine_topk(
       |corpus| rows per query. At 100 TB the wide |Q|·|C| score relation
       never hits a shuffle.
     """
-    q = queries.select(
+    q_cols = [
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    c = corpus.select(
+    ]
+    c_cols = [
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ]
+    cond = F.col("query_id") != F.col("neighbor_id")
+    if exclude_label_col is not None:
+        q_cols.append(F.col(exclude_label_col).alias("__q_label"))
+        c_cols.append(F.col(exclude_label_col).alias("__c_label"))
+        cond = cond & ~F.col("__q_label").eqNullSafe(F.col("__c_label"))
+    q = queries.select(*q_cols)
+    c = corpus.select(*c_cols)
     sim = cosine(F.col("qv"), F.col("cv"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -87,7 +101,7 @@ def cosine_topk(
     # survive. A zero-norm vector has no defined direction — excluding it
     # from ranking is the only order both engines agree on.
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), cond)
         .select("query_id", "neighbor_id", sim.alias("cos"))
         .filter(F.col("cos").isNotNull() & ~F.isnan(F.col("cos")))
     )
@@ -153,41 +167,22 @@ def hard_negatives(
     "looks like the anchor, isn't the anchor's class", the negatives that
     actually move a contrastive loss.
 
-    Same plan as ``cosine_topk`` (the anchors broadcast, ONE map-only
-    corpus scan, JVM-side dots, per-partition top-k prune, tiny exact
-    rank window) with the label exclusion pushed into the broadcast-join
-    condition, so same-label rows never reach scoring. Label equality is
-    null-safe (two NULL labels count as the same class and are excluded)
-    — the deterministic rule both engines agree on.
+    Exactly ``cosine_topk`` with the label exclusion pushed into its
+    broadcast-join condition (``exclude_label_col``) — one kernel, no
+    second copy of the scoring pipeline. Label equality is null-safe
+    (two NULL labels count as the same class and are excluded).
 
     Output: query_id, neighbor_id, cos, rank.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-        F.col(label_col).alias("q_label"),
+    return cosine_topk(
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        exclude_label_col=label_col,
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-        F.col(label_col).alias("c_label"),
-    )
-    sim = cosine(F.col("qv"), F.col("cv"))
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    scored = (
-        c.join(
-            F.broadcast(q),
-            (F.col("query_id") != F.col("neighbor_id"))
-            & ~F.col("q_label").eqNullSafe(F.col("c_label")),
-        )
-        .select("query_id", "neighbor_id", sim.alias("cos"))
-        .filter(F.col("cos").isNotNull() & ~F.isnan(F.col("cos")))
-    )
-    q_id_t = queries.schema[id_col].dataType.simpleString()
-    c_id_t = corpus.schema[id_col].dataType.simpleString()
-    out_schema = f"query_id {q_id_t}, neighbor_id {c_id_t}, cos double"
-    return _rank_partial_topk(scored, k, out_schema)
 
 
 def cosine_pairs_blocked(

@@ -24,29 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _und_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
-    return (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .distinct()
-    )
-
-
-def _degrees(e: DataFrame) -> DataFrame:
-    return (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("deg"))
-    )
+from stream4flow_spark.operators.graph import degrees, und_edges
 
 
 def _peel_once(e: DataFrame, k: int) -> DataFrame:
-    keep = _degrees(e).filter(F.col("deg") >= k).select("n")
+    keep = degrees(e).filter(F.col("deg") >= k).select("n")
     return (
         e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
         .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
@@ -69,7 +51,7 @@ def kcore(
     (oracle-replayable; pass R ≥ the graph's peel depth for the true
     core). Default: peel until no edge is removed, with localCheckpoint
     hygiene per round."""
-    e = _und_edges(edges, src_col, dst_col)
+    e = und_edges(edges, src_col, dst_col)
     if fixed_rounds is not None:
         # each round reads its edge frame 3× (degree union + two
         # semi-join probes), so a statically-composed chain re-derives
@@ -83,16 +65,14 @@ def kcore(
             e = nxt
     else:
         e = e.localCheckpoint(eager=True)
-        try:
-            for _ in range(max_rounds):
-                nxt = _peel_once(e, k).localCheckpoint(eager=True)
-                n_prev, n_now = e.count(), nxt.count()
-                e.unpersist()
-                e = nxt
-                if n_now == n_prev or n_now == 0:
-                    break
-        finally:
-            pass  # final frame stays checkpointed for the consumer
-    return _degrees(e).select(
+        # the final frame stays checkpointed for the consumer
+        for _ in range(max_rounds):
+            nxt = _peel_once(e, k).localCheckpoint(eager=True)
+            n_prev, n_now = e.count(), nxt.count()
+            e.unpersist()
+            e = nxt
+            if n_now == n_prev or n_now == 0:
+                break
+    return degrees(e).select(
         F.col("n").alias("host"), F.col("deg").alias("core_degree")
     )

@@ -27,20 +27,10 @@ def _oriented(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
 
     Output columns: u, v, du, dv (endpoint degrees carried along so the
     wedge stage can enforce the order without re-joining degrees)."""
-    und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("n"))
-        .unionAll(und.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("deg"))
-    )
+    from stream4flow_spark.operators.graph import degrees, und_edges
+
+    und = und_edges(edges, src_col, dst_col)
+    deg = degrees(und)
     withdeg = (
         und.join(deg.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a")
         .join(deg.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")

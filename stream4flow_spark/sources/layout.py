@@ -113,16 +113,18 @@ def write_zordered(
     """
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE pass computes every column's boundary list (approxQuantile
+    # takes a column list; per-column nulls are ignored independently)
+    casted = df.select(
+        *[F.col(c).cast("double").alias(f"__zq{i}") for i, c in enumerate(z_cols)]
+    )
+    all_bs = casted.approxQuantile(
+        [f"__zq{i}" for i in range(len(z_cols))], probs, relative_error
+    )
     zb = []
-    for c in z_cols:
-        bs = (
-            df.select(F.col(c).cast("double").alias("__zq"))
-            .na.drop()
-            .approxQuantile("__zq", probs, relative_error)
-        )
+    for c, bs in zip(z_cols, all_bs):
         # dedupe collapsed boundaries (heavy skew) — fewer, wider buckets
-        bs = sorted(set(bs))
-        zb.append(_quantile_bucket(c, bs))
+        zb.append(_quantile_bucket(c, sorted(set(bs))))
     zdf = df.withColumn("__z", zorder_column(zb, bits))
     if n_files is not None:
         part = zdf.repartitionByRange(n_files, F.col("__z"))

@@ -56,13 +56,20 @@ def rolling_active_stream(
         .dropDuplicatesWithinWatermark(["day_ts", "k"])
     )
     win = F.window("day_ts", f"{window_days} days", "1 day")
+    agged = pairs.groupBy(win.alias("w")).agg(
+        F.approx_count_distinct("k", rsd).alias("n_active_est"),
+        F.max("day_ts").alias("__latest"),
+    )
+    # the batch twin emits one row per OBSERVED day; without this
+    # filter the last active day's pairs would also emit its W-1
+    # trailing windows (phantom days with no events). A window's
+    # labeled day is observed exactly when the window's latest pair
+    # falls on it.
+    labeled = F.date_sub(F.col("w.end").cast("date"), 1)
     return (
-        pairs.groupBy(win.alias("w"))
-        .agg(F.approx_count_distinct("k", rsd).alias("n_active_est"))
+        agged.filter(F.col("__latest").cast("date") == labeled)
         .select(
-            F.date_format(
-                F.date_sub(F.col("w.end").cast("date"), 1), "yyyy-MM-dd"
-            ).alias("day"),
+            F.date_format(labeled, "yyyy-MM-dd").alias("day"),
             "n_active_est",
         )
     )

@@ -1718,3 +1718,20 @@ def test_corpus_diff_statuses_and_digest_modes(spark):
     assert summary == {
         "added": 1, "removed": 1, "changed": 1, "unchanged": 1
     }
+
+
+def test_leakage_safe_split_preserves_caller_id_and_component_columns(spark):
+    from stream4flow_spark.llmdata.sampling import leakage_safe_split
+
+    # caller columns named "id"/"component" must survive the internal
+    # component join (regression: drop-by-name removed them)
+    docs = spark.createDataFrame(
+        [(i, i * 10, f"c{i}") for i in range(8)],
+        "doc_id long, id long, component string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = leakage_safe_split(docs, pairs, {"train": 0.5, "test": 0.5})
+    assert {"doc_id", "id", "component", "split_orig", "split", "moved"} \
+        <= set(out.columns)
+    rows = {r.doc_id: (r.id, r.component) for r in out.collect()}
+    assert rows[3] == (30, "c3")

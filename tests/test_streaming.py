@@ -2456,12 +2456,12 @@ def test_stream_rolling_active_matches_batch(spark, tmp_path):
         rolling_active_stream(stream, "user_id", "ts", 7),
         output_mode="append",
     )
-    got = {
-        r.day: r.n_active_est
-        for r in out.collect()
-        if r.day in observed_days  # batch restricts to observed days
-    }
-    # the sentinel is 30 days out, so no observed window counts it
+    got = {r.day: r.n_active_est for r in out.collect()}
+    # the stream's observed-day filter must yield EXACTLY the batch
+    # day set (plus the sentinel's own far-future day, which is real)
+    sentinel_days = set(got) - observed_days
+    assert len(sentinel_days) <= 1, sentinel_days
+    got = {d: n for d, n in got.items() if d in observed_days}
     exact = dict(want)
     assert set(got) == set(exact)
     for day, n in exact.items():
