@@ -117,3 +117,28 @@ def test_zorder_quantile_buckets_balance_skewed_column(spark, tmp_path):
     assert len(file_ranges(zpath, "y")) == 16
     # dense region (y small): a point predicate still skips most files
     assert overlapping_files(zpath, "y", 0, 0) <= 8
+
+
+def test_zorder_morton_interleave_exhaustive(spark):
+    from stream4flow_spark.sources.layout import zorder_column
+
+    # exhaustive 3-bit × 3-bit check against the reference interleave
+    df = spark.range(64).select(
+        (F.col("id") % 8).alias("x"), (F.col("id") / 8).cast("long").alias("y")
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y",
+            zorder_column([F.col("x"), F.col("y")], bits=3).alias("z"),
+        ).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for j in range(3):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    assert got == {(x, y): ref(x, y) for x in range(8) for y in range(8)}
