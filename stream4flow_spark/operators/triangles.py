@@ -29,7 +29,10 @@ def _oriented(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     wedge stage can enforce the order without re-joining degrees)."""
     from stream4flow_spark.operators.graph import degrees, und_edges
 
-    und = und_edges(edges, src_col, dst_col)
+    # und feeds the degree union (2 refs) AND the orientation join — an
+    # uncached frame re-derives the whole upstream edge pipeline per
+    # reference (the same multiplicative-rescan trap kcore documents)
+    und = und_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
     deg = degrees(und)
     withdeg = (
         und.join(deg.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a")
@@ -46,12 +49,14 @@ def _oriented(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     )
 
 
-def triangles(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+def _triangles_oriented(
+    edges: DataFrame, src_col: str, dst_col: str
 ) -> DataFrame:
-    """Every triangle of the undirected graph exactly once: columns
-    x, y, z with x < y < z (plain id order, engine-portable)."""
-    o = _oriented(edges, src_col, dst_col)
+    """Every triangle exactly once as (u, v, w) in ORIENTATION order
+    (lowest-(degree,id) corner first) — the raw enumeration both public
+    views share."""
+    # o feeds both wedge legs and the closing semi-join (3 refs)
+    o = _oriented(edges, src_col, dst_col).localCheckpoint(eager=True)
     # wedges at the lowest-order corner u: two out-edges u→v, u→w with
     # (dv,v) < (dw,w); the closing edge v→w is oriented v→w by
     # transitivity of the total order, so ONE semi-join closes it
@@ -66,7 +71,17 @@ def triangles(
         | ((F.col("d1") == F.col("d2")) & (F.col("v") < F.col("w")))
     )
     closing = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    return wedges.join(closing, ["v", "w"], "left_semi").select(
+        "u", "v", "w"
+    )
+
+
+def triangles(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Every triangle of the undirected graph exactly once: columns
+    x, y, z with x < y < z (plain id order, engine-portable)."""
+    tri = _triangles_oriented(edges, src_col, dst_col)
     # canonicalize corners to plain id order for a stable, oracle-
     # replayable output (the orientation order was an internal device)
     arr = F.array_sort(F.array("u", "v", "w"))
@@ -78,11 +93,15 @@ def triangles(
 def triangle_count(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:
-    """(host, n_triangles) for every node in at least one triangle."""
-    tri = triangles(edges, src_col, dst_col)
+    """(host, n_triangles) for every node in at least one triangle.
+
+    Counts corners straight off the oriented enumeration — corner
+    membership doesn't care about order, so the canonicalizing
+    array_sort pass over every triangle row is skipped."""
+    tri = _triangles_oriented(edges, src_col, dst_col)
     corners = (
-        tri.select(F.col("x").alias("host"))
-        .unionAll(tri.select(F.col("y").alias("host")))
-        .unionAll(tri.select(F.col("z").alias("host")))
+        tri.select(F.col("u").alias("host"))
+        .unionAll(tri.select(F.col("v").alias("host")))
+        .unionAll(tri.select(F.col("w").alias("host")))
     )
     return corners.groupBy("host").agg(F.count("*").alias("n_triangles"))
