@@ -105,3 +105,38 @@ def triangle_count(
         .unionAll(tri.select(F.col("w").alias("host")))
     )
     return corners.groupBy("host").agg(F.count("*").alias("n_triangles"))
+
+
+def clustering_coefficient(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(host, degree, n_triangles, coefficient): local clustering
+    coefficient = 2·triangles / (deg·(deg−1)) — how close each node's
+    neighborhood is to a clique (1.0 = clique member, 0 = star hub).
+    The normalized form of triangle_count that makes hosts of different
+    degrees comparable; nodes in no triangle get coefficient 0.
+    One extra id-keyed left join of the (small) per-node triangle
+    counts against the degree table."""
+    from stream4flow_spark.operators.graph import degrees, und_edges
+
+    und = und_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    deg = degrees(und)
+    tri = triangle_count(und, "a", "b")
+    return (
+        deg.join(tri, deg["n"] == tri["host"], "left")
+        .select(
+            F.col("n").alias("host"),
+            F.col("deg").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("coefficient"),
+        )
+    )

@@ -922,3 +922,24 @@ def test_triangle_orientation_bounds_hub_fanout(spark):
     )
     # raw max degree is 2000 (the hub); oriented out-degree stays tiny
     assert out <= 3, out
+
+
+def test_clustering_coefficient_known_values(spark):
+    from stream4flow_spark.operators.triangles import clustering_coefficient
+
+    # K4 {a,b,c,d} + pendant e on a: clique nodes b,c,d have coeff 1;
+    # a has degree 4 and still only the 3 clique triangles -> 0.5;
+    # e has degree 1 -> 0
+    k4 = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i+1:]]
+    e = spark.createDataFrame(
+        k4 + [("a", "e")], "src string, dst string"
+    )
+    got = {
+        r.host: (r.degree, r.n_triangles, r.coefficient)
+        for r in clustering_coefficient(e).collect()
+    }
+    assert got["b"] == (3, 3, 1.0)
+    assert got["c"] == (3, 3, 1.0)
+    assert got["d"] == (3, 3, 1.0)
+    assert got["a"] == (4, 3, 0.5)
+    assert got["e"] == (1, 0, 0.0)

@@ -564,3 +564,97 @@ def test_weighted_sample_matches_python_aes_keys(spark, weights, k):
     order = sorted(range(len(weights)), key=lambda i: (-wkey(i, weights[i]), i))
     want = {i: r + 1 for r, i in enumerate(order[:k])}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_leakage_safe_split_invariants_on_random_graphs(spark, raw_pairs):
+    """On ANY pair graph: (1) both members of every pair share a final
+    split; (2) docs touching no pair keep their naive split unmoved;
+    (3) the final split of every doc equals the naive split of its
+    transitive component's min id (sequential union-find oracle)."""
+    from stream4flow_spark.llmdata.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    pairs = [(a, b) for a, b in raw_pairs if a != b]
+    docs = spark.createDataFrame(
+        [(i,) for i in range(25)], "doc_id long"
+    )
+    weights = {"train": 0.7, "val": 0.15, "test": 0.15}
+    pdf = spark.createDataFrame(
+        pairs or [(0, 0)], "id_a long, id_b long"
+    ).filter("id_a != id_b")
+    out = {
+        r.doc_id: (r.split_orig, r.split, r.moved)
+        for r in leakage_safe_split(docs, pdf, weights).collect()
+    }
+    base = {
+        r.doc_id: r.split for r in hash_split(docs, weights).collect()
+    }
+
+    # sequential union-find
+    parent = list(range(25))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for i in range(25):
+        comp_min.setdefault(find(i), min(
+            j for j in range(25) if find(j) == find(i)
+        ))
+
+    touched = {x for p in pairs for x in p}
+    for i in range(25):
+        orig, final, moved = out[i]
+        assert orig == base[i]
+        rep = comp_min[find(i)] if i in touched else i
+        assert final == base[rep], (i, rep)
+        assert moved == (final != orig)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 13), st.integers(0, 6)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_rolling_distinct_matches_bruteforce(spark, day_key_pairs):
+    """rolling_distinct == the brute-force trailing-window set count on
+    arbitrary (day, key) multisets."""
+    import datetime
+
+    from stream4flow_spark.operators.window_agg import rolling_distinct
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(days=d), k) for d, k in day_key_pairs
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, key int")
+    got = {
+        str(r.day): r.n_active
+        for r in rolling_distinct(df, "ts", "key", window_days=3).collect()
+    }
+    days = sorted({d for d, _ in day_key_pairs})
+    want = {
+        str((base + datetime.timedelta(days=d)).date()): len(
+            {k for dd, k in day_key_pairs if d - 2 <= dd <= d}
+        )
+        for d in days
+    }
+    assert got == want
