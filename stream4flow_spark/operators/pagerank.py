@@ -37,6 +37,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     out_col: str = "pagerank",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Rank nodes of the DISTINCT directed graph in ``edges``.
 
@@ -44,7 +45,15 @@ def pagerank(
     Deterministic: same edges → bit-identical ranks on any
     partitioning (per-node contribution sums are the only float
     reductions; verify with a rounded compare across engines).
-    """
+
+    ``seeds``: PERSONALIZED PageRank — a one-column (node) DataFrame of
+    teleport targets. The (1−d) restart mass goes only to the seeds
+    (uniformly) instead of every node, so ranks answer "which nodes
+    matter *relative to this seed set*": similar hosts to a victim set,
+    documents related to a query set in the citation/near-dup graph.
+    The iteration arithmetic is otherwise identical; with
+    ``seeds=None`` (default) the result is exactly standard PageRank
+    (unit-tested equivalence against seeds=all-nodes)."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -64,8 +73,37 @@ def pagerank(
         e_deg.unpersist()
         nodes.unpersist()
         return nodes.withColumn(out_col, F.lit(0.0))
-    base = (1.0 - damping) / n
-    ranks = nodes.withColumn(out_col, F.lit(1.0 / n))
+    if seeds is None:
+        is_seed = F.lit(True)
+        n_seeds = n
+    else:
+        # seed membership as a broadcastable flag column — the seed set
+        # is bounded (a victim list / query docs), ids only on the wire
+        seed_ids = seeds.select(
+            F.col(seeds.columns[0]).alias("node")
+        ).distinct()
+        n_seeds = seed_ids.count()
+        if n_seeds == 0:
+            e_deg.unpersist()
+            nodes.unpersist()
+            raise ValueError("personalized pagerank needs >=1 seed node")
+        flagged = (
+            nodes.join(
+                F.broadcast(seed_ids.withColumn("__s", F.lit(True))),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("__s", F.lit(False)).alias("__s"))
+            .localCheckpoint(eager=True)
+        )
+        nodes.unpersist()  # superseded by the flagged frame
+        nodes = flagged
+        is_seed = F.col("__s")
+    base = (1.0 - damping) / n_seeds
+    ranks = nodes.withColumn(
+        out_col,
+        F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)),
+    ).select("node", out_col)
     for _ in range(iterations):
         contrib = (
             e_deg.join(
@@ -81,7 +119,7 @@ def pagerank(
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (
-                F.lit(base)
+                F.when(is_seed, F.lit(base)).otherwise(F.lit(0.0))
                 + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
             ).alias(out_col),
         )

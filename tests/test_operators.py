@@ -943,3 +943,36 @@ def test_clustering_coefficient_known_values(spark):
     assert got["d"] == (3, 3, 1.0)
     assert got["a"] == (4, 3, 0.5)
     assert got["e"] == (1, 0, 0.0)
+
+
+def test_personalized_pagerank_seed_semantics(spark):
+    from stream4flow_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "c")],
+        "src string, dst string",
+    )
+    # seeds = all nodes must reproduce standard pagerank exactly
+    all_nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "node string"
+    )
+    std = {r.node: r.pagerank for r in pagerank(edges).collect()}
+    per = {
+        r.node: r.pagerank
+        for r in pagerank(edges, seeds=all_nodes).collect()
+    }
+    assert per == std
+
+    # teleporting only to d: d and its sole successor c dominate, and
+    # total mass stays bounded by 1
+    seed_d = spark.createDataFrame([("d",)], "node string")
+    pd_ = {
+        r.node: r.pagerank for r in pagerank(edges, seeds=seed_d).collect()
+    }
+    assert pd_["d"] > pd_["a"] and pd_["c"] > pd_["a"]
+    assert abs(sum(pd_.values())) <= 1.000001
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank(edges, seeds=all_nodes.filter("node = 'zzz'"))
