@@ -2466,3 +2466,93 @@ def test_stream_rolling_active_matches_batch(spark, tmp_path):
     assert set(got) == set(exact)
     for day, n in exact.items():
         assert abs(got[day] - n) / n <= 0.05, (day, got[day], n)
+
+
+def test_stream_sketch_table_matches_batch_and_survives_compaction(
+    spark, tmp_path
+):
+    """Streaming-maintained sketch table == batch sketch_rollup on the
+    same data (exact estimate identity: HLL registers are per-item
+    maxima), redelivery of a batch dir is idempotent, and compaction
+    changes nothing."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.operators.sketches import (
+        sketch_estimate,
+        sketch_merge,
+        sketch_rollup,
+    )
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.sketches import (
+        compact_sketch_table,
+        read_sketch_table,
+        sketch_rollup_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        r.event_type: r.n_distinct
+        for r in sketch_merge(
+            sketch_rollup(
+                ev.select("event_type", F.to_date("ts").alias("day"), "user_id"),
+                ["event_type", "day"],
+                "user_id",
+            ),
+            ["event_type"],
+        ).collect()
+    }
+
+    src = tmp_path / "ev_sk"
+    src.mkdir()
+    pdf = ev.select(
+        "event_type", F.unix_millis("ts").alias("tms"), "user_id"
+    ).toPandas()
+    third = len(pdf) // 3
+    for i in range(3):
+        lo = i * third
+        hi = None if i == 2 else (i + 1) * third
+        pdf.iloc[lo:hi].to_parquet(str(src / f"f{i}.parquet"), index=False)
+
+    table = str(tmp_path / "sketch_table")
+    stream = (
+        spark.readStream.schema("event_type string, tms long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select(
+            "event_type", F.timestamp_millis(F.col("tms")).alias("ts"),
+            "user_id",
+        )
+    )
+    q = sketch_rollup_stream(
+        stream, ["event_type"], "user_id", "ts", table,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+
+    def merged_counts():
+        return {
+            r.event_type: r.n_distinct
+            for r in sketch_merge(
+                read_sketch_table(spark, table, ["event_type"]),
+                ["event_type"],
+            ).collect()
+        }
+
+    assert merged_counts() == want
+
+    # redelivery: re-writing one batch's sketches replaces, not extends
+    import glob
+    batch_dirs = sorted(glob.glob(f"{table}/batch=*"))
+    assert len(batch_dirs) >= 2
+    # materialize before the self-overwrite (lazy read + overwrite of
+    # the same dir would delete the files before the scan runs)
+    replay = spark.read.parquet(batch_dirs[0]).localCheckpoint(eager=True)
+    replay.write.mode("overwrite").parquet(batch_dirs[0])
+    assert merged_counts() == want
+
+    # compaction: one dir left, estimates unchanged
+    compact_sketch_table(spark, table, ["event_type"])
+    assert sorted(glob.glob(f"{table}/batch=*")) == [
+        f"{table}/batch=compacted"
+    ]
+    assert merged_counts() == want
