@@ -87,12 +87,9 @@ def pagerank(
             e_deg.unpersist()
             nodes.unpersist()
             raise ValueError("personalized pagerank needs >=1 seed node")
+        seed_flags = seed_ids.withColumn("__s", F.lit(True))
         flagged = (
-            nodes.join(
-                F.broadcast(seed_ids.withColumn("__s", F.lit(True))),
-                "node",
-                "left",
-            )
+            nodes.join(F.broadcast(seed_flags), "node", "left")
             .select("node", F.coalesce("__s", F.lit(False)).alias("__s"))
             .localCheckpoint(eager=True)
         )

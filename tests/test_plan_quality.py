@@ -146,6 +146,9 @@ def test_no_broadcast_hint_on_scale_growing_tables():
         # day in the data span (years of days is still KBs), never a
         # function of row or key count
         "days",
+        # r8: personalized PageRank's seed set — a bounded teleport
+        # list (victim hosts / query docs), never corpus-sized
+        "seed_flags",
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []
