@@ -35,3 +35,65 @@ def degrees(und: DataFrame) -> DataFrame:
         .groupBy("n")
         .agg(F.count("*").alias("deg"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), made deterministic: every node starts labeled with
+    itself; each round it adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label; fixed ``rounds``
+    (communities stabilize in a few rounds on modular graphs, and a
+    fixed count keeps the result a pure function of the input).
+
+    Where ``connected_components`` answers "who is reachable", LPA
+    answers "who is densely together" — two cliques joined by one
+    bridge edge are ONE component but TWO communities.
+
+    Scale shape: each round is one edge⋈label join + one (node, label)
+    count + one argmax-by-struct-min aggregate — ids and counts on the
+    wire, state one row per node, localCheckpoint per round (flat
+    lineage, the components/kcore hygiene).
+
+    Output: (node, community) — community = the shared label.
+    """
+    und = und_edges(edges, src_col, dst_col)
+    both = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = both.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        votes = (
+            both.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        nxt = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("w")
+            )
+            .select("node", F.col("w.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        labels.unpersist()
+        labels = nxt
+    out = labels.select("node", F.col("label").alias("community"))
+    both.unpersist()
+    return out

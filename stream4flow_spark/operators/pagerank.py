@@ -38,6 +38,7 @@ def pagerank(
     damping: float = 0.85,
     out_col: str = "pagerank",
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Rank nodes of the DISTINCT directed graph in ``edges``.
 
@@ -53,16 +54,34 @@ def pagerank(
     documents related to a query set in the citation/near-dup graph.
     The iteration arithmetic is otherwise identical; with
     ``seeds=None`` (default) the result is exactly standard PageRank
-    (unit-tested equivalence against seeds=all-nodes)."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    (unit-tested equivalence against seeds=all-nodes).
+
+    ``weight_col``: EDGE-WEIGHTED PageRank — each node's rank flows to
+    its successors proportionally to edge weight instead of uniformly
+    (duplicate (src, dst) rows pre-sum their weights). In a flow graph,
+    weighting by bytes/packets ranks hosts by traffic importance, not
+    edge count. Unweighted is the weight≡1 special case (tested)."""
+    if weight_col is None:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct()
+        outdeg = e.groupBy("src").agg(
+            F.count("*").cast("double").alias("deg")
+        )
+    else:
+        e = (
+            edges.groupBy(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+            .agg(F.sum(F.col(weight_col)).cast("double").alias("__w"))
+            .filter(F.col("__w") > 0)
+        )
+        outdeg = e.groupBy("src").agg(F.sum("__w").alias("deg"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     e_deg = e.join(outdeg, "src").persist()
     nodes = nodes.persist()
 
@@ -101,6 +120,9 @@ def pagerank(
         out_col,
         F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)),
     ).select("node", out_col)
+    share = (
+        F.lit(1.0) if weight_col is None else F.col("__w")
+    )  # fraction numerator: uniform vs weight-proportional
     for _ in range(iterations):
         contrib = (
             e_deg.join(
@@ -108,7 +130,7 @@ def pagerank(
             )
             .select(
                 F.col("dst").alias("node"),
-                (F.col(out_col) / F.col("deg")).alias("c"),
+                (F.col(out_col) * share / F.col("deg")).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))

@@ -976,3 +976,66 @@ def test_personalized_pagerank_seed_semantics(spark):
 
     with pytest.raises(ValueError):
         pagerank(edges, seeds=all_nodes.filter("node = 'zzz'"))
+
+
+def test_weighted_pagerank_splits_mass_by_weight(spark):
+    from stream4flow_spark.operators.pagerank import pagerank
+
+    # a sends to b and c with weights 3:1 — after one iteration b gets
+    # 3x c's in-mass share; weight=1 rows must reproduce the unweighted
+    # ranks exactly
+    edges = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    ranks = {
+        r.node: r.pagerank
+        for r in pagerank(edges, iterations=1, weight_col="w").collect()
+    }
+    base = (1 - 0.85) / 3
+    assert abs(ranks["b"] - (base + 0.85 * (1 / 3) * 0.75)) < 1e-12
+    assert abs(ranks["c"] - (base + 0.85 * (1 / 3) * 0.25)) < 1e-12
+
+    ones = edges.withColumn("w", F.lit(1.0))
+    w1 = {
+        r.node: r.pagerank
+        for r in pagerank(ones, iterations=3, weight_col="w").collect()
+    }
+    unw = {r.node: r.pagerank for r in pagerank(edges, iterations=3).collect()}
+    assert w1 == unw
+
+    # duplicate (src,dst) rows pre-sum: (a->b,2)+(a->b,1) == (a->b,3)
+    dup = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "b", 1.0), ("a", "c", 1.0),
+         ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    rdup = {
+        r.node: r.pagerank
+        for r in pagerank(dup, iterations=1, weight_col="w").collect()
+    }
+    assert rdup == ranks
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    from stream4flow_spark.llmdata.dedup import connected_components
+    from stream4flow_spark.operators.graph import label_propagation
+
+    # two K4 cliques joined by ONE bridge: one component, two communities
+    k4a = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i+1:]]
+    k4b = [(x, y) for i, x in enumerate("efgh") for y in "efgh"[i+1:]]
+    e = spark.createDataFrame(
+        k4a + k4b + [("d", "e")], "src string, dst string"
+    )
+    comm = {r.node: r.community for r in label_propagation(e, rounds=5).collect()}
+    assert len({comm[x] for x in "abcd"}) == 1
+    assert len({comm[x] for x in "efgh"}) == 1
+    assert comm["a"] != comm["e"]
+
+    comp = {
+        r.id: r.component
+        for r in connected_components(
+            e.withColumnRenamed("src", "id_a").withColumnRenamed("dst", "id_b")
+        ).collect()
+    }
+    assert len(set(comp.values())) == 1  # reachability says ONE blob
