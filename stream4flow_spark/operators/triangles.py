@@ -140,3 +140,42 @@ def clustering_coefficient(
             .alias("coefficient"),
         )
     )
+
+
+def triangle_count_sampled(
+    edges: DataFrame,
+    p: float,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    salt: str = "s4f-doulion",
+) -> DataFrame:
+    """DOULION (Tsourakakis et al., KDD'09) approximate GLOBAL triangle
+    count: keep each undirected edge with probability ``p`` via a
+    deterministic md5 coin on the canonical edge (engine/run/partition
+    independent — same edges, same estimate), count triangles on the
+    sparsified graph, scale by 1/p³ (each triangle survives with
+    probability p³). Expected work drops by p² on the wedge join — the
+    knob for when even the degree-oriented exact count is too much.
+
+    Output: one row, ``n_triangles_est`` (double). Variance shrinks as
+    p³·T grows; at p=1 this IS the exact count (tested)."""
+    from stream4flow_spark.operators.graph import und_edges
+
+    und = und_edges(edges, src_col, dst_col)
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("a"), F.lit("|"), F.col("b"), F.lit(salt))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        < int(p * 65536)
+    )
+    kept = und.filter(coin)
+    tri = _triangles_oriented(kept, "a", "b")
+    return tri.agg(
+        (F.count("*") / F.lit(p**3)).alias("n_triangles_est")
+    )

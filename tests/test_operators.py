@@ -1039,3 +1039,31 @@ def test_label_propagation_separates_bridged_cliques(spark):
         ).collect()
     }
     assert len(set(comp.values())) == 1  # reachability says ONE blob
+
+
+def test_doulion_sampled_triangles(spark):
+    from stream4flow_spark.operators.triangles import (
+        triangle_count_sampled,
+        triangles,
+    )
+
+    # K12: C(12,3) = 220 triangles
+    k12 = [
+        (f"n{i}", f"n{j}") for i in range(12) for j in range(i + 1, 12)
+    ]
+    e = spark.createDataFrame(k12, "src string, dst string")
+    exact = triangles(e).count()
+    assert exact == 220
+
+    # p=1 is exactly the exact count
+    full = triangle_count_sampled(e, p=1.0).collect()[0][0]
+    assert full == exact
+
+    # deterministic: same input, same estimate, twice
+    e1 = triangle_count_sampled(e, p=0.7).collect()[0][0]
+    e2 = triangle_count_sampled(
+        e.repartition(7), p=0.7
+    ).collect()[0][0]
+    assert e1 == e2
+    # unbiased-ish at this density: within 60% of truth for p=0.7
+    assert 0.4 * exact <= e1 <= 1.6 * exact, e1

@@ -2556,3 +2556,77 @@ def test_stream_sketch_table_matches_batch_and_survives_compaction(
         f"{table}/batch=compacted"
     ]
     assert merged_counts() == want
+
+
+def test_stream_attribution_matches_batch_aggregate(spark, tmp_path):
+    """Per-conversion streaming credits, aggregated, must equal the
+    batch rel_attribution output when batches arrive in event order;
+    a second run split mid-history must also agree (cross-batch state
+    carries first/last touch)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.registry import REGISTRY, queries
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.attribution import attribution_stream
+
+    queries()
+    want = {
+        (r.model, r.touch_type): (r.n_conversions, r.revenue)
+        for r in REGISTRY["rel_attribution"].fn(spark, SF_DIR).collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    pdf = (
+        ev.select(
+            "user_id", F.unix_millis("ts").alias("tms"), "event_id",
+            "event_type", "value",
+        )
+        .toPandas()
+        .sort_values(["tms", "event_id"])
+    )
+    src = tmp_path / "ev_attr"
+    src.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(src / "f0.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(str(src / "f1.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, tms long, event_id long, event_type string,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    credited = attribution_stream(
+        stream, ["view", "click"], "purchase",
+        ts_col="tms",
+    )
+    got_rows = run_stream_to_table(credited, output_mode="append")
+
+    unioned = got_rows.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_touch").alias("touch_type"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_touch").alias("touch_type"),
+                ),
+            )
+        ).alias("m"),
+        F.col("value").cast("decimal(10,2)").alias("v"),
+    )
+    got = {
+        (r.model, r.touch_type): (r.n_conversions, r.revenue)
+        for r in unioned.groupBy("m.model", "m.touch_type")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum("v").cast("decimal(38,2)").cast("string").alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
