@@ -82,8 +82,18 @@ WINDOW_PRIORITY: list[str] = [
     # 40-50: the eleven new-in-r08 queries (never verified by
     # definition — the staleness policy REQUIRES the oracle-backed ones
     # here). They filled the slots previously reserved for r06-cohort
-    # pre-rotation; the r09 window takes the full r06 cohort plus the
-    # remaining never-seen rows-only queries.
+    # pre-rotation.
+    #
+    # r09 PLANNING (computed at r08 close): once r08 goes green, exactly
+    # 50 oracle queries sit at latest=r06 and k=ceil(144/50)=3 makes the
+    # judging horizon r09-2=r07 — so the r09 window must EITHER be
+    # exactly that 50-query r06 cohort (no room for r09 additions or the
+    # 6 still-never-green rows-only: ann_ivf, embedding_neardup_lsh,
+    # audio_spectrogram, image_phash, length_stats_approx,
+    # semantic_dedup_lsh), OR r09 adds >=7 new oracle-backed queries so
+    # n_oracle>=151 pushes k to 4 and the horizon back to r06 — freeing
+    # slots for the additions + rows-only while the r06 cohort waits for
+    # r10. Adding 1-6 oracle queries is the one infeasible move.
     "llm_exact_substr_dedup", "llm_cluster_balanced_sample",
     "llm_dsir_select", "llm_leakage_safe_split", "llm_hard_negatives",
     "llm_corpus_diff", "host_triangles", "rel_distinct_sketch_rollup",
