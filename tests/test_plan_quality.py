@@ -365,3 +365,45 @@ def test_plan_doctor_sweep_no_errors_no_unjustified_warns(name, spark):
             assert name in _GLOBAL_WINDOW_OK, f"{name}: {f.detail}"
         else:
             raise AssertionError(f"{name}: unjustified warn {f.rule}: {f.detail}")
+
+
+def test_rolling_active_broadcasts_days_and_prunes_scan(spark):
+    """rel_rolling_active_users' scale claims, plan-enforced: the
+    observed-day restriction joins as a BROADCAST (never a shuffle of
+    the fanned pairs against a day list), and the events scan reads
+    only the two columns the operator touches (ts, user_id)."""
+    plan = _plan(spark, "rel_rolling_active_users")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all(ln.count(":") <= 3 for ln in read), read
+
+
+def test_corpus_diff_shuffles_digests_not_text(spark):
+    """llm_corpus_diff's wire claim, plan-enforced: text digests to md5
+    BEFORE the full-outer id join, so no Exchange carries the text
+    column — the property that makes the diff narrow at 100 TB."""
+    plan = _plan(spark, "llm_corpus_diff")
+    assert "FullOuter" in plan
+    for i, ln in enumerate(plan.splitlines()):
+        if "Exchange" in ln and "hashpartitioning" in ln:
+            assert "text" not in ln, ln
+    # the input section lists each Exchange's output columns: none may
+    # include the raw text column (fp_old/fp_new digests only)
+    exch_cols = [
+        ln for ln in plan.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert exch_cols and all("text" not in ln for ln in exch_cols)
+
+
+def test_triangle_and_kcore_wire_is_ids_only(spark):
+    """The graph queries must never shuffle flow payloads: every
+    Exchange in both plans partitions on host-id / count columns only
+    (the (id, id[, deg]) wire format the operators document)."""
+    for name in ["host_triangles", "host_kcore"]:
+        plan = _plan(spark, name)
+        for ln in plan.splitlines():
+            if "Arguments: hashpartitioning" in ln:
+                assert "ipfix_octetDeltaCount" not in ln, (name, ln)
+                assert "ipfix_packetDeltaCount" not in ln, (name, ln)
