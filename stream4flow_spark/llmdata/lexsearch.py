@@ -245,3 +245,60 @@ def heavy_hitter_keys(
             F.round(F.col("n_occurrences") / F.col("n"), 6).alias("share"),
         )
     )
+
+
+def cluster_keywords(
+    docs: DataFrame,
+    cluster_col: str,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """c-TF-IDF cluster labeling (the BERTopic scheme): the k terms that
+    DISTINGUISH each cluster, not merely its most frequent ones —
+    score(t, c) = tf_{t,c} · ln(1 + A / f_t), where tf_{t,c} is the
+    term's count inside cluster c, f_t its count across ALL clusters,
+    and A the average per-cluster token count. The labeling step after
+    any clustering tier (cluster_balanced_sample's k-means, semantic
+    dedup components): "what IS this region of the corpus".
+
+    Scale shape: one tokenize pass → (cluster, term) counts with
+    map-side partial aggregation (shuffle O(partitions × per-cluster
+    vocab)); term totals re-aggregate those rows (≤ vocab); A is a
+    1-row aggregate broadcast into the scoring projection; top-k per
+    cluster is one rank window over scored vocab rows. Text never
+    shuffles; nothing is per-token on the wire.
+
+    Output: (cluster, term, tf, score, rank), rank 1..k per cluster;
+    ties break by term for engine determinism.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(cluster_col).alias("cluster"),
+        F.explode(_tokens(text_col)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("cluster", "term").agg(F.count("*").alias("tf"))
+    ft = tf.groupBy("term").agg(F.sum("tf").alias("f_t"))
+    avg_cluster_tokens = tf.groupBy("cluster").agg(
+        F.sum("tf").alias("n")
+    ).agg(F.avg("n").alias("A"))
+    scored = (
+        tf.join(ft, "term")
+        .crossJoin(F.broadcast(avg_cluster_tokens))
+        .select(
+            "cluster",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(1.0) + F.col("A") / F.col("f_t")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1735,3 +1735,27 @@ def test_leakage_safe_split_preserves_caller_id_and_component_columns(spark):
         <= set(out.columns)
     rows = {r.doc_id: (r.id, r.component) for r in out.collect()}
     assert rows[3] == (30, "c3")
+
+
+def test_cluster_keywords_finds_distinguishing_terms(spark):
+    from stream4flow_spark.llmdata.lexsearch import cluster_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quantum field theory the boson", 1),
+            (1, "the quantum entanglement boson decay", 1),
+            (2, "the pasta sauce recipe the basil", 2),
+            (3, "the basil pasta oven recipe", 2),
+        ],
+        "doc_id long, text string, cluster int",
+    )
+    out = cluster_keywords(docs, "cluster", k=2).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r.cluster, []).append(r.term)
+    # distinguishing terms only — the shared 'the' has the highest raw
+    # tf in BOTH clusters, yet cluster-specific vocabulary outranks it
+    assert top[1] == ["boson", "quantum"] or top[1] == ["quantum", "boson"]
+    assert "the" not in top[1] and "the" not in top[2]
+    assert set(top[2]) <= {"pasta", "basil", "recipe"}
+    assert all(1 <= r.rank <= 2 for r in out)
