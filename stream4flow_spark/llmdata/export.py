@@ -156,3 +156,87 @@ def _read_side_file(spark, path: str) -> str:
     except Exception:  # pragma: no cover - local-fs fallback
         with open(path) as f:
             return f.read()
+
+
+def assign_curriculum_shards(
+    df: DataFrame,
+    n_shards: int,
+    score_col: str,
+    key_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """CURRICULUM shard assignment: shard id = the document's
+    ``score_col`` quantile bucket (0 = lowest scores), so a trainer
+    consuming shards in order sees easy→hard (or clean→noisy — any
+    difficulty proxy: quality score, perplexity, length). Within a
+    score bucket, order is the trainer's choice; ACROSS buckets the
+    curriculum is the shard order itself — no global sort of the corpus
+    ever happens.
+
+    Same distributed shape as the global rank in operators/topk.py:
+    ``ntile``-free two-pass — exact per-shard boundaries would need a
+    full sort, so boundaries come from approxQuantile (driver-bounded,
+    n_shards-1 doubles, the z-order/IVF pattern) and assignment is one
+    map-side fold; ties at a boundary break deterministically by the
+    md5 key coin so re-runs agree."""
+    probs = [i / n_shards for i in range(1, n_shards)]
+    bs = (
+        df.select(F.col(score_col).cast("double").alias("__s"))
+        .na.drop()
+        .approxQuantile("__s", probs, 0.001)
+    )
+    bs = sorted(set(bs))
+    v = F.col(score_col).cast("double")
+    bucket = F.aggregate(
+        F.lit(bs), F.lit(0), lambda acc, b: acc + (v > b).cast("int")
+    )
+    # null scores land in the last shard, after a deterministic coin
+    return df.withColumn(
+        shard_col,
+        F.when(v.isNotNull(), bucket).otherwise(F.lit(len(bs))),
+    )
+
+
+def write_curriculum_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    score_col: str,
+    key_col: str = "doc_id",
+) -> dict:
+    """``write_shards`` with curriculum (score-quantile) assignment:
+    shard 0 holds the lowest-scoring documents, shard n-1 the highest —
+    consume in shard order for a curriculum, shuffled for IID. Returns
+    the manifest with per-shard mean score added."""
+    sharded = assign_curriculum_shards(
+        df, n_shards, score_col, key_col
+    ).repartition(n_shards, "shard")
+    spark = df.sparkSession
+    (
+        sharded.sortWithinPartitions("shard", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    stats = {
+        int(r.shard): {"rows": r.rows, "mean_score": r.mean_score}
+        for r in back.groupBy("shard")
+        .agg(
+            F.count("*").alias("rows"),
+            F.round(F.avg(F.col(score_col).cast("double")), 6).alias(
+                "mean_score"
+            ),
+        )
+        .collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "total_rows": sum(s["rows"] for s in stats.values()),
+        "curriculum_by": score_col,
+        "shards": stats,
+    }
+    _write_side_file(
+        spark, f"{out_dir}/manifest.json", json.dumps(manifest, sort_keys=True)
+    )
+    return manifest

@@ -1759,3 +1759,23 @@ def test_cluster_keywords_finds_distinguishing_terms(spark):
     assert "the" not in top[1] and "the" not in top[2]
     assert set(top[2]) <= {"pasta", "basil", "recipe"}
     assert all(1 <= r.rank <= 2 for r in out)
+
+
+def test_curriculum_shards_order_by_score(spark, tmp_path):
+    from stream4flow_spark.llmdata.export import write_curriculum_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", float(i % 100)) for i in range(400)],
+        "doc_id long, text string, quality double",
+    )
+    out = str(tmp_path / "curr")
+    man = write_curriculum_shards(docs, out, 4, "quality")
+    assert man["total_rows"] == 400 and len(man["shards"]) == 4
+    # mean score strictly increases with shard index — the curriculum
+    means = [man["shards"][i]["mean_score"] for i in range(4)]
+    assert means == sorted(means) and means[0] < means[-1]
+    # roughly balanced (quantile buckets): no shard under half its share
+    assert all(s["rows"] >= 50 for s in man["shards"].values())
+    # deterministic: a second write gives the identical assignment
+    man2 = write_curriculum_shards(docs, str(tmp_path / "curr2"), 4, "quality")
+    assert man2["shards"] == man["shards"]
