@@ -1067,3 +1067,57 @@ def test_doulion_sampled_triangles(spark):
     assert e1 == e2
     # unbiased-ish at this density: within 60% of truth for p=0.7
     assert 0.4 * exact <= e1 <= 1.6 * exact, e1
+
+
+def test_graph_family_composes_with_document_neardup_graph(spark):
+    """The graph operators serve the LLM tier too: near-dup pairs from
+    the MinHash chain feed communities/centrality directly (ids only).
+    Two template families + a cross-link behave as the graph lenses
+    predict: each family is community-coherent, and the bridging
+    document has the highest centrality. (Family SEPARATION under a
+    bridge is pinned on explicit cliques in
+    test_label_propagation_separates_bridged_cliques — at this tiny
+    scale the bridge dominates and LPA legitimately merges.)"""
+    from stream4flow_spark.llmdata.dedup import ngram_jaccard_pairs
+    from stream4flow_spark.operators.graph import label_propagation
+    from stream4flow_spark.operators.pagerank import pagerank
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(0, t_a), (1, t_a + " iota"), (2, t_a + " kappa"),
+         (3, t_b), (4, t_b + " nine"), (5, t_b + " ten"),
+         (6, t_a + " " + t_b)],  # bridges the families
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    comm = {
+        r.node: r.community
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert len({comm[str(i)] for i in (0, 1, 2)}) == 1
+    assert len({comm[str(i)] for i in (3, 4, 5)}) == 1
+
+    pr = {r.node: r.pagerank for r in pagerank(edges).collect()}
+    # the bridge document touches both families — highest centrality
+    assert pr["6"] == max(pr.values())
+
+
+def test_kcore_converges_through_deep_peel_cascades(spark):
+    from stream4flow_spark.operators.kcore import kcore
+
+    # a 40-node path peels one layer per round from each end: ~20
+    # convergence rounds, then nothing survives k=2
+    path = [(f"p{i}", f"p{i+1}") for i in range(40)]
+    e = spark.createDataFrame(path, "src string, dst string")
+    assert kcore(e, k=2).count() == 0
+    # adding one chord closes a cycle: the cycle IS the 2-core
+    e2 = spark.createDataFrame(
+        path + [("p10", "p20")], "src string, dst string"
+    )
+    core = {r.host for r in kcore(e2, k=2).collect()}
+    assert core == {f"p{i}" for i in range(10, 21)}
