@@ -1779,3 +1779,27 @@ def test_curriculum_shards_order_by_score(spark, tmp_path):
     # deterministic: a second write gives the identical assignment
     man2 = write_curriculum_shards(docs, str(tmp_path / "curr2"), 4, "quality")
     assert man2["shards"] == man["shards"]
+
+
+def test_corpus_report_data_card(spark):
+    from stream4flow_spark.llmdata.report import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "en", "web"),
+            (1, "alpha beta gamma", "en", "web"),   # exact dup of 0
+            (2, "uno dos tres cuatro", "es", "web"),
+            (3, "contact me at a@b.com now", "en", "mail"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    card = {
+        (r.section, r.metric): r.value for r in corpus_report(docs).collect()
+    }
+    assert card[("volume", "n_docs")] == 4.0
+    assert card[("volume", "n_tokens")] == 3 + 3 + 4 + 5
+    assert card[("source_share", "web")] == 0.75
+    assert card[("lang_share", "en")] == 0.75
+    assert card[("duplication", "exact_dup_doc_rate")] == 0.25
+    assert card[("pii", "emails_per_1k_docs")] == 250.0
+    assert card[("length", "p50_tokens")] in (3.0, 3.5, 4.0)
