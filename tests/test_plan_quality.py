@@ -149,6 +149,9 @@ def test_no_broadcast_hint_on_scale_growing_tables():
         # r8: personalized PageRank's seed set — a bounded teleport
         # list (victim hosts / query docs), never corpus-sized
         "seed_flags",
+        # r8: c-TF-IDF's average-cluster-size constant — a 1-row
+        # aggregate broadcast into the scoring projection
+        "avg_cluster_tokens",
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []
