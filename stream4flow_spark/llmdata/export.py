@@ -177,8 +177,8 @@ def assign_curriculum_shards(
     ``ntile``-free two-pass — exact per-shard boundaries would need a
     full sort, so boundaries come from approxQuantile (driver-bounded,
     n_shards-1 doubles, the z-order/IVF pattern) and assignment is one
-    map-side fold; ties at a boundary break deterministically by the
-    md5 key coin so re-runs agree."""
+    map-side fold; ties on a boundary value all land in the lower
+    shard, deterministically, so re-runs agree."""
     probs = [i / n_shards for i in range(1, n_shards)]
     bs = (
         df.select(F.col(score_col).cast("double").alias("__s"))
@@ -190,7 +190,7 @@ def assign_curriculum_shards(
     bucket = F.aggregate(
         F.lit(bs), F.lit(0), lambda acc, b: acc + (v > b).cast("int")
     )
-    # null scores land in the last shard, after a deterministic coin
+    # null scores land in the last shard
     return df.withColumn(
         shard_col,
         F.when(v.isNotNull(), bucket).otherwise(F.lit(len(bs))),

@@ -101,17 +101,24 @@ def pagerank(
         seed_ids = seeds.select(
             F.col(seeds.columns[0]).alias("node")
         ).distinct()
-        n_seeds = seed_ids.count()
-        if n_seeds == 0:
-            e_deg.unpersist()
-            nodes.unpersist()
-            raise ValueError("personalized pagerank needs >=1 seed node")
         seed_flags = seed_ids.withColumn("__s", F.lit(True))
         flagged = (
             nodes.join(F.broadcast(seed_flags), "node", "left")
             .select("node", F.coalesce("__s", F.lit(False)).alias("__s"))
             .localCheckpoint(eager=True)
         )
+        # count seeds AFTER intersecting with the node set: a seed
+        # absent from the edge graph receives no rank row, so counting
+        # it would silently shrink total restart mass below (1-damping)
+        # and deflate every rank
+        n_seeds = flagged.filter(F.col("__s")).count()
+        if n_seeds == 0:
+            e_deg.unpersist()
+            nodes.unpersist()
+            raise ValueError(
+                "personalized pagerank needs >=1 seed node present in "
+                "the edge graph"
+            )
         nodes.unpersist()  # superseded by the flagged frame
         nodes = flagged
         is_seed = F.col("__s")

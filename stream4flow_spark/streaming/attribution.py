@@ -2,10 +2,15 @@
 moment they arrive (twin of gate_relational.rel_attribution).
 
 The batch form forward-fills each user's touch history with one window;
-a stream keeps, per user, TWO strings of state: the FIRST touch type
-ever seen and the LATEST touch type so far (plus its timestamp).
+a stream keeps, per user, TWO touch slots of state: the EARLIEST touch
+(type, event time, event id) ever seen and the LATEST one so far.
 ``applyInPandasWithState``, O(1) state per user — the asof-enrichment
-pattern (streaming/asof.py) with a two-slot payload.
+pattern (streaming/asof.py) with a two-slot payload. Both slots carry
+their (t, eid) key so a late-arriving OLDER touch in a later
+micro-batch can never overwrite a newer stored last touch (and a
+late-arriving EARLIER touch correctly takes over the first slot) —
+cross-batch disorder degrades only the conversions already emitted,
+never the state.
 
 Per micro-batch, rows process in event-time order (ties by the id
 column), so a batch containing a user's whole history reproduces the
@@ -56,7 +61,10 @@ def attribution_stream(
             T.StructField("last_touch", T.StringType()),
         ]
     )
-    state_schema = "first string, last string"
+    state_schema = (
+        "first string, first_t long, first_eid long,"
+        " last string, last_t long, last_eid long"
+    )
     touches = set(touch_types)
 
     def credit(
@@ -65,24 +73,43 @@ def attribution_stream(
         if state.hasTimedOut:  # pragma: no cover - TTL not used here
             state.remove()
             return
-        first, last = state.get if state.exists else (None, None)
+        first, first_t, first_eid, last, last_t, last_eid = (
+            state.get if state.exists else (None,) * 6
+        )
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf) == 0:
             return
         pdf = pdf.sort_values(["t", "eid"], ignore_index=True)
-        # running last-touch: touch rows carry their type, others carry
-        # the previous value (ffill seeded with carried-in state)
-        touch_vals = pdf["etype"].where(pdf["etype"].isin(touches))
+        # running last-touch: touch rows carry their (type, t, eid),
+        # others carry the previous touch's (ffill); the stored state
+        # touch wins per-row only where its (t, eid) is NEWER than the
+        # in-batch running touch — a late batch of older touches can
+        # never displace a newer stored last touch
+        is_touch = pdf["etype"].isin(touches)
+        touch_vals = pdf["etype"].where(is_touch)
         running_last = touch_vals.ffill()
+        run_t = pdf["t"].where(is_touch).ffill()
+        run_eid = pdf["eid"].where(is_touch).ffill()
         if last is not None:
-            running_last = running_last.fillna(last)
+            stored_newer = run_t.isna() | (
+                (run_t < last_t)
+                | ((run_t == last_t) & (run_eid < last_eid))
+            )
+            running_last = running_last.where(~stored_newer, last)
         # running first-touch: only the FIRST in-batch touch survives,
-        # then forward-fills; carried-in state wins if already set
+        # then forward-fills; the stored first wins per-row only where
+        # its (t, eid) is OLDER than the in-batch first touch
         first_only = touch_vals.copy()
         first_only[touch_vals.notna().cumsum() > 1] = None
         running_first = first_only.ffill()
         if first is not None:
-            running_first = pd.Series([first] * len(pdf))
+            rf_t = pdf["t"].where(first_only.notna()).ffill()
+            rf_eid = pdf["eid"].where(first_only.notna()).ffill()
+            stored_older = rf_t.isna() | (
+                (first_t < rf_t)
+                | ((first_t == rf_t) & (first_eid < rf_eid))
+            )
+            running_first = running_first.where(~stored_older, first)
         conv = pdf["etype"] == convert_type
         if conv.any():
             out = pd.DataFrame(
@@ -95,21 +122,25 @@ def attribution_stream(
                 }
             )
             yield out
-        new_first = (
-            first
-            if first is not None
-            else (
-                touch_vals.dropna().iloc[0]
-                if touch_vals.notna().any()
-                else None
-            )
-        )
-        new_last = (
-            running_last.iloc[-1]
-            if pd.notna(running_last.iloc[-1])
-            else None
-        )
-        state.update((new_first, new_last))
+        # fold the batch's earliest/latest touches into the state by
+        # (t, eid) order
+        batch_touches = pdf.loc[is_touch, ["etype", "t", "eid"]]
+        if len(batch_touches):
+            b_first = batch_touches.iloc[0]
+            b_last = batch_touches.iloc[-1]
+            if first is None or (int(b_first["t"]), int(b_first["eid"])) < (
+                first_t, first_eid
+            ):
+                first, first_t, first_eid = (
+                    b_first["etype"], int(b_first["t"]), int(b_first["eid"])
+                )
+            if last is None or (int(b_last["t"]), int(b_last["eid"])) > (
+                last_t, last_eid
+            ):
+                last, last_t, last_eid = (
+                    b_last["etype"], int(b_last["t"]), int(b_last["eid"])
+                )
+        state.update((first, first_t, first_eid, last, last_t, last_eid))
 
     return src.groupBy("user").applyInPandasWithState(
         credit,

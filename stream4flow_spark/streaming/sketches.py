@@ -33,9 +33,15 @@ def sketch_rollup_stream(
     table_dir: str,
     lg_config_k: int = 12,
     checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
 ):
     """Start a foreachBatch query maintaining the sketch table at
-    ``table_dir``. Returns the StreamingQuery (caller awaits/stops)."""
+    ``table_dir``. Returns the StreamingQuery (caller awaits/stops).
+
+    ``trigger``: kwargs for ``DataStreamWriter.trigger`` — e.g.
+    ``{"processingTime": "1 minute"}`` to run as a continuous
+    maintainer. Defaults to ``{"availableNow": True}`` (drain what's
+    there and stop — the backfill/test mode)."""
 
     def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         sk = sketch_rollup(
@@ -54,7 +60,7 @@ def sketch_rollup_stream(
     w = events.writeStream.foreachBatch(_fold_batch)
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
-    return w.trigger(availableNow=True).start()
+    return w.trigger(**(trigger or {"availableNow": True})).start()
 
 
 def read_sketch_table(
@@ -81,18 +87,32 @@ def compact_sketch_table(
     key_cols: list[str],
     sketch_col: str = "hll",
 ) -> None:
-    """Collapse all batch dirs into one (``batch=compacted``): estimates
-    are unchanged (union identity); old dirs are removed via the Hadoop
-    FS API so the compaction works on any scheme the cluster mounts."""
-    merged = read_sketch_table(spark, table_dir, key_cols, sketch_col)
-    tmp = f"{table_dir}/__compacting"
-    merged.write.mode("overwrite").parquet(tmp)
+    """Collapse all batch dirs into one (``batch=compacted-<n>``):
+    estimates are unchanged (union identity); old dirs are removed via
+    the Hadoop FS API so the compaction works on any scheme the cluster
+    mounts.
+
+    Crash-safe ordering: the merged sketch is renamed INTO the batch=*
+    namespace first, superseded dirs are deleted after — a failure at
+    any point leaves readers with a complete table (between rename and
+    the deletes they see the data twice, which is harmless: HLL union
+    is idempotent, registers are per-item maxima). Each compaction gets
+    a fresh ``compacted-<n>`` suffix so it never overwrites the
+    previous compaction in place."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     path_cls = jvm.org.apache.hadoop.fs.Path
     fs = path_cls(table_dir).getFileSystem(conf)
+    old_dirs, gen = [], 0
     for status in fs.listStatus(path_cls(table_dir)):
         name = status.getPath().getName()
         if name.startswith("batch="):
-            fs.delete(status.getPath(), True)
-    fs.rename(path_cls(tmp), path_cls(f"{table_dir}/batch=compacted"))
+            old_dirs.append(status.getPath())
+            if name.startswith("batch=compacted-"):
+                gen = max(gen, int(name.rsplit("-", 1)[1]))
+    merged = read_sketch_table(spark, table_dir, key_cols, sketch_col)
+    tmp = f"{table_dir}/__compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    fs.rename(path_cls(tmp), path_cls(f"{table_dir}/batch=compacted-{gen + 1}"))
+    for p in old_dirs:
+        fs.delete(p, True)

@@ -977,6 +977,18 @@ def test_personalized_pagerank_seed_semantics(spark):
     with pytest.raises(ValueError):
         pagerank(edges, seeds=all_nodes.filter("node = 'zzz'"))
 
+    # a seed absent from the edge graph must not dilute the restart
+    # mass: seeds {d, zzz} (zzz not in the graph) == seeds {d} exactly,
+    # because base = (1-d)/|seeds ∩ nodes|
+    seed_d_plus_ghost = spark.createDataFrame(
+        [("d",), ("zzz",)], "node string"
+    )
+    pg = {
+        r.node: r.pagerank
+        for r in pagerank(edges, seeds=seed_d_plus_ghost).collect()
+    }
+    assert pg == pd_
+
 
 def test_weighted_pagerank_splits_mass_by_weight(spark):
     from stream4flow_spark.operators.pagerank import pagerank

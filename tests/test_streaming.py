@@ -2550,10 +2550,20 @@ def test_stream_sketch_table_matches_batch_and_survives_compaction(
     replay.write.mode("overwrite").parquet(batch_dirs[0])
     assert merged_counts() == want
 
-    # compaction: one dir left, estimates unchanged
+    # compaction: one dir left, estimates unchanged; the merged dir is
+    # renamed into the batch=* namespace BEFORE the superseded dirs are
+    # deleted (crash-safe — readers never see an empty table)
     compact_sketch_table(spark, table, ["event_type"])
     assert sorted(glob.glob(f"{table}/batch=*")) == [
-        f"{table}/batch=compacted"
+        f"{table}/batch=compacted-1"
+    ]
+    assert merged_counts() == want
+
+    # re-compaction gets a fresh generation suffix, never an in-place
+    # overwrite of the live compacted dir
+    compact_sketch_table(spark, table, ["event_type"])
+    assert sorted(glob.glob(f"{table}/batch=*")) == [
+        f"{table}/batch=compacted-2"
     ]
     assert merged_counts() == want
 
@@ -2630,3 +2640,57 @@ def test_stream_attribution_matches_batch_aggregate(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_attribution_late_older_touch_across_batches(
+    spark, tmp_path
+):
+    """A touch arriving in a LATER micro-batch with an OLDER event time
+    must not overwrite a newer stored last touch — and must take over
+    the first-touch slot (state keeps each slot's (t, eid) key, so
+    cross-batch disorder resolves by event time, not arrival order)."""
+    from stream4flow_spark.streaming.attribution import attribution_stream
+    from stream4flow_spark.streaming.runner import run_stream_to_table
+
+    src = tmp_path / "ev_late"
+    src.mkdir()
+    rows = [
+        # batch 0: the newer touch arrives first
+        [(1, 100, 1, "click", 0.0)],
+        # batch 1: a LATE, event-time-OLDER touch
+        [(1, 50, 0, "view", 0.0)],
+        # batch 2: the conversion
+        [(1, 200, 2, "purchase", 10.0)],
+    ]
+    import pandas as pd
+
+    import os
+    import time
+
+    now = time.time()
+    for i, batch in enumerate(rows):
+        p = str(src / f"f{i}.parquet")
+        pd.DataFrame(
+            batch,
+            columns=["user_id", "tms", "event_id", "event_type", "value"],
+        ).to_parquet(p, index=False)
+        # pin strictly increasing mtimes so the file source's
+        # oldest-first ordering matches arrival order deterministically
+        os.utime(p, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, tms long, event_id long, event_type string,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    credited = attribution_stream(
+        stream, ["view", "click"], "purchase", ts_col="tms"
+    )
+    got = run_stream_to_table(credited, output_mode="append").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.first_touch == "view"  # event-time-oldest, despite late arrival
+    assert r.last_touch == "click"  # newer stored touch survives the late one
