@@ -640,23 +640,102 @@ def q_llm_dedup_corpus_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(docs, threshold=0.5, keeper_by="n_chars")
 
 
-@register("llm_winnow_neardup", covers="llm:dedup-winnow-blocking")
-# rows-only: candidate generation depends on the engine-specific rolling
-# hash; verification exactness + the bucket cap are property-tested
+def _winnow_fps_ctes(k: int, window: int) -> str:
+    """DuckDB CTEs (h, m, f) recomputing ``winnow_fingerprints``'
+    ``hash_mode="md5"`` output — f = (doc_id, fps sorted distinct
+    60-bit md5-derived k-gram window minima)."""
+    return f"""
+        h AS (
+            SELECT doc_id,
+                   list_transform(range(1, length(text) - {k} + 2),
+                       i -> CAST(('0x' || substring(md5(substring(text,
+                            CAST(i AS INT), {k})), 1, 15)) AS BIGINT)) AS hs
+            FROM documents WHERE length(text) >= {k}
+        ),
+        m AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) >= {window}
+                        THEN list_transform(
+                             range(1, len(hs) - {window} + 2),
+                             j -> list_min(hs[CAST(j AS INT):
+                                              CAST(j + {window} - 1 AS INT)]))
+                        ELSE [list_min(hs)] END AS mins
+            FROM h
+        ),
+        f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
+    """
+
+
+_WINNOW_NEARDUP_ORACLE = f"""
+    WITH {_winnow_fps_ctes(k=16, window=8)},
+    f32 AS (SELECT doc_id AS id, fps[1:32] AS fps FROM f),
+    e AS (SELECT id, unnest(fps) AS fp FROM f32),
+    capped AS (SELECT id, fp FROM (
+        SELECT id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY id) AS rn
+        FROM e) WHERE rn <= 150),
+    cand AS (SELECT a.id AS id_a, b.id AS id_b,
+                    CAST(count(*) AS BIGINT) AS shared_fps
+             FROM capped a JOIN capped b ON a.fp = b.fp AND a.id < b.id
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+    sh AS (SELECT doc_id AS id, {_GRAMS3} AS grams FROM documents)
+    SELECT c.id_a, c.id_b, c.shared_fps,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(a.grams || b.grams)) AS jaccard
+    FROM cand c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(a.grams || b.grams)) >= 0.5
+    """
+
+
+@register(
+    "llm_winnow_neardup",
+    covers="llm:dedup-winnow-blocking",
+    oracle=_WINNOW_NEARDUP_ORACLE,
+)
 def q_llm_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-blocked near-dup pairs, oracle-certified end to end via
+    the md5 dual-mode trick that converted llm_simhash_dedup in r08: the
+    gate runs ``hash_mode="md5"`` (each char 16-gram's fingerprint = 60
+    bits of its md5, which DuckDB recomputes), so fingerprinting, the
+    bottom-32 sketch, the 150-cap bucket guard, the min_shared=2
+    blocking AND the word-3-gram Jaccard verify are hash-checked
+    value-for-value. Production keeps the faster uint64 rolling-hash
+    kernel — the mode changes which grams collide, not the algorithm
+    (winnowing guarantee property-tested for both modes in
+    tests/test_llmdata.py)."""
     from stream4flow_spark.llmdata.dedup import winnow_neardup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return winnow_neardup_pairs(docs, threshold=0.5)
+    return winnow_neardup_pairs(docs, threshold=0.5, hash_mode="md5")
 
 
-@register("llm_winnow_fingerprints", covers="llm:doc-fingerprint-rolling")
-# rows-only: the rolling k-gram hash is xxhash64 (no DuckDB equivalent);
-# the winnowing guarantee (shared substring >= window+k-1 => shared
-# fingerprint) is property-tested in tests/test_llmdata.py
+_WINNOW_FPS_ORACLE = f"""
+    WITH {_winnow_fps_ctes(k=8, window=4)}
+    SELECT doc_id, CAST(j AS INT) AS rank, fps[CAST(j AS INT)] AS fp
+    FROM f, unnest(range(1, len(fps) + 1)) AS t(j)
+    """
+
+
+@register(
+    "llm_winnow_fingerprints",
+    covers="llm:doc-fingerprint-rolling",
+    oracle=_WINNOW_FPS_ORACLE,
+)
 def q_llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprints in ``hash_mode="md5"``
+    (DuckDB-replayable; see llm_winnow_neardup), EXPLODED to scalar
+    (doc_id, rank, fp) rows — driver outputs must never be array
+    columns (the r08 array<bigint> return crashed the driver's
+    canonicalizer). rank = 1-based position in the sorted distinct
+    fingerprint list, so the hash certifies order too."""
     docs = load_table(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs).select("doc_id", "n_fps", "fps")
+    fps = winnow_fingerprints(docs, hash_mode="md5")
+    return fps.select(
+        "doc_id", F.posexplode("fps").alias("rank0", "fp")
+    ).select(
+        "doc_id", (F.col("rank0") + 1).cast("int").alias("rank"), "fp"
+    )
 
 
 @register(
@@ -1453,16 +1532,50 @@ def q_llm_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_ann_quantized_topk", covers="llm:ann-quantized llm:similarity-topk")
-# rows-only: half-way rounding of the int8 codes can differ across
-# engines at exact .5 boundaries, so the code table is not
-# hash-portable; recall@5 vs the float exact path is gated ≥0.9 in
-# tests (test_quantized_topk_recall_vs_float_exact).
+_QUANTIZED_TOPK_ORACLE = """
+    WITH q0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                FROM embeddings),
+    qz AS (SELECT id, v,
+                  list_max(list_transform(v, x -> abs(x))) AS s
+           FROM q0),
+    codes AS (SELECT id,
+                     CASE WHEN s > 0
+                          THEN list_transform(v,
+                               x -> floor(x * 127.0 / s + 0.5))
+                          ELSE list_transform(v, x -> 0.0) END AS c
+              FROM qz),
+    q AS (SELECT id AS qid, c AS qv FROM codes WHERE id < 10),
+    c AS (SELECT id AS nid, c AS cv FROM codes),
+    scored AS (
+        SELECT qid AS query_id, nid AS neighbor_id,
+               ROUND(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 4) AS cos
+        FROM q JOIN c ON qid <> nid
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """
+
+
+@register(
+    "llm_ann_quantized_topk",
+    covers="llm:ann-quantized llm:similarity-topk",
+    oracle=_QUANTIZED_TOPK_ORACLE,
+)
 def q_llm_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine over the int8-quantized corpus
     (`llmdata/simsearch.py quantize_embeddings` — per-vector symmetric
     scaling divides out of every cosine, so distance runs on raw codes
-    at a quarter of the scan bytes)."""
+    at a quarter of the scan bytes). Oracle-backed since r09: the code
+    table's rounding is the explicit, engine-portable
+    ``floor(x·127/max|x| + 0.5)``, so DuckDB replays quantization,
+    cosine-over-codes and the top-5 rank value-for-value. Recall@5 vs
+    the float exact path stays gated ≥0.9 in tests
+    (test_quantized_topk_recall_vs_float_exact)."""
     from stream4flow_spark.llmdata.simsearch import cosine_topk_quantized
 
     emb = load_table(spark, sf_dir, "embeddings")

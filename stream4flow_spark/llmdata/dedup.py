@@ -617,6 +617,7 @@ def winnow_neardup_pairs(
     max_fps_per_doc: int | None = 32,
     max_bucket: int | None = 150,
     cache_intermediate: bool = False,
+    hash_mode: str = "rolling",
 ) -> DataFrame:
     """Near-dup pairs via winnowing-fingerprint blocking + exact Jaccard.
 
@@ -646,13 +647,18 @@ def winnow_neardup_pairs(
 
     Same scale shape as the other banded joins: the exchange carries only
     (fingerprint, id); payloads are re-fetched per surviving candidate.
-    Candidate recall is substring-structural rather than probabilistic,
-    so the gate entry is rows-only; the guarantee and the verification
-    exactness are property-tested.
+    Candidate recall is substring-structural (deterministic given the
+    hash), so with ``hash_mode="md5"`` (see ``winnow_fingerprints``) the
+    whole pipeline — fingerprinting, bottom-m sketch, bucket cap,
+    min_shared blocking AND the Jaccard verify — replays in a DuckDB
+    oracle; production keeps the faster ``"rolling"`` kernel.
     """
     from stream4flow_spark.llmdata.textstats import winnow_fingerprints
 
-    fps = winnow_fingerprints(df, text_col=text_col, id_col=id_col, k=k, window=window)
+    fps = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, window=window,
+        hash_mode=hash_mode,
+    )
     fp_arr = F.col("fps")
     if max_fps_per_doc is not None:
         # fps is sorted ascending: the first m are the smallest — the

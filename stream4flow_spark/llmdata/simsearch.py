@@ -720,10 +720,17 @@ def incremental_semantic_neardup(
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """Symmetric per-vector int8 quantization: codes = round(x·127/max|x|)
-    stored as ``array<tinyint>`` — 4× smaller than float32 (8× vs the
-    double math), which at 100 TB is the difference between an ANN
-    working set that fits executor memory and one that doesn't.
+    """Symmetric per-vector int8 quantization: codes =
+    floor(x·127/max|x| + 0.5) stored as ``array<tinyint>`` — 4× smaller
+    than float32 (8× vs the double math), which at 100 TB is the
+    difference between an ANN working set that fits executor memory and
+    one that doesn't.
+
+    The rounding is an explicit ``floor(y + 0.5)`` (round-half-up),
+    NOT ``round``: half-way cases are then pinned identically on every
+    engine (``round`` is HALF_UP in Spark, half-away-from-zero in
+    DuckDB, half-to-even in numpy — the one code-table ambiguity that
+    kept this tier rows-only through r08).
 
     Because cosine is scale-invariant PER VECTOR, the per-vector scale
     divides out of every cosine — distances run directly on the int8
@@ -734,7 +741,7 @@ def quantize_embeddings(
     v = F.col(vec_col)
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
     codes = F.transform(
-        v, lambda x: F.round(x * 127.0 / scale).cast("byte")
+        v, lambda x: F.floor(x * 127.0 / scale + 0.5).cast("byte")
     )
     return df.select(
         F.col(id_col),

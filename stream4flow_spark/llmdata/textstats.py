@@ -164,6 +164,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     window: int = 4,
+    hash_mode: str = "rolling",
 ) -> DataFrame:
     """Winnowing (MOSS-style) rolling-hash document fingerprints.
 
@@ -174,19 +175,63 @@ def winnow_fingerprints(
     storage is ~1/window of the k-gram count. Output: id, ``fps`` (sorted
     distinct fingerprint array), ``n_fps``.
 
-    This is the one text op implemented as an Arrow-batched ``mapInPandas``
-    kernel rather than Column expressions: the per-CHARACTER hash/min
-    chain is a ~10·len expression tree that falls out of whole-stage
-    codegen (measured ~10× slower than this numpy kernel, which does the
-    k-gram hashing as a vectorized sliding-window dot product with uint64
-    wraparound and the window-min as a strided min). Still map-only over
-    one scan — no shuffle; downstream near-dup candidate generation is
-    ``explode(fps)`` + groupBy, the same ids-only banded-join shape as
-    MinHash-LSH. The hash is engine-specific, so gate coverage is
-    rows-only with the winnowing guarantee property-tested in tests/.
+    ``hash_mode``:
+
+    - ``"rolling"`` (production default) — an Arrow-batched
+      ``mapInPandas`` kernel rather than Column expressions: the
+      per-CHARACTER hash/min chain is a ~10·len expression tree that
+      falls out of whole-stage codegen (measured ~10× slower than this
+      numpy kernel, which does the k-gram hashing as a vectorized
+      sliding-window dot product with uint64 wraparound and the
+      window-min as a strided min).
+    - ``"md5"`` (gate/verification mode) — each character k-gram's
+      fingerprint is the first 15 hex digits of ``md5(gram)`` as a
+      60-bit BIGINT, built from pure Column expressions
+      (sequence→substring→md5→conv, slice+array_min window minima).
+      Cross-engine replayable: a DuckDB oracle recomputes every
+      fingerprint via ``md5``/``substring``/hex-cast, so the winnowing
+      window-min selection is hash-certified value-for-value — the
+      same dual-mode trick as ``dedup.simhash_table``. The mode
+      changes which grams collide, not the algorithm.
+
+    Either way this is map-only over one scan — no shuffle; downstream
+    near-dup candidate generation is ``explode(fps)`` + groupBy, the
+    same ids-only banded-join shape as MinHash-LSH.
     """
     import numpy as np
     import pandas as pd
+
+    if hash_mode == "md5":
+        text = F.col(text_col)
+        gram_hash = lambda i: F.conv(  # noqa: E731
+            F.substring(F.md5(F.substring(text, i, k)), 1, 15), 16, 10
+        ).cast("long")
+        hashes = F.when(
+            F.length(text) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length(text) - k + 1), gram_hash
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        h = F.col("__h")
+        mins = F.when(
+            F.size(h) >= window,
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - window + 1),
+                lambda j: F.array_min(F.slice(h, j, window)),
+            ),
+        ).otherwise(F.slice(F.sort_array(h), 1, 1))
+        fps = F.sort_array(F.array_distinct(F.col("__m")))
+        return (
+            df.select(F.col(id_col), hashes.alias("__h"))
+            .select(id_col, mins.alias("__m"))
+            .select(
+                F.col(id_col),
+                fps.alias("fps"),
+                F.size(fps).cast("int").alias("n_fps"),
+            )
+        )
+    if hash_mode != "rolling":
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
 
     id_t = df.schema[id_col].dataType.simpleString()
     base = np.uint64(1_099_511_628_211)  # FNV-prime base, mod 2^64 wraparound
