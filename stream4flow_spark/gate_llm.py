@@ -27,6 +27,12 @@ from stream4flow_spark.llmdata.textstats import (
     quality_features,
     winnow_fingerprints,
 )
+from stream4flow_spark.gate_oracles import (
+    _cluster_balanced_oracle,
+    _ivf_oracle,
+    _lsh_neighbors_oracle,
+    _semantic_dedup_lsh_oracle,
+)
 from stream4flow_spark.registry import register
 from stream4flow_spark.sources.tables import load_table
 
@@ -265,10 +271,19 @@ def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blocked(emb, threshold=0.3)
 
 
-@register("llm_embedding_neardup_lsh", covers="llm:similarity-lsh")  # rows-only:
-# sign-LSH bucketing is probabilistic-recall by design (scale path); its
-# exact-verify stage reuses the oracle-checked cosine above
+@register(
+    "llm_embedding_neardup_lsh",
+    covers="llm:similarity-lsh",
+    oracle=_lsh_neighbors_oracle(threshold=0.3),
+)
 def q_llm_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-neighbor pairs. Oracle-backed since r09:
+    the hyperplanes are already engine-independent (integer-hash
+    constants, ``simsearch._hyperplane``), so the DuckDB oracle rebuilds
+    the SAME planes as double literals and replays bucketing, the
+    id-only candidate join and the exact 4dp-cosine verify — candidate
+    recall is deterministic given the planes, not random
+    (``gate_oracles._lsh_neighbors_oracle``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_neighbors(emb, threshold=0.3)
 
@@ -426,15 +441,33 @@ def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_ann_ivf_topk", covers="llm:similarity-ivf")  # rows-only:
-# IVF probing is approximate-recall by design (the scale path beside
-# sign-LSH); recall vs the exact cosine_topk is asserted in
-# tests/test_llmdata.py
+@register(
+    "llm_ann_ivf_topk",
+    covers="llm:similarity-ivf",
+    oracle=_ivf_oracle(k_centroids=8, iters=3, n_probe=3, topk=5, q_limit=10),
+)
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k (the scale path beside sign-LSH).
+    Oracle-backed since r09 via ``replay_rounding=True``: centroid
+    training (id-ordered sample, maximin init, 3 Lloyd rounds under
+    shared 7dp/6dp rounding), inverted-file assignment, 3-of-8 probe
+    and the exact re-scoring all replay CTE-for-CTE in DuckDB
+    (``_ivf_oracle`` — the cluster_balanced_sample pattern).
+    Production keeps the default mode (hash-spread sample, early-break
+    Lloyd, unrounded BLAS); recall vs the exact cosine_topk is asserted
+    in tests/test_llmdata.py."""
     from stream4flow_spark.llmdata.simsearch import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=8,
+        n_probe=3,
+        n_iters=3,
+        replay_rounding=True,
+    )
 
 
 @register(
@@ -2323,15 +2356,23 @@ def q_llm_source_overlap_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_trigram(docs)
 
 
-@register("llm_semantic_dedup_lsh", covers="llm:dedup-semantic llm:similarity-lsh")
-# rows-only: sign-LSH candidate generation is probabilistic-recall by
-# design — this is the 100 TB path for llm_semantic_dedup (no all-pairs
-# compute); keeper-assignment agreement vs the exact tier is gated ≥90%
-# in tests/test_llmdata.py (test_semantic_dedup_lsh_agrees_with_exact)
+@register(
+    "llm_semantic_dedup_lsh",
+    covers="llm:dedup-semantic llm:similarity-lsh",
+    oracle=_semantic_dedup_lsh_oracle(
+        threshold=0.3, num_planes=4, num_tables=12
+    ),
+)
 def q_llm_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path of llm_semantic_dedup: sign-LSH bucketed candidate
     pairs (exact-cosine verified within buckets, never all-pairs)
-    feeding the same min-label components + keeper join."""
+    feeding the same min-label components + keeper join. Oracle-backed
+    since r09: the planes are deterministic integer-hash constants, so
+    DuckDB replays bucketing + verify and closes the pair graph with
+    the recursive-CTE transitive closure the llm_dedup_components
+    oracle proved (``gate_oracles._semantic_dedup_lsh_oracle``);
+    keeper-assignment agreement vs the exact tier additionally stays
+    gated ≥90% in tests (test_semantic_dedup_lsh_agrees_with_exact)."""
     from stream4flow_spark.llmdata.dedup import connected_components
     from stream4flow_spark.llmdata.simsearch import lsh_bucketed_neighbors
 
@@ -3343,89 +3384,6 @@ def q_llm_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return exact_substr_dedup(docs, min_len=15)
-
-
-def _cluster_balanced_oracle(
-    k: int = 5, iters: int = 3, cap: int = 20, salt: str = "s4f-cluster"
-) -> str:
-    """CTE-for-CTE DuckDB replay of cluster_balanced_sample's
-    replay-rounding mode (the host_pagerank certification pattern,
-    applied to a LEARNED-parameter pipeline): id-ordered maximin
-    seeding, ``iters`` spherical Lloyd rounds, nearest-centroid
-    assignment, md5 per-cluster cap. Normalized vectors round to 7dp
-    and similarities to 6dp on BOTH engines, so numpy-vs-SQL float
-    summation order can never flip an argmin/argmax."""
-    parts = [
-        """base AS (
-  SELECT vec_id AS id,
-         list_transform(embedding,
-            x -> round(CAST(x AS DOUBLE) / greatest(sqrt(list_sum(
-                 list_transform(embedding,
-                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))),
-                 1e-12), 7)) AS v
-  FROM embeddings
-)""",
-        "s0 AS (SELECT v FROM base ORDER BY id LIMIT 1)",
-        "m0 AS (SELECT b.id, b.v, round(list_dot_product(b.v,"
-        " (SELECT v FROM s0)), 6) AS ms FROM base b)",
-    ]
-    for j in range(1, k):
-        parts.append(
-            f"s{j} AS (SELECT v FROM m{j-1} ORDER BY ms, id LIMIT 1)"
-        )
-        if j < k - 1:
-            parts.append(
-                f"m{j} AS (SELECT id, v, greatest(ms, round("
-                f"list_dot_product(v, (SELECT v FROM s{j})), 6)) AS ms "
-                f"FROM m{j-1})"
-            )
-    seeds = " UNION ALL ".join(
-        f"SELECT {j} AS cid, (SELECT v FROM s{j}) AS v" for j in range(k)
-    )
-    parts.append(f"c0 AS ({seeds})")
-    assign = """a{o} AS (SELECT id, v, cid FROM (
-    SELECT b.id, b.v, c.cid,
-           row_number() OVER (PARTITION BY b.id
-               ORDER BY round(list_dot_product(b.v, c.v), 6) DESC,
-                        c.cid) AS rn
-    FROM base b CROSS JOIN c{i} c) WHERE rn = 1)"""
-    for t in range(1, iters + 1):
-        parts.append(assign.format(o=t, i=t - 1))
-        parts.append(
-            f"""n{t} AS (SELECT cid, d, avg(x) AS mx FROM (
-    SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS d
-    FROM a{t}) GROUP BY cid, d)"""
-        )
-        parts.append(
-            f"g{t} AS (SELECT cid, list(mx ORDER BY d) AS m "
-            f"FROM n{t} GROUP BY cid)"
-        )
-        parts.append(
-            f"""c{t} AS (SELECT c.cid,
-    CASE WHEN g.cid IS NOT NULL
-              AND sqrt(list_sum(list_transform(g.m, x -> x * x))) > 1e-12
-         THEN list_transform(g.m, x -> round(x / sqrt(list_sum(
-              list_transform(g.m, y -> y * y))), 7))
-         ELSE c.v END AS v
-    FROM c{t-1} c LEFT JOIN g{t} g ON c.cid = g.cid)"""
-        )
-    parts.append(
-        """af AS (SELECT id, cid FROM (
-    SELECT b.id, c.cid,
-           row_number() OVER (PARTITION BY b.id
-               ORDER BY round(list_dot_product(b.v, c.v), 6) DESC,
-                        c.cid) AS rn
-    FROM base b CROSS JOIN c%d c) WHERE rn = 1)"""
-        % iters
-    )
-    tail = f"""
-SELECT id AS vec_id, cid AS cluster_id, CAST(rnk AS INT) AS sample_rank
-FROM (SELECT id, cid,
-        row_number() OVER (PARTITION BY cid
-            ORDER BY md5(CAST(id AS VARCHAR) || '{salt}')) AS rnk
-      FROM af)
-WHERE rnk <= {cap}"""
-    return "WITH " + ",\n".join(parts) + tail
 
 
 @register(

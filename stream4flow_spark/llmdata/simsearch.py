@@ -370,6 +370,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 4,
+    n_iters: int = 5,
+    replay_rounding: bool = False,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF (inverted-file) probing.
 
@@ -384,9 +386,15 @@ def ivf_topk(
     inverted file on cluster id, scores candidates exactly, and ranks.
     Scanned fraction ≈ n_probe / n_centroids of the corpus — the knob
     that makes brute-force-quality search affordable at scale. Recall is
-    approximate (a true neighbor in an unprobed cluster is missed), so
-    the gate registers this rows-only; exact-recall checks live in
-    tests/test_llmdata.py against ``cosine_topk``.
+    approximate (a true neighbor in an unprobed cluster is missed) but
+    DETERMINISTIC given the index: with ``replay_rounding=True`` the
+    whole pipeline — centroid training, assignment, probing, scoring,
+    rank — is cross-engine replayable (see ``_kmeans_centroids``;
+    normalized vectors round to 7dp and every centroid similarity to 6dp
+    before any argmax, ties break to the lowest cluster id), so an SQL
+    oracle re-derives it CTE-for-CTE. Production keeps the default
+    (hash-spread sample, early-break Lloyd, unrounded BLAS); exact-recall
+    checks vs ``cosine_topk`` live in tests/test_llmdata.py.
     """
     import numpy as np
     import pandas as pd
@@ -394,18 +402,28 @@ def ivf_topk(
     base = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    C = _kmeans_centroids(base, n_centroids)
+    C = _kmeans_centroids(
+        base, n_centroids, n_iters=n_iters, replay_rounding=replay_rounding
+    )
     bc = corpus.sparkSession.sparkContext.broadcast(C)
+
+    def _norm_rows(M):
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return np.round(M, 7) if replay_rounding else M
+
+    def _sims(M, Cn):
+        S = M @ Cn.T
+        return np.round(S, 6) if replay_rounding else S
 
     def assign(batches):
         Cn = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.vstack(pdf["v"].to_numpy())
-            A = A / np.linalg.norm(A, axis=1, keepdims=True)
+            A = _norm_rows(np.vstack(pdf["v"].to_numpy()))
             pdf = pdf[["id", "v"]].copy()
-            pdf["cluster"] = np.argmax(A @ Cn.T, axis=1).astype("int32")
+            # ties take the lowest cluster id (argmax first occurrence)
+            pdf["cluster"] = np.argmax(_sims(A, Cn), axis=1).astype("int32")
             yield pdf
 
     inverted = base.mapInPandas(assign, "id long, v array<double>, cluster int")
@@ -420,9 +438,10 @@ def ivf_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Q = np.vstack(pdf["qv"].to_numpy())
-            Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            near = np.argsort(-(Q @ Cn.T), axis=1)[:, :n_probe]
+            Q = _norm_rows(np.vstack(pdf["qv"].to_numpy()))
+            # stable sort: equal similarities keep centroid-id order, so
+            # the probe set is engine-reproducible
+            near = np.argsort(-_sims(Q, Cn), axis=1, kind="stable")[:, :n_probe]
             out = pdf.loc[pdf.index.repeat(n_probe), ["query_id", "qv"]]
             out["cluster"] = near.ravel().astype("int32")
             yield out

@@ -212,14 +212,23 @@ def winnow_fingerprints(
                 F.sequence(F.lit(1), F.length(text) - k + 1), gram_hash
             ),
         ).otherwise(F.array().cast("array<bigint>"))
+        # window minima as a zip_with fold over `window` shifted slices
+        # (the word_grams_from_tokens trick): each slice references the
+        # hash array ONCE, so even if the optimizer inlines the md5
+        # transform the grams hash O(window) times, never O(len) times
+        # (the per-position transform(sequence, j -> min(slice(h, j)))
+        # form inlined to O(len²) md5 calls — measured 98 s on the
+        # 500-doc gate table vs <2 s for this form). zip_with pads the
+        # shorter slice with nulls and least() skips nulls, which also
+        # yields the single whole-array min when 0 < len(h) < window
+        # and [] when h is empty — no separate short-document branch.
         h = F.col("__h")
-        mins = F.when(
-            F.size(h) >= window,
-            F.transform(
-                F.sequence(F.lit(1), F.size(h) - window + 1),
-                lambda j: F.array_min(F.slice(h, j, window)),
-            ),
-        ).otherwise(F.slice(F.sort_array(h), 1, 1))
+        n_w = F.greatest(F.size(h) - (window - 1), F.lit(1))
+        mins = F.slice(h, 1, n_w)
+        for i in range(1, window):
+            mins = F.zip_with(
+                mins, F.slice(h, i + 1, n_w), lambda a, b: F.least(a, b)
+            )
         fps = F.sort_array(F.array_distinct(F.col("__m")))
         return (
             df.select(F.col(id_col), hashes.alias("__h"))
