@@ -31,6 +31,7 @@ from stream4flow_spark.gate_oracles import (
     _cluster_balanced_oracle,
     _ivf_oracle,
     _lsh_neighbors_oracle,
+    _phash_neardup_oracle,
     _semantic_dedup_lsh_oracle,
 )
 from stream4flow_spark.registry import register
@@ -1818,21 +1819,40 @@ def q_llm_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_spectrogram(synthesize_audio(docs))
 
 
-@register("llm_image_phash_neardup", covers="llm:multimodal-dedup llm:phash")
-# rows-only: the DCT/median bit derivation has no SQL twin; identical/
-# noised/different behavior is pinned by test_image_phash_near_and_far.
+@register(
+    "llm_image_phash_neardup",
+    covers="llm:multimodal-dedup llm:phash",
+    oracle=_phash_neardup_oracle(max_hamming=6, id_limit=200),
+)
 def q_llm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-dup pairs over the synthetic image corpus
     (`llmdata/multimodal.py image_phash` + chunk-banded hamming join —
     the image analog of SimHash; every banded join shares the
-    hot-bucket cap)."""
+    hot-bucket cap). Oracle-backed since r09 via ``replay_rounding``:
+    the DCT basis is shared with the oracle as 12dp literals (neither
+    engine evaluates cos), the matmul stages round 9dp/6dp, the median
+    is an exact order statistic, and DuckDB replays decode-rule →
+    resize → DCT → bits → chunk banding → hamming verify end to end
+    (``gate_oracles._phash_neardup_oracle``). The replay mode also
+    fixed a real defect the rows-only era hid: unrounded, the fixture
+    gradients' ~0 AC coefficients made every bit a float-dust coin flip
+    — hashes were noise, near-identical images landed hamming-far.
+    Input slices to doc_id<200 (the llm_ngram_jaccard pattern): the
+    honest pHash clusters the near-identical fixtures densely, and an
+    unbounded slice at bench SF would emit millions of pairs."""
     from stream4flow_spark.llmdata.multimodal import (
         phash_neardup_pairs,
         synthesize_images,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return phash_neardup_pairs(synthesize_images(docs), max_hamming=6)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+    return phash_neardup_pairs(
+        synthesize_images(docs), max_hamming=6, replay_rounding=True
+    )
 
 
 @register(

@@ -240,3 +240,80 @@ SELECT v.vec_id,
        (v.vec_id = coalesce(c.component, v.vec_id)) AS kept
 FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.id
 """
+
+def _phash_neardup_oracle(max_hamming: int = 6, id_limit: int = 200) -> str:
+    """DuckDB replay of llm_image_phash_neardup's replay-rounding mode,
+    from doc ids all the way to hamming-verified pairs:
+
+    - the synthetic pixel rule ((doc_id + 7r + 3c + 11ch) % 256, w/h
+      from the id) regenerates the grayscale 32×32 nearest-resize grid
+      — the same fixture rule the multimodal decode oracle already
+      certifies the PPM/BMP round-trip against;
+    - the DCT basis is embedded as the SAME 12dp-rounded literals the
+      Spark kernel uses (``multimodal.dct_basis(replay_rounding=True)``)
+      so no engine ever evaluates cos();
+    - the two matmul stages round to 9dp/6dp exactly like the kernel,
+      the median is the exact order statistic (rank 32 of 63), bits
+      pack little-endian over the DC-dropped 8×8 block;
+    - pairs replay the 8×8-bit chunk banding + bit_count(xor) verify
+      (the SimHash oracle pattern). The 10k hot-bucket cap is omitted —
+      it cannot trigger on 500 ids.
+
+    ``id_limit`` bounds the input slice (the llm_ngram_jaccard
+    pattern): the fixture images are near-identical gradients, so the
+    honest pHash clusters them densely — an unbounded slice at bench
+    SF (5000 docs) would emit millions of pairs.
+
+    Every heavy CTE is AS MATERIALIZED (the k-means-chain lesson:
+    DuckDB re-inlines plain CTEs per reference)."""
+    import numpy as np
+
+    from stream4flow_spark.llmdata.multimodal import dct_basis
+
+    dflat = ", ".join(repr(x) for x in dct_basis(32, True).ravel())
+    return f"""
+WITH dl AS MATERIALIZED (SELECT [{dflat}] AS d),
+dm AS MATERIALIZED (
+    SELECT CAST(u AS INT) AS u, CAST(i AS INT) AS i,
+           d[CAST(u * 32 + i + 1 AS INT)] AS val
+    FROM dl, range(0, 32) t1(u), range(0, 32) t2(i)),
+doc AS (SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+        FROM documents WHERE doc_id < {id_limit}),
+g AS MATERIALIZED (
+    SELECT doc_id, ii.i, jj.j,
+           (( (doc_id + 7*((ii.i * h) // 32) + 3*((jj.j * w) // 32)) % 256
+            + (doc_id + 7*((ii.i * h) // 32) + 3*((jj.j * w) // 32) + 11) % 256
+            + (doc_id + 7*((ii.i * h) // 32) + 3*((jj.j * w) // 32) + 22) % 256
+            ) / 3.0) AS v
+    FROM doc, range(0, 32) ii(i), range(0, 32) jj(j)),
+t AS MATERIALIZED (
+    SELECT g.doc_id, dm.u, g.j, round(SUM(dm.val * g.v), 9) AS tv
+    FROM g JOIN dm ON dm.i = g.i WHERE dm.u < 8
+    GROUP BY 1, 2, 3),
+co AS MATERIALIZED (
+    SELECT t.doc_id, t.u, dm.u AS v2, round(SUM(t.tv * dm.val), 6) AS coeff
+    FROM t JOIN dm ON dm.i = t.j WHERE dm.u < 8
+    GROUP BY 1, 2, 3),
+blk AS MATERIALIZED (
+    SELECT doc_id, CAST(u * 8 + v2 - 1 AS INT) AS bit, coeff
+    FROM co WHERE NOT (u = 0 AND v2 = 0)),
+med AS (SELECT doc_id, coeff AS m FROM (
+    SELECT doc_id, coeff,
+           row_number() OVER (PARTITION BY doc_id ORDER BY coeff) AS rn
+    FROM blk) WHERE rn = 32),
+ph AS MATERIALIZED (
+    SELECT b.doc_id AS id,
+           CAST(COALESCE(SUM(CASE WHEN b.coeff > med.m
+                THEN CAST(1 AS BIGINT) << b.bit ELSE 0 END), 0)
+                AS BIGINT) AS phash
+    FROM blk b JOIN med ON b.doc_id = med.doc_id GROUP BY 1),
+ch AS MATERIALIZED (
+    SELECT id, phash, CAST(c AS INT) AS c, (phash >> (CAST(c AS INT) * 8)) & 255 AS val
+    FROM ph, range(0, 8) t(c)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                a.phash AS pa, b.phash AS pb
+         FROM ch a JOIN ch b
+           ON a.c = b.c AND a.val = b.val AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= {max_hamming}
+"""

@@ -370,14 +370,38 @@ def audio_spectrogram(
     return media.select(id_col, "payload").mapInPandas(spec, out_schema)
 
 
-def image_phash(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dct_basis(n: int = 32, replay_rounding: bool = False) -> np.ndarray:
+    """Orthonormal DCT-II basis. With ``replay_rounding`` the entries
+    round to 12dp — and the SQL oracle embeds the SAME rounded values
+    as literals, so numpy's SIMD cos vs an SQL engine's libm cos can
+    never diverge (the one transcendental in the pHash pipeline)."""
+    k = np.arange(n)
+    d = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+    )
+    d[0, :] = np.sqrt(1.0 / n)
+    return np.round(d, 12) if replay_rounding else d
+
+
+def image_phash(
+    media: DataFrame, id_col: str = "doc_id", replay_rounding: bool = False
+) -> DataFrame:
     """Perceptual 64-bit image hash (pHash): decode → grayscale →
     32×32 nearest resize → 2-D DCT-II → 8×8 low-frequency block minus
     DC → bit = coefficient > median. Visually-near images differ in few
     bits; re-encodes/noise move ~0–6 bits — the IMAGE analog of the
     text tier's SimHash, feeding the same chunk-banded near-dup join
     (`phash_neardup_pairs`). Map-only Arrow kernel, basis matrices
-    built once per batch."""
+    built once per batch.
+
+    ``replay_rounding`` (gate/verification mode) makes the hash
+    cross-engine replayable: the basis rounds to 12dp (shared with the
+    oracle as literals), the row-transform intermediate to 9dp and the
+    final coefficients to 6dp before the median threshold, so float
+    summation-order differences between numpy matmul and an SQL
+    engine's SUM can never flip a bit comparison — the k-means
+    replay-rounding pattern. The median of the 63-coefficient block is
+    an exact order statistic (sorted[31]) on both engines."""
     import numpy as np
     import pandas as pd
 
@@ -386,12 +410,7 @@ def image_phash(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 32
-        k = np.arange(n)
-        # orthonormal DCT-II basis
-        d = np.sqrt(2.0 / n) * np.cos(
-            np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
-        )
-        d[0, :] = np.sqrt(1.0 / n)
+        d = dct_basis(n, replay_rounding)
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
@@ -401,8 +420,12 @@ def image_phash(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ri = (np.arange(n) * h // n)
                 ci = (np.arange(n) * w // n)
                 small = gray[np.ix_(ri, ci)]
-                coeffs = d @ small @ d.T
-                block = coeffs[:8, :8].flatten()[1:]  # drop DC
+                if replay_rounding:
+                    t = np.round(d[:8] @ small, 9)
+                    block = np.round(t @ d[:8].T, 6).flatten()[1:]
+                else:
+                    coeffs = d @ small @ d.T
+                    block = coeffs[:8, :8].flatten()[1:]  # drop DC
                 bits = block > np.median(block)
                 val = np.uint64(0)
                 for i, b in enumerate(bits):
@@ -420,6 +443,7 @@ def phash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     max_bucket: int | None = 10_000,
+    replay_rounding: bool = False,
 ) -> DataFrame:
     """Visual near-dup pairs by pHash hamming distance ≤ ``max_hamming``.
 
@@ -430,7 +454,7 @@ def phash_neardup_pairs(
     hamming verifies via bit_count(xor)."""
     from stream4flow_spark.llmdata.dedup import _cap_buckets
 
-    hashed = image_phash(media, id_col).select(
+    hashed = image_phash(media, id_col, replay_rounding).select(
         F.col(id_col).alias("id"), "phash"
     )
     chunked = hashed.select(
