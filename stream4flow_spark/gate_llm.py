@@ -3326,10 +3326,12 @@ def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_exact_substr_dedup",
-    covers="llm:dedup-substr A15",
-    oracle="""
+def _exact_substr_oracle(final_where: str = "") -> str:
+    """The batch ExactSubstr replay on raw gram STRINGS; with
+    ``final_where`` restricting the output rows it also oracles the
+    incremental form (batch-restricted-to-delta == incremental — the
+    parity property incremental_exact_substr documents)."""
+    return f"""
         WITH raw AS (
             SELECT doc_id,
                    unnest(string_split_regex(trim(text), '\\s+')) AS tok,
@@ -3385,7 +3387,14 @@ def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(r.n_removed, 0) AS n_removed,
                coalesce(r.dedup_text, '') AS dedup_text
         FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
-        """,
+        {final_where}
+        """
+
+
+@register(
+    "llm_exact_substr_dedup",
+    covers="llm:dedup-substr A15",
+    oracle=_exact_substr_oracle(),
 )
 def q_llm_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-substring removal (ExactSubstr, Lee et
@@ -3404,6 +3413,32 @@ def q_llm_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return exact_substr_dedup(docs, min_len=15)
+
+
+@register(
+    "llm_incremental_exact_substr",
+    covers="llm:dedup-substr llm:dedup-incremental",
+    oracle=_exact_substr_oracle("WHERE d.doc_id >= 250"),
+)
+def q_llm_incremental_exact_substr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ExactSubstr: the delta (doc_id >= 250) cleans itself
+    against the already-admitted corpus' gram index plus its own
+    intra-delta repeats (dedup.incremental_exact_substr — the growing-
+    index form; streaming twin ExactSubstrIndexState in
+    streaming/llmingest.py). Because corpus ids precede delta ids, the
+    result equals the batch operator restricted to the delta, which is
+    exactly what the oracle replays — certifying the incremental path
+    AND the parity property with one query."""
+    from stream4flow_spark.llmdata.dedup import incremental_exact_substr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_exact_substr(
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+        min_len=15,
+    )
 
 
 @register(

@@ -971,29 +971,9 @@ def exact_substr_dedup(
     Returns (id_col, n_tokens, n_removed, dedup_text) for EVERY input
     document (untouched docs pass through with n_removed = 0).
     """
-    from pyspark.sql import Window
-
-    L = min_len
-    base = df.select(
-        F.col(id_col).alias("id"), whitespace_tokens(F.col(text_col)).alias("toks")
-    )
+    base = _substr_base(df, text_col, id_col)
     toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
-    # L-gram hashes computed in-task over the token array: joining the
-    # window with a separator reproduces the exact token sequence
-    # (whitespace tokens cannot contain the separator), so equal hash
-    # <=> equal L-token window modulo xxhash64 collisions.
-    grams = base.select(
-        "id",
-        F.posexplode(
-            F.when(
-                F.size("toks") >= L,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - L),
-                    lambda i: F.xxhash64(F.array_join(F.slice("toks", i + 1, L), " ")),
-                ),
-            ).otherwise(F.array().cast("array<bigint>"))
-        ).alias("pos", "gh"),
-    )
+    grams = _substr_grams(base, min_len)
     dup = (
         grams.groupBy("gh")
         .agg(
@@ -1008,9 +988,57 @@ def exact_substr_dedup(
         .filter(~((F.col("id") == F.col("w.k")) & (F.col("pos") == F.col("w.p"))))
         .select("id", F.col("pos").alias("s"))
     )
+    return _substr_rebuild(df, id_col, toks, marked, min_len)
+
+
+def _substr_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, toks) tokenization shared by the batch and incremental
+    ExactSubstr forms."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        whitespace_tokens(F.col(text_col)).alias("toks"),
+    )
+
+
+def _substr_grams(base: DataFrame, L: int) -> DataFrame:
+    """(id, pos, gh) — every L-token window's xxhash64, computed
+    in-task over the token array: joining the window with a separator
+    reproduces the exact token sequence (whitespace tokens cannot
+    contain the separator), so equal hash <=> equal L-token window
+    modulo xxhash64 collisions. Only 16-byte rows leave the scan."""
+    return base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - L),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice("toks", i + 1, L), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos", "gh"),
+    )
+
+
+def _substr_rebuild(
+    df: DataFrame, id_col: str, toks: DataFrame, marked: DataFrame, L: int
+) -> DataFrame:
+    """Difference-array coverage + per-document rebuild shared by the
+    batch and incremental ExactSubstr forms: two (+1/-1) events per
+    marked window, cumulative-summed per document; surviving tokens
+    reassemble in one doc-keyed exchange. ``df`` supplies the full id
+    universe (untouched docs pass through with n_removed = 0)."""
+    from pyspark.sql import Window
+
     events = (
         marked.select("id", F.col("s").alias("pos"), F.lit(1).alias("d"))
-        .unionByName(marked.select("id", (F.col("s") + L).alias("pos"), F.lit(-1).alias("d")))
+        .unionByName(
+            marked.select(
+                "id", (F.col("s") + L).alias("pos"), F.lit(-1).alias("d")
+            )
+        )
         .groupBy("id", "pos")
         .agg(F.sum("d").alias("d"))
     )
@@ -1045,3 +1073,84 @@ def exact_substr_dedup(
             F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
         )
     )
+
+
+def exact_substr_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 15,
+) -> DataFrame:
+    """The persistable ExactSubstr gram index: one ``gh`` row per
+    DISTINCT L-token window hash in the corpus — 8 B per distinct gram,
+    no text, no positions. A production pipeline computes this once per
+    snapshot (or grows it per micro-batch — ``streaming/llmingest.py
+    ExactSubstrIndexState``) and every delta cleans itself against the
+    stored table; the corpus never re-tokenizes."""
+    return (
+        _substr_grams(_substr_base(df, text_col, id_col), min_len)
+        .select("gh")
+        .distinct()
+    )
+
+
+def incremental_exact_substr(
+    corpus: DataFrame | None,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 15,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """ExactSubstr cleaning of a DELTA snapshot against an existing
+    CORPUS — the incremental form of ``exact_substr_dedup`` a
+    continuously-crawled corpus needs (re-hashing 100 TB of grams per
+    snapshot is the naive alternative), the same growing-index shape as
+    ``incremental_dedup`` / ``incremental_neardup``.
+
+    A delta window is removed iff its L-gram already exists in the
+    corpus (the corpus holds the first occurrence by construction) OR
+    repeats within the delta and this occurrence is not the delta-wide
+    first by (id, pos). When every corpus id precedes every delta id,
+    this equals the batch ``exact_substr_dedup`` over corpus ∪ delta
+    restricted to the delta's rows — parity-tested, and the property
+    that makes the arrival-ordered streaming twin exact.
+
+    Pass ``corpus_index`` = a persisted ``exact_substr_index`` and the
+    per-snapshot cost is O(delta tokens) hashing + one ids-only
+    semi-join against the index; with ``corpus_index=None`` the index
+    is computed in-line from ``corpus``. Returns (id_col, n_tokens,
+    n_removed, dedup_text) for every delta document.
+    """
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("need corpus or corpus_index")
+        corpus_index = exact_substr_index(corpus, text_col, id_col, min_len)
+    base = _substr_base(delta, text_col, id_col)
+    toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    grams = _substr_grams(base, min_len)
+    # marked-by-corpus: EVERY delta occurrence of an indexed gram
+    in_corpus = grams.join(
+        corpus_index.select("gh"), "gh", "left_semi"
+    ).select("id", F.col("pos").alias("s"))
+    # marked-within-delta: non-first occurrences of delta-repeated grams
+    dup = (
+        grams.groupBy("gh")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(
+                F.struct(F.col("id").alias("k"), F.col("pos").alias("p"))
+            ).alias("w"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("gh", "w")
+    )
+    in_delta = (
+        grams.join(dup, "gh")
+        .filter(
+            ~((F.col("id") == F.col("w.k")) & (F.col("pos") == F.col("w.p")))
+        )
+        .select("id", F.col("pos").alias("s"))
+    )
+    marked = in_corpus.unionByName(in_delta).dropDuplicates(["id", "s"])
+    return _substr_rebuild(delta, id_col, toks, marked, min_len)

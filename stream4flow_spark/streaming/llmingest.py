@@ -419,6 +419,116 @@ def semantic_screen_stream(
     return state
 
 
+class ExactSubstrIndexState(_ArrivalIndexState):
+    """Streaming ExactSubstr cleaning against a GROWING on-disk gram
+    index — the continuous-crawl form of
+    ``dedup.incremental_exact_substr`` (and the arrival-ordered twin of
+    the batch ``exact_substr_dedup``): every micro-batch's documents
+    are stripped of any ≥ min_len-token passage already present in the
+    indexed corpus OR repeated within the batch (batch-wide first copy
+    kept), then the batch's ORIGINAL grams join the index so later
+    arrivals dedup against the uncut text.
+
+    Because ``incremental_exact_substr``'s semantics equal the batch
+    operator restricted to the delta whenever prior ids precede delta
+    ids, draining an id-ordered stream through this state reproduces
+    the batch output document-for-document (parity-tested in
+    tests/test_streaming.py).
+
+    State on disk: 8 B per distinct corpus gram (``grams/batch=<id>``
+    dirs; duplicates across batch dirs are harmless — the screen is a
+    semi-join — and ``compact_exact_substr_index`` consolidates).
+    Cleaned documents land in ``clean/batch=<id>``. Both writes are
+    keyed by batch_id, so a foreachBatch redelivery overwrites instead
+    of double-appending, and the alert snapshot (documents that lost
+    tokens) is replace-not-extend — the retry-safety contract every
+    arrival index here shares."""
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        min_len: int = 15,
+    ):
+        super().__init__(spark, state_dir)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.min_len = min_len
+
+    def _read_index(self):
+        if not self._has_index("grams"):
+            return None
+        return self.spark.read.parquet(f"{self.state_dir}/grams").select("gh")
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from stream4flow_spark.llmdata.dedup import (
+            exact_substr_index,
+            incremental_exact_substr,
+        )
+
+        idx = self._read_index()
+        if idx is None:
+            idx = self.spark.createDataFrame([], "gh bigint")
+        cleaned = incremental_exact_substr(
+            None,
+            batch_df,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            min_len=self.min_len,
+            corpus_index=idx,
+        )
+        cleaned.write.mode("overwrite").parquet(
+            f"{self.state_dir}/clean/batch={batch_id}"
+        )
+        # index the batch's ORIGINAL grams (uncut text): the first copy
+        # keeps its full text, so later arrivals must dedup against it
+        exact_substr_index(
+            batch_df, self.text_col, self.id_col, self.min_len
+        ).write.mode("overwrite").parquet(
+            f"{self.state_dir}/grams/batch={batch_id}"
+        )
+        # bounded driver pull: one row per document that lost tokens
+        self._alerts_by_batch[batch_id] = (
+            self.spark.read.parquet(f"{self.state_dir}/clean/batch={batch_id}")
+            .filter(F.col("n_removed") > 0)
+            .select(self.id_col, "n_removed")
+            .collect()
+        )
+
+    def cleaned(self) -> DataFrame:
+        """Every drained batch's cleaned documents."""
+        return self.spark.read.parquet(f"{self.state_dir}/clean").drop("batch")
+
+
+def exact_substr_screen_stream(
+    stream_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Drain ``stream_docs`` (availableNow) through the ExactSubstr
+    index loop; returns the completed state (cleaned docs + gram
+    index + per-batch alerts)."""
+    state = ExactSubstrIndexState(stream_docs.sparkSession, state_dir, **kwargs)
+    q = (
+        stream_docs.writeStream.foreachBatch(state.apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state
+
+
+def compact_exact_substr_index(spark, state_dir: str) -> dict:
+    """Consolidate the ExactSubstr gram index's per-batch dirs (and
+    drop cross-batch duplicate grams); returns {"grams": n_rows}."""
+    return _compact_index(spark, state_dir, ("grams",), distinct=True)
+
+
 def compact_neardup_index(spark, state_dir: str) -> dict:
     """Rewrite the minhash near-dup index's accumulated per-batch dirs
     into one consolidated batch each for bands and signatures (DEPLOY.md:
@@ -435,12 +545,17 @@ def compact_semantic_index(spark, state_dir: str) -> dict:
     return _compact_index(spark, state_dir, ("buckets", "vecs"))
 
 
-def _compact_index(spark, state_dir: str, subs: tuple[str, ...]) -> dict:
-    """Per-batch-dir → single-dir rewrite shared by both arrival
+def _compact_index(
+    spark, state_dir: str, subs: tuple[str, ...], distinct: bool = False
+) -> dict:
+    """Per-batch-dir → single-dir rewrite shared by the arrival
     indexes. Listing and the delete/rename swap go through the Hadoop
     FS API, so the index can live on any mounted scheme (local, HDFS,
     S3A) — the same stores DEPLOY.md sizes it for; ``glob``/``shutil``
-    would silently see an empty index there.
+    would silently see an empty index there. ``distinct`` additionally
+    dedups rows across batch dirs (the ExactSubstr gram index: a gram
+    re-indexed by a later batch is semantically idempotent but wastes
+    bytes).
     """
     out = {}
     jvm = spark._jvm
@@ -451,6 +566,8 @@ def _compact_index(spark, state_dir: str, subs: tuple[str, ...]) -> dict:
             out[sub] = 0
             continue
         df = spark.read.parquet(src).drop("batch")
+        if distinct:
+            df = df.distinct()
         tmp = f"{state_dir}/__compact_{sub}"
         df.coalesce(max(1, df.rdd.getNumPartitions() // 8)).write.mode(
             "overwrite"

@@ -2694,3 +2694,69 @@ def test_stream_attribution_late_older_touch_across_batches(
     r = got[0]
     assert r.first_touch == "view"  # event-time-oldest, despite late arrival
     assert r.last_touch == "click"  # newer stored touch survives the late one
+
+
+def test_stream_exact_substr_matches_batch(spark, tmp_path):
+    """Draining id-ordered waves through the ExactSubstr arrival index
+    must reproduce the BATCH exact_substr_dedup output document-for-
+    document (the parity property incremental_exact_substr documents:
+    prior ids precede delta ids => incremental == batch-restricted);
+    a restart between waves must continue from the on-disk gram index,
+    and compaction must not change the screen."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.llmdata.dedup import exact_substr_dedup
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.llmingest import (
+        compact_exact_substr_index,
+        exact_substr_screen_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    want = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.dedup_text)
+        for r in exact_substr_dedup(docs, min_len=15).collect()
+    }
+
+    pdf = docs.toPandas().sort_values("doc_id")
+    src = tmp_path / "docs"
+    src.mkdir()
+    third = len(pdf) // 3
+    bounds = [(0, third), (third, 2 * third), (2 * third, len(pdf))]
+    for i, (lo, hi) in enumerate(bounds[:2]):
+        pdf.iloc[lo:hi].to_parquet(str(src / f"w{i}.parquet"), index=False)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return exact_substr_screen_stream(
+            stream,
+            state_dir=str(tmp_path / "index"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            min_len=15,
+        )
+
+    st1 = run()  # waves 0 and 1
+    # compaction between runs must be transparent to later screening
+    n = compact_exact_substr_index(spark, str(tmp_path / "index"))
+    assert n["grams"] > 0
+    lo, hi = bounds[2]
+    pdf.iloc[lo:hi].to_parquet(str(src / "w2.parquet"), index=False)
+    st2 = run()  # RESTART: gram index must have survived on disk
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.dedup_text)
+        for r in st2.cleaned().collect()
+    }
+    assert got == want
+    # alerts across both runs = exactly the documents that lost tokens
+    # (the alert snapshot is per-process; the on-disk clean output is
+    # the durable record)
+    alerted = {r.doc_id for r in st1.alerts} | {r.doc_id for r in st2.alerts}
+    assert alerted == {
+        d for d, (_, n_rem, _) in want.items() if n_rem > 0
+    }
