@@ -48,56 +48,50 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 # listed keep registration order after the pinned prefix, so nothing is
 # ever dropped from ``queries()`` itself.
 WINDOW_PRIORITY: list[str] = [
-    # Round-8 window. Rotation policy (capacity-aware, enforced by
+    # Round-9 window. Rotation policy (capacity-aware, enforced by
     # tests/test_results_store.py::test_window_rotation_staleness_policy):
     # with N oracle-backed queries and 50 slots/round, a full rotation
     # takes k = ceil(N/50) rounds, so any query NOT in this window must
-    # have a driver-green row at most k-1 rounds old. The r07 verdict's
-    # 2-round horizon became arithmetically unsatisfiable at N=133
-    # (133 > 2x50); k self-adjusts as the registry grows.
-    # 1-33: the entire r05-latest-green cohort (the 33 queries the r07
-    # staleness tripwire named — r07 verdict item 1).
-    "detection_ddos", "llm_embedding_neardup", "llm_exact_dedup",
-    "llm_fingerprints", "llm_hash_split", "llm_language_id",
-    "llm_length_stats", "llm_multimodal_decode", "llm_multimodal_features",
-    "llm_multimodal_frames", "llm_multimodal_resize", "llm_ngram_jaccard",
-    "llm_stratified_sample", "llm_text_stats", "llm_unicode_normalize",
-    "rel_asof_join", "rel_cube_mktsegment_year", "rel_funnel_conversion",
-    "rel_gapfill_events", "rel_json_props", "rel_moving_order_value",
-    "rel_retention_cohorts", "rel_setops_customer_years",
-    "rel_spend_deciles", "rel_unpivot_measures",
-    "tpch_q2ish_min_cost_supplier", "tpch_q9ish_nation_year_profit",
-    "tpch_q11ish_important_parts", "tpch_q15ish_top_supplier",
-    "tpch_q16ish_supplier_variety", "tpch_q17ish_small_quantity_revenue",
-    "tpch_q20ish_excess_suppliers", "tpch_q21ish_sole_supplier",
-    # 34-39: six of the twelve rows-only queries with NO driver row of
-    # any kind yet, so the driver's weaker rows-only check runs at least
-    # once on each (r07 verdict item 3). llm_embedding_neardup_lsh and
-    # llm_ann_ivf_topk, first drafted here, already HAD early-round rows
-    # (the staleness CI caught it) — swapped for two genuinely
-    # never-seen ones; the remaining never-seen rows-only queries get
-    # r09 slots.
-    "llm_simhash_dedup", "llm_winnow_neardup", "llm_winnow_fingerprints",
-    "llm_ann_quantized_topk", "llm_bpe_tokenize", "llm_quality_model",
-    # 40-50: the eleven new-in-r08 queries (never verified by
-    # definition — the staleness policy REQUIRES the oracle-backed ones
-    # here). They filled the slots previously reserved for r06-cohort
-    # pre-rotation.
-    #
-    # r09 PLANNING (computed at r08 close): once r08 goes green, exactly
-    # 50 oracle queries sit at latest=r06 and k=ceil(144/50)=3 makes the
-    # judging horizon r09-2=r07 — so the r09 window must EITHER be
-    # exactly that 50-query r06 cohort (no room for r09 additions or the
-    # 6 still-never-green rows-only: ann_ivf, embedding_neardup_lsh,
-    # audio_spectrogram, image_phash, length_stats_approx,
-    # semantic_dedup_lsh), OR r09 adds >=7 new oracle-backed queries so
-    # n_oracle>=151 pushes k to 4 and the horizon back to r06 — freeing
-    # slots for the additions + rows-only while the r06 cohort waits for
-    # r10. Adding 1-6 oracle queries is the one infeasible move.
-    "llm_exact_substr_dedup", "llm_cluster_balanced_sample",
-    "llm_dsir_select", "llm_leakage_safe_split", "llm_hard_negatives",
-    "llm_corpus_diff", "host_triangles", "rel_distinct_sketch_rollup",
-    "rel_rolling_active_users", "rel_attribution", "host_kcore",
+    # have a driver-green row at most k-1 rounds old. r09 took the
+    # "add >=7 oracle-backed queries" branch the r08 plan computed:
+    # SEVEN former rows-only queries converted to real DuckDB oracles
+    # (winnow x2 via the md5 dual-mode, quantized-ANN via pinned
+    # floor-rounding, IVF + embedding-LSH + semantic-LSH + image-pHash
+    # via deterministic replay) plus the NEW llm_incremental_exact_substr
+    # — n_oracle 144->152, k=ceil(152/50)=4, judging horizon r09-3=r06.
+    # The five remaining rows-only queries (bpe_tokenize, quality_model,
+    # distinct_sketch_rollup, audio_spectrogram, length_stats_approx)
+    # are genuinely un-oracle-able and PERMANENTLY hold no window slot —
+    # the driver has no weaker rows-only check (omitted oracle => red
+    # no_oracle row, proven r08); their certification is the named
+    # property tests in COVERAGE.md.
+    # 1-8: every never-driver-green oracle-backed query (the staleness
+    # policy REQUIRES these here).
+    "llm_winnow_neardup", "llm_winnow_fingerprints",
+    "llm_ann_quantized_topk", "llm_ann_ivf_topk",
+    "llm_embedding_neardup_lsh", "llm_semantic_dedup_lsh",
+    "llm_image_phash_neardup", "llm_incremental_exact_substr",
+    # 9-50: 42 of the 50-query r06-latest-green cohort (pre-rotation;
+    # alphabetical prefix). The 8 deferred — tpch_q13ish/q14ish/q18ish/
+    # q19ish/q22ish/q4ish/q7ish/q8ish — sit at latest=r06, inside the
+    # k=4 horizon through r09 (9-3=6) and MUST take r10 window slots
+    # (r10 judging horizon 10-3=7), leaving r10 ~42 free slots.
+    "alert_suppression", "application_template", "dns_external_resolvers",
+    "dns_open_resolvers", "dns_statistics", "domain_entropy",
+    "host_daily_profile", "host_stats", "iso_timestamps",
+    "llm_chunk_documents", "llm_corpus_select", "llm_dedup_corpus",
+    "llm_dedup_rate_by_source", "llm_embedding_coverage",
+    "llm_heavy_hitters", "llm_incremental_neardup", "llm_random_projection",
+    "llm_scene_changes", "llm_segment_dedup", "llm_semantic_dedup",
+    "llm_source_overlap", "llm_text_clean", "llm_unigram_logprob",
+    "pattern_finder", "ports_scan", "protocols_statistics",
+    "readside_q1_range_term", "readside_q2_histogram_terms_sum",
+    "reflect_ddos", "rel_event_sessionization",
+    "rel_grouping_sets_nation_year", "rel_lateral_top_orders",
+    "rel_quality_audit", "rel_recursive_calendar", "rel_rollup_revenue",
+    "rel_snapshot_drift", "rel_trailing_week_revenue", "ssh_auth_simple",
+    "tls_classification", "top_n_host_stats",
+    "tpch_q10ish_returned_revenue", "tpch_q12ish_shipmode_priority",
 ]
 
 
