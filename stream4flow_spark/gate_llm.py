@@ -762,13 +762,23 @@ def q_llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, rank, fp) rows — driver outputs must never be array
     columns (the r08 array<bigint> return crashed the driver's
     canonicalizer). rank = 1-based position in the sorted distinct
-    fingerprint list, so the hash certifies order too."""
+    fingerprint list, so the hash certifies order too.
+
+    posexplode_OUTER + a post-filter on the generated attribute, NOT
+    plain posexplode: Generate(outer=false) injects a size(fps)>0
+    filter that predicate-pushdown drags below every exchange,
+    re-inlining the whole md5 expression tree into a single-task
+    Filter on the scan (measured 21 s; this form runs ~1 s)."""
     docs = load_table(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs, hash_mode="md5")
-    return fps.select(
-        "doc_id", F.posexplode("fps").alias("rank0", "fp")
-    ).select(
-        "doc_id", (F.col("rank0") + 1).cast("int").alias("rank"), "fp"
+    return (
+        fps.select(
+            "doc_id", F.posexplode_outer("fps").alias("rank0", "fp")
+        )
+        .filter(F.col("fp").isNotNull())
+        .select(
+            "doc_id", (F.col("rank0") + 1).cast("int").alias("rank"), "fp"
+        )
     )
 
 

@@ -202,6 +202,18 @@ def winnow_fingerprints(
     import pandas as pd
 
     if hash_mode == "md5":
+        # CollapseProject merges chained selects and re-inlines the md5
+        # transform into EVERY reference of the next step's lambdas —
+        # measured 98 s (O(len²) inlining) and still 24 s (O(window)
+        # inlining × 1 task) on the gate corpus. Real Exchange nodes are
+        # the barrier Catalyst cannot collapse through: repartition the
+        # (tiny) text first so the hash stage is parallel, and
+        # repartition the (id, hashes) rows so the window-min stage
+        # reads __h as a materialized attribute — the md5 transform
+        # then evaluates exactly once per gram. Gate-mode-only cost:
+        # two exchanges of O(text) / O(8·grams) bytes; production
+        # ("rolling") stays the zero-shuffle numpy kernel.
+        par = df.sparkSession.sparkContext.defaultParallelism
         text = F.col(text_col)
         gram_hash = lambda i: F.conv(  # noqa: E731
             F.substring(F.md5(F.substring(text, i, k)), 1, 15), 16, 10
@@ -214,11 +226,8 @@ def winnow_fingerprints(
         ).otherwise(F.array().cast("array<bigint>"))
         # window minima as a zip_with fold over `window` shifted slices
         # (the word_grams_from_tokens trick): each slice references the
-        # hash array ONCE, so even if the optimizer inlines the md5
-        # transform the grams hash O(window) times, never O(len) times
-        # (the per-position transform(sequence, j -> min(slice(h, j)))
-        # form inlined to O(len²) md5 calls — measured 98 s on the
-        # 500-doc gate table vs <2 s for this form). zip_with pads the
+        # materialized hash array once; n_w derives from the row count,
+        # not size(__h), so no extra references. zip_with pads the
         # shorter slice with nulls and least() skips nulls, which also
         # yields the single whole-array min when 0 < len(h) < window
         # and [] when h is empty — no separate short-document branch.
@@ -231,7 +240,10 @@ def winnow_fingerprints(
             )
         fps = F.sort_array(F.array_distinct(F.col("__m")))
         return (
-            df.select(F.col(id_col), hashes.alias("__h"))
+            df.select(F.col(id_col), text)
+            .repartition(par)
+            .select(F.col(id_col), hashes.alias("__h"))
+            .repartition(par, id_col)
             .select(id_col, mins.alias("__m"))
             .select(
                 F.col(id_col),

@@ -42,10 +42,18 @@ _OVERRIDES = {
 # r8: llm_simhash_dedup's gate query switched to the md5 hash mode so the
 # oracle can replay it (two conv(substring(md5)) per shingle vs one
 # xxhash64) — pre-r8 records timed the cheaper hash.
+# r9 oracle conversions that changed gate-query work content:
+# winnow x2 run the md5 Column mode (per-char-gram md5+conv vs the
+# numpy rolling kernel; fingerprints additionally explodes to scalar
+# rows), IVF runs replay_rounding with 8/3/3 instead of 16/4/5, and
+# image_phash runs the rounded DCT on a doc_id<200 slice (the unrounded
+# mode hashed float dust — pre-r9 pair counts aren't comparable).
 _SEMANTICS_RESET = {
     "llm_multimodal_decode", "llm_multimodal_resize",
     "llm_multimodal_frames", "llm_multimodal_features",
     "llm_length_stats", "detection_ddos", "llm_simhash_dedup",
+    "llm_winnow_neardup", "llm_winnow_fingerprints",
+    "llm_ann_ivf_topk", "llm_image_phash_neardup",
 }
 
 
