@@ -12,6 +12,8 @@ from stream4flow_spark.llmdata.dedup import (
 )
 from stream4flow_spark.llmdata.multimodal import attach_binary_payload, decode_images
 from stream4flow_spark.llmdata.simsearch import cosine_topk
+import pytest
+
 from tests.conftest import SF_DIR
 
 
@@ -460,10 +462,13 @@ def test_source_overlap_trigram_exact_and_capped(spark):
     assert again[("src_a", "src_b")] == cab.n_shared  # deterministic
 
 
-def test_winnow_fingerprints_guarantee_and_selectivity(spark):
+@pytest.mark.parametrize("hash_mode", ["rolling", "md5"])
+def test_winnow_fingerprints_guarantee_and_selectivity(spark, hash_mode):
     """Winnowing guarantee: documents sharing a substring of length >=
     window+k-1 share at least one fingerprint; unrelated documents share
-    none; fingerprint count is ~1/window of the k-gram count."""
+    none; fingerprint count is ~1/window of the k-gram count. Holds for
+    BOTH hash modes — the md5 gate mode changes which grams collide,
+    never the window-min selection algorithm."""
     from stream4flow_spark.llmdata.textstats import winnow_fingerprints
 
     shared = "a common phrase that is plenty long enough to guarantee overlap"
@@ -476,7 +481,8 @@ def test_winnow_fingerprints_guarantee_and_selectivity(spark):
             "xy",  # shorter than k: no k-grams at all
         ],
     )
-    out = {r.doc_id: r for r in winnow_fingerprints(df, k=8, window=4).collect()}
+    out = {r.doc_id: r for r in winnow_fingerprints(
+        df, k=8, window=4, hash_mode=hash_mode).collect()}
     f0, f1, f2 = set(out[0].fps), set(out[1].fps), set(out[2].fps)
     assert f0 & f1, "shared substring must yield a shared fingerprint"
     assert not (f0 & f2) and not (f1 & f2)
@@ -485,7 +491,8 @@ def test_winnow_fingerprints_guarantee_and_selectivity(spark):
     n_grams = len("prefix one " + shared + " suffix alpha") - 7
     assert out[0].n_fps < n_grams / 2
     # determinism
-    again = {r.doc_id: set(r.fps) for r in winnow_fingerprints(df, k=8, window=4).collect()}
+    again = {r.doc_id: set(r.fps) for r in winnow_fingerprints(
+        df, k=8, window=4, hash_mode=hash_mode).collect()}
     assert again[0] == f0
 
 
