@@ -996,6 +996,43 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_decontaminate_bloom",
+    covers="llm:decontamination llm:bloom-prune J1",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, unnest(list_distinct({_GRAMS3})) AS gram
+            FROM documents WHERE len({_W}) >= 3
+        ),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 10 <> 0
+        GROUP BY 1 HAVING COUNT(*) >= 3
+        """,
+)
+def q_llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through the Bloom-pruned scale path
+    (operators/bloom.py): the corpus gram stream is pruned map-side
+    against a broadcast bitmap of the benchmark grams BEFORE the exact
+    join. The oracle is the plain exact-overlap SQL — a green row
+    certifies the no-false-negatives property end to end (the prune may
+    pass ~fpp junk grams; the exact join removes them, so counts are
+    value-identical while the join exchange shrinks to the contaminated
+    sliver — the shape that matters when the corpus side is 100 TB).
+    Every 10th document plays the benchmark; threshold ≥3 grams."""
+    from stream4flow_spark.llmdata.decontaminate import contamination_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    counts = contamination_counts(
+        train, bench, n=3, hash_grams=False, bloom_prefilter=20_000
+    )
+    return counts.filter(F.col("n_contaminated_grams") >= 3)
+
+
+@register(
     "llm_repetition",
     covers="llm:repetition-filter llm:quality-score",
     oracle=f"""

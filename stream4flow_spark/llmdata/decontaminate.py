@@ -49,10 +49,21 @@ def contamination_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_grams: bool = True,
+    bloom_prefilter: int | None = None,
 ) -> DataFrame:
     """Per-corpus-document count of distinct n-grams that also occur in
     ``benchmark``. Documents with zero overlap are absent from the
-    output (join semantics — the caller left-joins if it wants zeros)."""
+    output (join semantics — the caller left-joins if it wants zeros).
+
+    ``bloom_prefilter`` = the benchmark's expected distinct-gram count:
+    when set, the corpus gram stream is pruned MAP-SIDE against a
+    broadcast Bloom bitmap of the benchmark grams before the exact join
+    (``operators/bloom.py``). No false negatives ⇒ counts are
+    IDENTICAL; the join exchange shrinks from O(corpus grams) to
+    O(matching grams + fpp·corpus grams) — at 100 TB the difference
+    between shuffling the corpus's whole gram stream and shuffling the
+    contaminated sliver. The 1% fpp bitmap for a 10⁸-gram benchmark is
+    ~120 MB of broadcast, amortized over every corpus partition."""
     def grams_of(df: DataFrame, keep_id: bool) -> DataFrame:
         cols = [F.col(id_col)] if keep_id else []
         # tokenize into a real column BEFORE the gram lambdas — an
@@ -71,6 +82,12 @@ def contamination_counts(
 
     corpus_grams = grams_of(corpus, keep_id=True)
     bench_grams = grams_of(benchmark, keep_id=False).distinct()
+    if bloom_prefilter is not None:
+        from stream4flow_spark.operators.bloom import bloom_prune
+
+        corpus_grams = bloom_prune(
+            corpus_grams, bench_grams, "gram", expected_items=bloom_prefilter
+        )
     return (
         corpus_grams.join(bench_grams, "gram")
         .groupBy(id_col)

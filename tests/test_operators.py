@@ -1133,3 +1133,60 @@ def test_kcore_converges_through_deep_peel_cascades(spark):
     )
     core = {r.host for r in kcore(e2, k=2).collect()}
     assert core == {f"p{i}" for i in range(10, 21)}
+
+
+def test_bloom_no_false_negatives_and_fpp_bound(spark):
+    """operators/bloom.py invariants: every true member passes the
+    probe (the property that keeps exact oracles valid through the
+    prune), and the observed false-positive rate stays near the target
+    (loose 3x bound — it's a probabilistic guarantee)."""
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.operators.bloom import bloom_params, bloom_prune
+
+    keys = spark.range(0, 1000).select((F.col("id") * 3).alias("k"))
+    big = spark.range(0, 30000).select(F.col("id").alias("k"))
+    got = {r.k for r in bloom_prune(big, keys, "k", 1000, fpp=0.01).collect()}
+    members = {r.k for r in keys.collect()} & set(range(30000))
+    assert members <= got, "false negative — bloom prune lost a member"
+    fp_rate = (len(got) - len(members)) / (30000 - len(members))
+    assert fp_rate < 0.03, fp_rate
+    m, k = bloom_params(1000, 0.01)
+    assert m % 64 == 0 and k >= 1
+
+
+def test_bloom_pruned_decontamination_is_value_identical(spark):
+    """The Bloom prefilter must change NOTHING about contamination
+    counts — same rows, same values — while pruning the gram stream
+    map-side (no false negatives; the exact join removes the ~fpp
+    false positives)."""
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.llmdata.decontaminate import contamination_counts
+    from stream4flow_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    plain = {
+        r.doc_id: r.n_contaminated_grams
+        for r in contamination_counts(
+            train, bench, n=3, hash_grams=False
+        ).collect()
+    }
+    pruned = {
+        r.doc_id: r.n_contaminated_grams
+        for r in contamination_counts(
+            train, bench, n=3, hash_grams=False, bloom_prefilter=20_000
+        ).collect()
+    }
+    assert plain == pruned and len(plain) > 0
+    # the hashed-gram scale path composes with the prune identically
+    hashed = {
+        r.doc_id: r.n_contaminated_grams
+        for r in contamination_counts(
+            train, bench, n=3, hash_grams=True, bloom_prefilter=20_000
+        ).collect()
+    }
+    assert hashed == plain

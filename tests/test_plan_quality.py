@@ -54,6 +54,11 @@ _NESTED_LOOP_OK = {
     # r8: inherits cosine_topk's broadcast-bounded-queries kernel with
     # the label exclusion in the join condition (20 anchor rows)
     "llm_hard_negatives",
+    # r9: the Bloom bitmap is a 1-row aggregate (array<long> words)
+    # cross-join-broadcast into the probe scan — the build side is
+    # exactly one row by construction (operators/bloom.py), the same
+    # scalar-broadcast shape as the BM25/DSIR constants
+    "llm_decontaminate_bloom",
 }
 
 
