@@ -132,22 +132,104 @@ def might_contain(
     return out
 
 
+def bloom_words_sharded(
+    keys: DataFrame,
+    key_col: str,
+    expected_items: int,
+    fpp: float = 0.01,
+    shards: int = 16,
+) -> DataFrame:
+    """``shards`` rows of ``(bf_shard int, bf_words array<bigint>)`` —
+    the filter split by ``pmod(xxhash64(key), shards)`` so no single
+    bitmap exceeds what one row/broadcast cell can hold. Each shard is
+    sized for its expected ``n/shards`` keys, so total bits ≈ the
+    unsharded filter; a shard that received no keys is emitted as an
+    all-zero bitmap (its probes must all say "absent", not NULL)."""
+    m, k = bloom_params(max(1, expected_items // shards), fpp)
+    key = F.col(key_col)
+    routed = keys.select(
+        F.pmod(F.xxhash64(key), F.lit(shards)).cast("int").alias("bf_shard"),
+        F.explode(
+            F.array(
+                *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)) for i in range(k)]
+            )
+        ).alias("idx"),
+    )
+    bits = (
+        routed.select(
+            "bf_shard",
+            F.shiftright("idx", 6).alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.col("idx").bitwiseAND(63).cast("int"),
+            ).alias("b"),
+        )
+        .groupBy("bf_shard", "w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(m // 64 - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(F.col("__wm"), i.cast("long")),
+            F.lit(0).cast("long"),
+        ),
+    )
+    built = (
+        bits.groupBy("bf_shard")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("__wm")
+        )
+        .select("bf_shard", dense.alias("bf_words"))
+    )
+    # left-join against the full shard id range so empty shards carry
+    # an all-zero bitmap instead of being absent (an absent shard would
+    # drop its probe rows at the join — a false negative)
+    spark = keys.sparkSession
+    all_shards = spark.range(shards).select(F.col("id").cast("int").alias("bf_shard"))
+    zero = F.transform(
+        F.sequence(F.lit(0), F.lit(m // 64 - 1)), lambda _: F.lit(0).cast("long")
+    )
+    return all_shards.join(built, "bf_shard", "left").select(
+        "bf_shard", F.coalesce("bf_words", zero).alias("bf_words")
+    )
+
+
 def bloom_prune(
     big: DataFrame,
     keys: DataFrame,
     key_col: str,
     expected_items: int,
     fpp: float = 0.01,
+    shards: int = 1,
 ) -> DataFrame:
     """``big`` minus the rows whose ``key_col`` is definitely NOT in
     ``keys`` — the map-side prune in front of an exact semi/inner join.
     Survivors still include ~fpp false positives; the exact join after
     this removes them, so results are unchanged while the join exchange
-    shrinks to ~(match fraction + fpp) of ``big``."""
-    m, k = bloom_params(expected_items, fpp)
-    flt = bloom_words(keys, key_col, expected_items, fpp).select("bf_words")
+    shrinks to ~(match fraction + fpp) of ``big``.
+
+    ``shards`` > 1 switches to the sharded bitmap (``bloom_words_
+    sharded``): the probe becomes a broadcast hash join on the shard id
+    — still zero big-side shuffle — with per-row bits bounded at
+    ~1.44·(n/shards)·log2(1/fpp). Use when one dense array outgrows a
+    single broadcast cell (~10⁹ small-side keys and up)."""
+    if shards <= 1:
+        m, k = bloom_params(expected_items, fpp)
+        flt = bloom_words(keys, key_col, expected_items, fpp).select("bf_words")
+        return (
+            big.crossJoin(F.broadcast(flt))
+            .filter(might_contain(F.col(key_col), "bf_words", m, k))
+            .drop("bf_words")
+        )
+    m, k = bloom_params(max(1, expected_items // shards), fpp)
+    tbl = bloom_words_sharded(keys, key_col, expected_items, fpp, shards)
+    probed = big.withColumn(
+        "bf_shard",
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(shards)).cast("int"),
+    )
     return (
-        big.crossJoin(F.broadcast(flt))
+        probed.join(F.broadcast(tbl), "bf_shard")
         .filter(might_contain(F.col(key_col), "bf_words", m, k))
-        .drop("bf_words")
+        .drop("bf_shard", "bf_words")
     )

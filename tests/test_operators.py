@@ -1190,3 +1190,67 @@ def test_bloom_pruned_decontamination_is_value_identical(spark):
         ).collect()
     }
     assert hashed == plain
+
+
+def test_bloom_sharded_prune_preserves_members_and_exactness(spark):
+    """The sharded bitmap (the >10^9-key scale path) keeps the same
+    contract as the 1-row filter: no false negatives, fpp in range, and
+    value-identical exact-join results; an empty shard must emit an
+    all-zero bitmap, never drop its probe rows."""
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.llmdata.decontaminate import contamination_counts
+    from stream4flow_spark.operators.bloom import bloom_prune
+    from stream4flow_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    keys = spark.range(0, 1000).select((F.col("id") * 3).alias("k"))
+    big = spark.range(0, 30000).select(F.col("id").alias("k"))
+    got = {
+        r.k
+        for r in bloom_prune(big, keys, "k", 1000, fpp=0.01, shards=7).collect()
+    }
+    members = {r.k for r in keys.collect()} & set(range(30000))
+    assert members <= got
+    fp_rate = (len(got) - len(members)) / (30000 - len(members))
+    assert fp_rate < 0.03, fp_rate
+
+    # empty-shard edge: 2 keys over 64 shards leaves most shards empty;
+    # probes routed to those shards must survive routing (and then fail
+    # the bit test), not disappear at the join
+    tiny = spark.createDataFrame([(5,), (9,)], "k long")
+    pruned = bloom_prune(big, tiny, "k", 2, fpp=0.01, shards=64)
+    assert {5, 9} <= {r.k for r in pruned.collect()}
+
+    # exactness through decontamination, sharded
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    plain = {
+        r.doc_id: r.n_contaminated_grams
+        for r in contamination_counts(train, bench, n=3).collect()
+    }
+    from stream4flow_spark.llmdata.decontaminate import word_ngrams  # noqa: F401
+    # route through bloom_prune(shards=4) by pruning the hashed gram
+    # stream manually (contamination_counts' bloom_prefilter uses the
+    # 1-row form; the sharded form must agree end to end)
+    from stream4flow_spark.llmdata.textstats import whitespace_tokens
+    from stream4flow_spark.llmdata.dedup import word_grams_from_tokens
+
+    def grams_of(df, keep_id):
+        cols = ["doc_id"] if keep_id else []
+        toked = df.select(*cols, whitespace_tokens(F.col("text")).alias("__t"))
+        return toked.select(
+            *cols, F.explode(word_grams_from_tokens(F.col("__t"), 3)).alias("gram")
+        ).withColumn("gram", F.xxhash64("gram"))
+
+    cg = bloom_prune(
+        grams_of(train, True), grams_of(bench, False).distinct(),
+        "gram", 20_000, shards=4,
+    )
+    sharded = {
+        r.doc_id: r.n
+        for r in cg.join(grams_of(bench, False).distinct(), "gram")
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sharded == plain
