@@ -744,6 +744,65 @@ def q_llm_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_neardup_pairs(docs, threshold=0.5, hash_mode="md5")
 
 
+_WINNOW_INCR_ORACLE = f"""
+    WITH {_winnow_fps_ctes(k=16, window=8)},
+    f32 AS (SELECT doc_id AS id, fps[1:32] AS fps FROM f),
+    e AS (SELECT id, unnest(fps) AS fp FROM f32),
+    cap_c AS (SELECT id, fp FROM (
+        SELECT id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY id) AS rn
+        FROM e WHERE id < 250) WHERE rn <= 150),
+    cap_d AS (SELECT id, fp FROM (
+        SELECT id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY id) AS rn
+        FROM e WHERE id >= 250) WHERE rn <= 150),
+    cand AS (SELECT d.id AS id_d, c.id AS id_c, count(*) AS shared
+             FROM cap_d d JOIN cap_c c ON d.fp = c.fp
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+    sh AS (SELECT doc_id AS id, {_GRAMS3} AS grams FROM documents),
+    ver AS (SELECT cand.id_d, cand.id_c,
+                   ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(a.grams || b.grams)), 4) AS j
+            FROM cand JOIN sh a ON cand.id_d = a.id
+                      JOIN sh b ON cand.id_c = b.id),
+    best AS (SELECT id_d, id_c, j FROM (
+        SELECT *, row_number() OVER (PARTITION BY id_d
+                   ORDER BY j DESC, id_c) AS rn
+        FROM ver WHERE j >= 0.5) WHERE rn = 1)
+    SELECT d.doc_id,
+           (best.id_c IS NOT NULL) AS is_near_dup,
+           best.id_c AS best_match_id,
+           best.j AS best_jaccard
+    FROM documents d LEFT JOIN best ON d.doc_id = best.id_d
+    WHERE d.doc_id >= 250
+    """
+
+
+@register(
+    "llm_incremental_winnow_neardup",
+    covers="llm:dedup-winnow-blocking llm:dedup-incremental",
+    oracle=_WINNOW_INCR_ORACLE,
+)
+def q_llm_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-blocked near-dup screening of a delta (doc_id >= 250)
+    against the already-admitted corpus' fingerprint index
+    (dedup.incremental_winnow_neardup — completes the incremental
+    family: exact, MinHash, semantic, ExactSubstr and now winnowing all
+    have growing-index forms). md5 hash mode, so the DuckDB oracle
+    replays fingerprinting, per-side bucket caps, the min_shared=2
+    collision join, the Jaccard verify AND the best-match rank
+    value-for-value."""
+    from stream4flow_spark.llmdata.dedup import incremental_winnow_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_winnow_neardup(
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+        threshold=0.5,
+        hash_mode="md5",
+    )
+
+
 _WINNOW_FPS_ORACLE = f"""
     WITH {_winnow_fps_ctes(k=8, window=4)}
     SELECT doc_id, CAST(j AS INT) AS rank, fps[CAST(j AS INT)] AS fp

@@ -922,6 +922,134 @@ def incremental_neardup(
     )
 
 
+def winnow_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    window: int = 8,
+    max_fps_per_doc: int | None = 32,
+    max_bucket: int | None = 150,
+    hash_mode: str = "rolling",
+) -> DataFrame:
+    """The persistable winnowing-fingerprint index: exploded ``(fp,
+    id)`` rows of each document's bottom-``max_fps_per_doc`` sketch,
+    hot fingerprints capped at ``max_bucket`` lowest ids — exactly the
+    collision table ``winnow_neardup_pairs`` builds internally, exposed
+    so a production pipeline can compute it once per snapshot (or grow
+    it per batch) and every delta joins the stored table."""
+    from stream4flow_spark.llmdata.textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, window=window,
+        hash_mode=hash_mode,
+    )
+    fp_arr = F.col("fps")
+    if max_fps_per_doc is not None:
+        fp_arr = F.slice(fp_arr, 1, max_fps_per_doc)
+    keyed = fps.select(
+        F.col(id_col).alias("id"), F.explode(fp_arr).alias("fp")
+    )
+    return _cap_buckets(keyed, ["fp"], max_bucket)
+
+
+def incremental_winnow_neardup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    window: int = 8,
+    min_shared: int = 2,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_fps_per_doc: int | None = 32,
+    max_bucket: int | None = 150,
+    corpus_index: DataFrame | None = None,
+    hash_mode: str = "rolling",
+) -> DataFrame:
+    """Winnowing-blocked near-dup screening of a DELTA against an
+    existing CORPUS — the substring-structural sibling of
+    ``incremental_neardup`` (MinHash) / ``incremental_semantic_neardup``
+    (embeddings), completing the incremental family: every batch
+    blocking tier now has a growing-index form.
+
+    Delta documents fingerprint with the SAME winnowing rule as the
+    corpus index, candidates key on shared fingerprints (ids +
+    8-byte fps only on the wire; pairs need ``min_shared`` collisions),
+    and candidates verify with true word n-gram Jaccard against the
+    corpus text fetched by id. Pass ``corpus_index`` = a persisted
+    ``winnow_index`` and the per-snapshot cost is O(delta)
+    fingerprinting + the collision join — the corpus never re-hashes
+    (``corpus`` is still required: the exact verify fetches the few
+    surviving candidates' grams by id, the usual banded-join shape).
+    The ``max_bucket`` cap applies per side (index build time for the
+    corpus, delta-locally for the delta) — same bound, same
+    boilerplate-recall trade as the batch tier.
+
+    Output mirrors ``incremental_neardup``: one row per delta document
+    — (id_col, is_near_dup, best_match_id, best_jaccard), best = the
+    highest ROUNDED jaccard, ties to the lowest corpus id.
+    """
+    if corpus_index is None:
+        corpus_index = winnow_index(
+            corpus, text_col, id_col, k, window, max_fps_per_doc,
+            max_bucket, hash_mode,
+        )
+    dfps = winnow_index(
+        delta, text_col, id_col, k, window, max_fps_per_doc, max_bucket,
+        hash_mode,
+    )
+    candidates = (
+        dfps.alias("d")
+        .join(corpus_index.alias("c"), F.col("d.fp") == F.col("c.fp"))
+        .groupBy(
+            F.col("d.id").alias("id_d"), F.col("c.id").alias("id_c")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    gd = delta.select(
+        F.col(id_col).alias("id_d"), word_ngrams(F.col(text_col), n).alias("grams_d")
+    )
+    gc = corpus.select(
+        F.col(id_col).alias("id_c"), word_ngrams(F.col(text_col), n).alias("grams_c")
+    )
+    verified = (
+        candidates.join(gd, "id_d")
+        .join(gc, "id_c")
+        .withColumn(
+            "jaccard",
+            F.round(ngram_jaccard(F.col("grams_d"), F.col("grams_c")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_d").orderBy(
+        F.col("jaccard").desc(), F.col("id_c").asc()
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_d").alias(id_col),
+            F.col("id_c").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        delta.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.col("best_match_id").isNotNull().alias("is_near_dup"),
+            "best_match_id",
+            "best_jaccard",
+        )
+    )
+
+
 # ----------------------------------------------- cross-document substrings
 
 def exact_substr_dedup(

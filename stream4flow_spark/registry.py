@@ -58,28 +58,30 @@ WINDOW_PRIORITY: list[str] = [
     # (winnow x2 via the md5 dual-mode, quantized-ANN via pinned
     # floor-rounding, IVF + embedding-LSH + semantic-LSH + image-pHash
     # via deterministic replay) plus the NEW llm_incremental_exact_substr
-    # plus the NEW Bloom-pruned decontamination path — n_oracle
-    # 144->153, k=ceil(153/50)=4, judging horizon r09-3=r06.
+    # plus the NEW Bloom-pruned decontamination path and the NEW
+    # incremental winnow screen — n_oracle 144->154, k=ceil(154/50)=4,
+    # judging horizon r09-3=r06.
     # The five remaining rows-only queries (bpe_tokenize, quality_model,
     # distinct_sketch_rollup, audio_spectrogram, length_stats_approx)
     # are genuinely un-oracle-able and PERMANENTLY hold no window slot —
     # the driver has no weaker rows-only check (omitted oracle => red
     # no_oracle row, proven r08); their certification is the named
     # property tests in COVERAGE.md.
-    # 1-9: every never-driver-green oracle-backed query (the staleness
+    # 1-10: every never-driver-green oracle-backed query (the staleness
     # policy REQUIRES these here) — the 7 conversions, the incremental
-    # ExactSubstr, and the Bloom-pruned decontamination path.
+    # ExactSubstr + winnow screens, and the Bloom-pruned
+    # decontamination path.
     "llm_winnow_neardup", "llm_winnow_fingerprints",
     "llm_ann_quantized_topk", "llm_ann_ivf_topk",
     "llm_embedding_neardup_lsh", "llm_semantic_dedup_lsh",
     "llm_image_phash_neardup", "llm_incremental_exact_substr",
-    "llm_decontaminate_bloom",
-    # 10-50: 41 of the 50-query r06-latest-green cohort (pre-rotation;
-    # alphabetical prefix). The 9 deferred — tpch_q12ish/q13ish/q14ish/
-    # q18ish/q19ish/q22ish/q4ish/q7ish/q8ish — sit at latest=r06,
-    # inside the k=4 horizon through r09 (9-3=6) and MUST take r10
-    # window slots (r10 judging horizon 10-3=7), leaving r10 ~41 free
-    # slots.
+    "llm_decontaminate_bloom", "llm_incremental_winnow_neardup",
+    # 11-50: 40 of the 50-query r06-latest-green cohort (pre-rotation;
+    # alphabetical prefix). The 10 deferred — tpch_q10ish/q12ish/
+    # q13ish/q14ish/q18ish/q19ish/q22ish/q4ish/q7ish/q8ish — sit at
+    # latest=r06, inside the k=4 horizon through r09 (9-3=6) and MUST
+    # take r10 window slots (r10 judging horizon 10-3=7), leaving r10
+    # ~40 free slots.
     "alert_suppression", "application_template", "dns_external_resolvers",
     "dns_open_resolvers", "dns_statistics", "domain_entropy",
     "host_daily_profile", "host_stats", "iso_timestamps",
@@ -95,7 +97,6 @@ WINDOW_PRIORITY: list[str] = [
     "rel_quality_audit", "rel_recursive_calendar", "rel_rollup_revenue",
     "rel_snapshot_drift", "rel_trailing_week_revenue", "ssh_auth_simple",
     "tls_classification", "top_n_host_stats",
-    "tpch_q10ish_returned_revenue",
 ]
 
 

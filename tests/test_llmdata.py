@@ -1810,3 +1810,32 @@ def test_corpus_report_data_card(spark):
     assert card[("duplication", "exact_dup_doc_rate")] == 0.25
     assert card[("pii", "emails_per_1k_docs")] == 250.0
     assert card[("length", "p50_tokens")] in (3.0, 3.5, 4.0)
+
+
+def test_incremental_winnow_screen_flags_planted_copy(spark):
+    """Rolling-hash (production) mode of the incremental winnow screen:
+    a delta doc sharing a long verbatim passage with a corpus doc flags
+    with that doc as best match; unrelated delta docs pass clean."""
+    from stream4flow_spark.llmdata.dedup import incremental_winnow_neardup
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "today in the bright morning sun with a long enough shared run"
+    )
+    corpus = _docs(spark, ["prefix one " + shared + " suffix alpha"])
+    delta = spark.createDataFrame(
+        [
+            (10, "other start " + shared + " different tail"),
+            (11, "completely unrelated words about spark plans and "
+                 "parquet files and columnar storage pushdown"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.is_near_dup, r.best_match_id)
+        for r in incremental_winnow_neardup(
+            corpus, delta, threshold=0.3
+        ).collect()
+    }
+    assert out[10] == (True, 0)
+    assert out[11] == (False, None)
