@@ -157,6 +157,10 @@ def test_no_broadcast_hint_on_scale_growing_tables():
         # r8: c-TF-IDF's average-cluster-size constant — a 1-row
         # aggregate broadcast into the scoring projection
         "avg_cluster_tokens",
+        # r9: the Bloom bitmap — ONE row (flt) or `shards` rows (tbl)
+        # by construction (operators/bloom.py), sized by the fpp math,
+        # never by the probe side
+        "flt", "tbl",
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []
