@@ -1254,3 +1254,38 @@ def test_bloom_sharded_prune_preserves_members_and_exactness(spark):
         .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
     }
     assert sharded == plain
+
+
+def test_bloom_filter_persists_and_reloads(spark, tmp_path):
+    """The production story: build the bitmap once, persist it as a
+    plain parquet row, reload in a later job and probe — identical
+    survivors (the filter is data, not driver state)."""
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.operators.bloom import (
+        bloom_params,
+        bloom_words,
+        might_contain,
+    )
+
+    keys = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    big = spark.range(0, 10000).select(F.col("id").alias("k"))
+    m, kh = bloom_params(500, 0.01)
+    flt = bloom_words(keys, "k", 500, 0.01)
+    path = str(tmp_path / "bloom")
+    flt.write.parquet(path)
+    reloaded = spark.read.parquet(path).select("bf_words")
+    live = {
+        r.k
+        for r in big.crossJoin(F.broadcast(flt.select("bf_words")))
+        .filter(might_contain(F.col("k"), "bf_words", m, kh))
+        .collect()
+    }
+    stored = {
+        r.k
+        for r in big.crossJoin(F.broadcast(reloaded))
+        .filter(might_contain(F.col("k"), "bf_words", m, kh))
+        .collect()
+    }
+    assert live == stored
+    assert ({r.k for r in keys.collect()} & set(range(10000))) <= stored
