@@ -95,6 +95,32 @@ class _ArrivalIndexState:
     def _has_index(self, sub: str) -> bool:
         return bool(_list_fs(self.spark, f"{self.state_dir}/{sub}/batch=*"))
 
+    def _read_prior(self, sub: str, batch_id: int) -> DataFrame | None:
+        """Read an index sub-dir EXCLUDING the current batch's own
+        partition. On a foreachBatch redelivery (crash after the index
+        write, before the checkpoint commit), ``{sub}/batch=<batch_id>``
+        holds the FAILED attempt's rows; reading them would make the
+        redelivered batch screen against itself — every clean document
+        self-matches, gets flagged, and is dropped from the index
+        (silent durable corruption). The ``batch`` partition column is
+        discovered from the dir layout, the filter prunes the attempt's
+        files at the scan, and the column is then dropped so downstream
+        projections see the same schema as before.
+
+        The predicate is an inequality on the STRING form of the
+        partition value, not ``batch < batch_id``: after
+        ``_compact_index`` the consolidated dir is ``batch=compacted``
+        (partition inference then types the column string), and a
+        numeric compare would cast "compacted" to NULL and silently
+        drop the whole compacted index from every subsequent read."""
+        if not self._has_index(sub):
+            return None
+        return (
+            self.spark.read.parquet(f"{self.state_dir}/{sub}")
+            .filter(F.col("batch").cast("string") != F.lit(str(batch_id)))
+            .drop("batch")
+        )
+
 
 class NeardupIndexState(_ArrivalIndexState):
     """Streaming near-dup screening against a GROWING on-disk LSH index —
@@ -150,13 +176,11 @@ class NeardupIndexState(_ArrivalIndexState):
             f"{self.state_dir}/sigs/batch={batch_id}",
         )
 
-    def _read_index(self):
-        if not self._has_index("bands"):
+    def _read_index(self, batch_id: int):
+        bands = self._read_prior("bands", batch_id)
+        if bands is None:
             return None, None
-        return (
-            self.spark.read.parquet(f"{self.state_dir}/bands"),
-            self.spark.read.parquet(f"{self.state_dir}/sigs"),
-        )
+        return bands, self._read_prior("sigs", batch_id)
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from stream4flow_spark.llmdata.dedup import (
@@ -173,7 +197,7 @@ class NeardupIndexState(_ArrivalIndexState):
         sigs = minhash_table(sh, self.num_perm)
         m = [f"m{i}" for i in range(self.num_perm)]
 
-        idx_bands, idx_sigs = self._read_index()
+        idx_bands, idx_sigs = self._read_index(batch_id)
         # intra-batch candidates: two near-copies in the SAME micro-batch
         # collide on their own band keys; the later id plays the dup, the
         # earlier the keeper (a doc may chain: flagged itself yet still
@@ -315,13 +339,11 @@ class SemanticIndexState(_ArrivalIndexState):
         self.threshold = threshold
         self.max_bucket = max_bucket
 
-    def _read_index(self):
-        if not self._has_index("buckets"):
+    def _read_index(self, batch_id: int):
+        buckets = self._read_prior("buckets", batch_id)
+        if buckets is None:
             return None, None
-        return (
-            self.spark.read.parquet(f"{self.state_dir}/buckets"),
-            self.spark.read.parquet(f"{self.state_dir}/vecs"),
-        )
+        return buckets, self._read_prior("vecs", batch_id)
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from stream4flow_spark.llmdata.simsearch import (
@@ -343,7 +365,7 @@ class SemanticIndexState(_ArrivalIndexState):
             F.col(self.vec_col).cast("array<double>").alias("v"),
         )
 
-        idx_buckets, idx_vecs = self._read_index()
+        idx_buckets, idx_vecs = self._read_index(batch_id)
         cand = (
             buckets.alias("d")
             .join(
@@ -457,10 +479,9 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         self.id_col = id_col
         self.min_len = min_len
 
-    def _read_index(self):
-        if not self._has_index("grams"):
-            return None
-        return self.spark.read.parquet(f"{self.state_dir}/grams").select("gh")
+    def _read_index(self, batch_id: int):
+        prior = self._read_prior("grams", batch_id)
+        return None if prior is None else prior.select("gh")
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from stream4flow_spark.llmdata.dedup import (
@@ -468,7 +489,7 @@ class ExactSubstrIndexState(_ArrivalIndexState):
             incremental_exact_substr,
         )
 
-        idx = self._read_index()
+        idx = self._read_index(batch_id)
         if idx is None:
             idx = self.spark.createDataFrame([], "gh bigint")
         cleaned = incremental_exact_substr(

@@ -2760,3 +2760,68 @@ def test_stream_exact_substr_matches_batch(spark, tmp_path):
     assert alerted == {
         d for d, (_, n_rem, _) in want.items() if n_rem > 0
     }
+
+
+def test_arrival_index_redelivery_of_clean_batch_is_idempotent(spark, tmp_path):
+    """ADVICE r9 (high): a foreachBatch redelivery — crash AFTER the
+    index write but BEFORE the checkpoint commit — re-runs apply_batch
+    while the failed attempt's own ``batch=<id>`` dir already sits in
+    the index. Reading it back makes the redelivered batch screen
+    against itself: every CLEAN document self-matches at similarity
+    1.0, gets flagged, and is dropped from the index; the ExactSubstr
+    form additionally overwrites ``clean/batch=<id>`` with gutted
+    dedup_text. All three arrival states must exclude the current
+    batch_id from the index read so a redelivery reproduces the first
+    attempt exactly."""
+    from stream4flow_spark.streaming.llmingest import (
+        ExactSubstrIndexState,
+        NeardupIndexState,
+        SemanticIndexState,
+    )
+
+    text = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "other animals watch quietly from the tall grass near the old "
+        "stone wall at the edge of the meadow"
+    )
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+    # --- ExactSubstr: redelivered clean batch must keep its full text
+    es = ExactSubstrIndexState(spark, str(tmp_path / "es"), min_len=15)
+    es.apply_batch(docs, 0)
+    first = es.cleaned().collect()
+    assert first[0].n_removed == 0 and first[0].dedup_text == text
+    es.apply_batch(docs, 0)  # redelivery
+    again = es.cleaned().collect()
+    assert [r.asDict() for r in again] == [r.asDict() for r in first]
+    assert es.alerts == []
+    # and the gram index survived for LATER batches: a real duplicate
+    # arriving as batch 1 is still cut against batch 0's grams
+    dup = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    es.apply_batch(dup, 1)
+    assert {r.doc_id for r in es.alerts} == {1}
+
+    # --- MinHash: redelivered clean batch must not self-flag or
+    # vanish from the index
+    nd = NeardupIndexState(spark, str(tmp_path / "nd"), threshold=0.5)
+    nd.apply_batch(docs, 0)
+    nd.apply_batch(docs, 0)  # redelivery
+    assert nd.alerts == []
+    nd.apply_batch(dup, 1)
+    assert {(r.id, r.best_match_id) for r in nd.alerts} == {(1, 0)}
+
+    # --- Semantic: same contract on the vector index
+    v = [1.0, 0.0, 0.0, 0.0]
+    vecs = spark.createDataFrame([(0, v)], "vec_id long, embedding array<double>")
+    se = SemanticIndexState(
+        spark, str(tmp_path / "se"), num_planes=2, dim=4, num_tables=2,
+        threshold=0.5,
+    )
+    se.apply_batch(vecs, 0)
+    se.apply_batch(vecs, 0)  # redelivery
+    assert se.alerts == []
+    dup_v = spark.createDataFrame(
+        [(1, [0.95, 0.05, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    se.apply_batch(dup_v, 1)
+    assert {(r.id, r.best_match_id) for r in se.alerts} == {(1, 0)}
