@@ -5,7 +5,9 @@ k-means family: cluster-balanced sampling, IVF top-k)."""
 from __future__ import annotations
 
 
-def _kmeans_replay_parts(k: int, iters: int) -> list[str]:
+def _kmeans_replay_parts(
+    k: int, iters: int, sample_per_centroid: int = 500
+) -> list[str]:
     """Shared DuckDB CTE chain replaying ``_kmeans_centroids``'
     replay-rounding mode over the embeddings table (the host_pagerank
     certification pattern applied to a LEARNED-parameter pipeline):
@@ -19,7 +21,15 @@ def _kmeans_replay_parts(k: int, iters: int) -> list[str]:
     more than once, and DuckDB re-inlines plain CTEs per reference —
     the chain goes exponential without materialization (k=8/iters=3
     hung; materialized it runs in milliseconds). Consumed by both
-    the cluster-balanced sampling oracle and the IVF top-k oracle."""
+    the cluster-balanced sampling oracle and the IVF top-k oracle.
+
+    Training runs on ``tbase`` — the first ``k·sample_per_centroid``
+    ids — mirroring ``_kmeans_centroids``' replay-mode sample bound
+    (simsearch.py ``.limit(n_centroids * sample_per_centroid)``);
+    only the FINAL assignment ``af`` scans every vector, exactly like
+    the Spark side's one full-corpus pass. Without this bound the
+    oracle and Spark agree only while the embeddings table stays
+    smaller than the sample (ADVICE r9)."""
     parts = [
         """base AS MATERIALIZED (
   SELECT vec_id AS id,
@@ -30,9 +40,11 @@ def _kmeans_replay_parts(k: int, iters: int) -> list[str]:
                  1e-12), 7)) AS v
   FROM embeddings
 )""",
-        "s0 AS MATERIALIZED (SELECT v FROM base ORDER BY id LIMIT 1)",
+        f"tbase AS MATERIALIZED (SELECT id, v FROM base ORDER BY id"
+        f" LIMIT {k * sample_per_centroid})",
+        "s0 AS MATERIALIZED (SELECT v FROM tbase ORDER BY id LIMIT 1)",
         "m0 AS MATERIALIZED (SELECT b.id, b.v, round(list_dot_product(b.v,"
-        " (SELECT v FROM s0)), 6) AS ms FROM base b)",
+        " (SELECT v FROM s0)), 6) AS ms FROM tbase b)",
     ]
     for j in range(1, k):
         parts.append(
@@ -53,7 +65,7 @@ def _kmeans_replay_parts(k: int, iters: int) -> list[str]:
            row_number() OVER (PARTITION BY b.id
                ORDER BY round(list_dot_product(b.v, c.v), 6) DESC,
                         c.cid) AS rn
-    FROM base b CROSS JOIN c{i} c) WHERE rn = 1)"""
+    FROM tbase b CROSS JOIN c{i} c) WHERE rn = 1)"""
     for t in range(1, iters + 1):
         parts.append(assign.format(o=t, i=t - 1))
         parts.append(
