@@ -1092,6 +1092,50 @@ def q_llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_decontaminate_bloom_sharded",
+    covers="llm:decontamination llm:bloom-prune-sharded J1",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, unnest(list_distinct({_GRAMS3})) AS gram
+            FROM documents WHERE len({_W}) >= 3
+        ),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 15 = 0)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 15 <> 0
+        GROUP BY 1 HAVING COUNT(*) >= 2
+        """,
+)
+def q_llm_decontaminate_bloom_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination through the SHARDED Bloom bitmap
+    (``bloom_words_sharded`` / ``bloom_prune(shards=4)``) — the ≥10⁹-key
+    form where the bitmap is a broadcast hash join on
+    ``pmod(xxhash64(gram), shards)`` instead of a 1-row crossJoin. The
+    oracle is again the plain exact-overlap SQL: a green row certifies
+    that sharding (including the all-zero bitmaps emitted for empty
+    shards) preserves the no-false-negatives property end to end, with
+    the corpus side still exchange-free before the probe. Every 15th
+    document plays the benchmark; threshold ≥2 grams."""
+    from stream4flow_spark.llmdata.decontaminate import contamination_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 15 == 0)
+    train = docs.filter(F.col("doc_id") % 15 != 0)
+    counts = contamination_counts(
+        train,
+        bench,
+        n=3,
+        hash_grams=False,
+        bloom_prefilter=20_000,
+        bloom_shards=4,
+    )
+    return counts.filter(F.col("n_contaminated_grams") >= 2)
+
+
+@register(
     "llm_repetition",
     covers="llm:repetition-filter llm:quality-score",
     oracle=f"""

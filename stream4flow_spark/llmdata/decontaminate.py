@@ -50,6 +50,7 @@ def contamination_counts(
     id_col: str = "doc_id",
     hash_grams: bool = True,
     bloom_prefilter: int | None = None,
+    bloom_shards: int = 1,
 ) -> DataFrame:
     """Per-corpus-document count of distinct n-grams that also occur in
     ``benchmark``. Documents with zero overlap are absent from the
@@ -63,7 +64,12 @@ def contamination_counts(
     O(matching grams + fpp·corpus grams) — at 100 TB the difference
     between shuffling the corpus's whole gram stream and shuffling the
     contaminated sliver. The 1% fpp bitmap for a 10⁸-gram benchmark is
-    ~120 MB of broadcast, amortized over every corpus partition."""
+    ~120 MB of broadcast, amortized over every corpus partition.
+    ``bloom_shards`` > 1 routes the prune through the SHARDED bitmap
+    (``bloom_words_sharded``): a broadcast hash join on the shard id
+    instead of the 1-row crossJoin, still zero corpus-side shuffle —
+    the form for benchmark gram sets past ~10⁹ keys where one dense
+    array outgrows a single broadcast cell."""
     def grams_of(df: DataFrame, keep_id: bool) -> DataFrame:
         cols = [F.col(id_col)] if keep_id else []
         # tokenize into a real column BEFORE the gram lambdas — an
@@ -86,7 +92,11 @@ def contamination_counts(
         from stream4flow_spark.operators.bloom import bloom_prune
 
         corpus_grams = bloom_prune(
-            corpus_grams, bench_grams, "gram", expected_items=bloom_prefilter
+            corpus_grams,
+            bench_grams,
+            "gram",
+            expected_items=bloom_prefilter,
+            shards=bloom_shards,
         )
     return (
         corpus_grams.join(bench_grams, "gram")

@@ -1229,6 +1229,8 @@ def incremental_exact_substr(
     id_col: str = "doc_id",
     min_len: int = 15,
     corpus_index: DataFrame | None = None,
+    bloom_prefilter: int | None = None,
+    bloom_shards: int = 1,
 ) -> DataFrame:
     """ExactSubstr cleaning of a DELTA snapshot against an existing
     CORPUS — the incremental form of ``exact_substr_dedup`` a
@@ -1249,6 +1251,19 @@ def incremental_exact_substr(
     semi-join against the index; with ``corpus_index=None`` the index
     is computed in-line from ``corpus``. Returns (id_col, n_tokens,
     n_removed, dedup_text) for every delta document.
+
+    ``bloom_prefilter`` = the delta's expected distinct-gram count:
+    when set, the CORPUS INDEX — the side that grows without bound —
+    is pruned map-side against a broadcast Bloom bitmap of the delta's
+    grams (``operators/bloom.py``) before the exact semi-join. The
+    semi-join keeps every index gram the delta actually contains (no
+    false negatives ⇒ the marked set is IDENTICAL), but the index rows
+    entering the join exchange drop from O(corpus grams) to O(delta-
+    matching grams + fpp·corpus grams) — at a 100 TB corpus the
+    difference between shuffling the whole 8 B/gram index every
+    micro-batch and shuffling the delta-sized sliver. ``bloom_shards``
+    > 1 uses the sharded bitmap for delta gram sets past one broadcast
+    cell (≥10⁹ keys).
     """
     if corpus_index is None:
         if corpus is None:
@@ -1257,10 +1272,21 @@ def incremental_exact_substr(
     base = _substr_base(delta, text_col, id_col)
     toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
     grams = _substr_grams(base, min_len)
+    corpus_gh = corpus_index.select("gh")
+    if bloom_prefilter is not None:
+        from stream4flow_spark.operators.bloom import bloom_prune
+
+        corpus_gh = bloom_prune(
+            corpus_gh,
+            grams.select("gh"),
+            "gh",
+            expected_items=bloom_prefilter,
+            shards=bloom_shards,
+        )
     # marked-by-corpus: EVERY delta occurrence of an indexed gram
-    in_corpus = grams.join(
-        corpus_index.select("gh"), "gh", "left_semi"
-    ).select("id", F.col("pos").alias("s"))
+    in_corpus = grams.join(corpus_gh, "gh", "left_semi").select(
+        "id", F.col("pos").alias("s")
+    )
     # marked-within-delta: non-first occurrences of delta-repeated grams
     dup = (
         grams.groupBy("gh")

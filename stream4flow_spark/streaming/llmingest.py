@@ -473,11 +473,24 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         text_col: str = "text",
         id_col: str = "doc_id",
         min_len: int = 15,
+        bloom_prefilter: int | None = None,
+        bloom_shards: int = 16,
     ):
+        """``bloom_prefilter`` = expected distinct grams PER BATCH:
+        when set, the stored gram index — the side that grows with the
+        whole corpus while each batch stays bounded — is Bloom-pruned
+        map-side against the batch's grams before the exact semi-join
+        (``incremental_exact_substr``'s bloom path). Identical output
+        (no false negatives); the index stops shuffling itself in full
+        every micro-batch. ``bloom_shards`` defaults sharded: the batch
+        gram count varies with crawl bursts and the sharded bitmap
+        degrades gracefully instead of overflowing one broadcast cell."""
         super().__init__(spark, state_dir)
         self.text_col = text_col
         self.id_col = id_col
         self.min_len = min_len
+        self.bloom_prefilter = bloom_prefilter
+        self.bloom_shards = bloom_shards
 
     def _read_index(self, batch_id: int):
         prior = self._read_prior("grams", batch_id)
@@ -499,6 +512,8 @@ class ExactSubstrIndexState(_ArrivalIndexState):
             id_col=self.id_col,
             min_len=self.min_len,
             corpus_index=idx,
+            bloom_prefilter=self.bloom_prefilter,
+            bloom_shards=self.bloom_shards,
         )
         cleaned.write.mode("overwrite").parquet(
             f"{self.state_dir}/clean/batch={batch_id}"

@@ -1289,3 +1289,96 @@ def test_bloom_filter_persists_and_reloads(spark, tmp_path):
     }
     assert live == stored
     assert ({r.k for r in keys.collect()} & set(range(10000))) <= stored
+
+
+def _total_shuffle_records(df) -> int:
+    """Sum shuffleRecordsWritten across every Exchange in the EXECUTED
+    (post-AQE) plan — the observed-metrics form of SCALE.md's
+    shuffle-write table, usable as a test assertion."""
+    df.collect()
+
+    def walk(n):
+        yield n
+        nm = n.nodeName()
+        if nm == "AdaptiveSparkPlan":
+            yield from walk(n.executedPlan())
+            return
+        if "QueryStage" in nm:
+            yield from walk(n.plan())
+            return
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    total = 0
+    for n in walk(df._jdf.queryExecution().executedPlan()):
+        if "Exchange" in n.nodeName() and "Reused" not in n.nodeName():
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "shuffleRecordsWritten":
+                    total += kv._2().value()
+    return total
+
+
+def test_incremental_exact_substr_bloom_prune_identical_and_cheaper(spark):
+    """r9 verdict item 4: the Bloom prune as a consumer inside the
+    growing-index family. incremental_exact_substr(bloom_prefilter=...)
+    must return EXACTLY the unpruned output (no false negatives through
+    the semi-join) while the index side stops shuffling itself in full:
+    total shuffle records drop because the corpus gram index — the side
+    that grows with the whole corpus — is cut map-side to the
+    delta-matching sliver before the exchange."""
+    from stream4flow_spark.llmdata.dedup import (
+        exact_substr_index,
+        incremental_exact_substr,
+    )
+    from stream4flow_spark.sources.tables import load_table
+
+    # sf0.01 with a 98/2 corpus/delta split: the bitmap build's own
+    # shuffle is bounded by shards·(m/64)·tasks regardless of corpus
+    # size, so the prune pays off exactly when the index dwarfs the
+    # delta — the production proportion (at a 50/50 toy split the
+    # bitmap words outweigh the saved index rows, measured r10)
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    delta = docs.filter(F.col("doc_id") % 50 == 0)
+    idx = exact_substr_index(corpus, min_len=15).localCheckpoint()
+
+    plain_df = incremental_exact_substr(
+        None, delta, min_len=15, corpus_index=idx
+    )
+    pruned_df = incremental_exact_substr(
+        None, delta, min_len=15, corpus_index=idx,
+        bloom_prefilter=50_000, bloom_shards=4,
+    )
+    key = lambda r: (r.doc_id, r.n_tokens, r.n_removed, r.dedup_text)
+    plain_rows = sorted(map(key, plain_df.collect()))
+    pruned_rows = sorted(map(key, pruned_df.collect()))
+    assert pruned_rows == plain_rows
+
+    # measure with auto-broadcast OFF: at test scale AQE would broadcast
+    # the 4 MB index and hide the exchange the prune exists to cut — in
+    # production the index is the 100 TB side and can never broadcast.
+    # The Bloom bitmap's own F.broadcast hints are explicit and stay
+    # honored regardless of the threshold.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain_shuffle = _total_shuffle_records(
+            incremental_exact_substr(None, delta, min_len=15, corpus_index=idx)
+        )
+        pruned_shuffle = _total_shuffle_records(
+            incremental_exact_substr(
+                None, delta, min_len=15, corpus_index=idx,
+                bloom_prefilter=50_000, bloom_shards=4,
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert pruned_shuffle < plain_shuffle, (
+        f"bloom prune did not reduce shuffled rows: "
+        f"{pruned_shuffle} >= {plain_shuffle}"
+    )

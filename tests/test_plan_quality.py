@@ -424,3 +424,42 @@ def test_triangle_and_kcore_wire_is_ids_only(spark):
             if "Arguments: hashpartitioning" in ln:
                 assert "ipfix_octetDeltaCount" not in ln, (name, ln)
                 assert "ipfix_packetDeltaCount" not in ln, (name, ln)
+
+
+def test_sharded_bloom_probe_streams_corpus_exchange_free(spark):
+    """The sharded Bloom probe (bloom_prune(shards>1)) is a broadcast
+    hash join on the shard id: the corpus gram stream must reach the
+    bitmap test straight off the scan — Scan → Generate(explode) →
+    Filter, with ZERO exchanges on the streamed side. An exchange there
+    would mean the 100 TB side shuffles BEFORE it is pruned, defeating
+    the operator's whole point."""
+    df = REGISTRY["llm_decontaminate_bloom_sharded"].fn(spark, SF_DIR)
+    root = df._jdf.queryExecution().executedPlan()
+
+    def walk(n):
+        yield n
+        if n.nodeName() == "AdaptiveSparkPlan":
+            yield from walk(n.initialPlan())
+            return
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    # the bf_shard-keyed joins are the probe itself (streams the corpus
+    # parquet scan) and, inside its build subtree, the all-shards Range
+    # join that backfills empty shards — only the former streams a Scan
+    probe_joins = [
+        (n, [x.nodeName() for x in walk(n.children().apply(0))])
+        for n in walk(root)
+        if "BroadcastHashJoin" in n.nodeName()
+        and "bf_shard" in n.leftKeys().toString()
+    ]
+    scan_streaming = [s for _, s in probe_joins if any("Scan" in x for x in s)]
+    assert scan_streaming, (
+        "no bf_shard probe join streams the corpus scan — the sharded "
+        f"prune is gone or inverted: {[s for _, s in probe_joins]}"
+    )
+    for streamed in scan_streaming:
+        assert not any("Exchange" in s for s in streamed), (
+            f"corpus side shuffles before the Bloom probe: {streamed}"
+        )
