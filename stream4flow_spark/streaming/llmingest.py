@@ -441,6 +441,188 @@ def semantic_screen_stream(
     return state
 
 
+class WinnowIndexState(_ArrivalIndexState):
+    """Streaming near-dup screening against a GROWING on-disk
+    winnowing-fingerprint index — the substring-structural member of
+    the arrival-index family (continuous-crawl form of
+    ``dedup.incremental_winnow_neardup``), closing the matrix: all five
+    blocking tiers (exact digest, MinHash, semantic, ExactSubstr,
+    winnow) now have batch + incremental + streaming forms.
+
+    Each micro-batch: (1) fingerprint the batch docs with the SAME
+    winnowing rule as the index (``dedup.winnow_index`` — bottom-m
+    sketch + bucket cap, 8-byte fps + ids only on the wire);
+    (2) collision-join the batch fps against the stored index AND
+    against each other (intra-batch pairs: later id vs earlier id),
+    keeping pairs with ≥ ``min_shared`` shared fingerprints;
+    (3) verify candidates with TRUE word n-gram Jaccard — the earlier
+    side's text fetched by id from the stored text store + this batch
+    (winnowing blocks on a shared substring, so unlike the MinHash
+    twin the verify needs the text back; the text store doubles as the
+    crawl's durable corpus archive, which a production pipeline keeps
+    anyway); (4) append the batch's fps + texts for the NEXT batches.
+    A flagged doc is reported, not indexed. Retry-safe via per-batch
+    dirs + batch-keyed alert snapshots + the ``_read_prior`` own-batch
+    exclusion, like every arrival index here.
+
+    The ``max_bucket`` hot-fingerprint cap applies per batch index
+    build (delta-locally), the same per-side bound as
+    ``incremental_winnow_neardup`` documents; ``compact_winnow_index``
+    consolidates the per-batch dirs without changing the screen.
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 16,
+        window: int = 8,
+        min_shared: int = 2,
+        n: int = 3,
+        threshold: float = 0.5,
+        max_fps_per_doc: int | None = 32,
+        max_bucket: int | None = 150,
+        hash_mode: str = "rolling",
+    ):
+        super().__init__(spark, state_dir)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.window = window
+        self.min_shared = min_shared
+        self.n = n
+        self.threshold = threshold
+        self.max_fps_per_doc = max_fps_per_doc
+        self.max_bucket = max_bucket
+        self.hash_mode = hash_mode
+
+    def _read_index(self, batch_id: int):
+        fps = self._read_prior("fps", batch_id)
+        if fps is None:
+            return None, None
+        return fps, self._read_prior("texts", batch_id)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from stream4flow_spark.llmdata.dedup import (
+            ngram_jaccard,
+            winnow_index,
+            word_ngrams,
+        )
+
+        dfps = winnow_index(
+            batch_df,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            k=self.k,
+            window=self.window,
+            max_fps_per_doc=self.max_fps_per_doc,
+            max_bucket=self.max_bucket,
+            hash_mode=self.hash_mode,
+        )
+        texts = batch_df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.text_col).alias("t"),
+        )
+
+        idx_fps, idx_texts = self._read_index(batch_id)
+        # collision rows are NOT de-duplicated before the count — a pair
+        # sharing 3 fingerprints must count 3 toward min_shared. Batch
+        # and index ids are disjoint (stream ids are unique), so one
+        # groupBy counts both pair kinds correctly.
+        coll = (
+            dfps.alias("d")
+            .join(
+                dfps.alias("c"),
+                (F.col("d.fp") == F.col("c.fp"))
+                & (F.col("d.id") > F.col("c.id")),
+            )
+            .select(F.col("d.id").alias("id"), F.col("c.id").alias("cid"))
+        )
+        if idx_fps is not None:
+            coll = coll.unionByName(
+                dfps.alias("d")
+                .join(idx_fps.alias("c"), F.col("d.fp") == F.col("c.fp"))
+                .select(F.col("d.id").alias("id"), F.col("c.id").alias("cid"))
+            )
+        cand = (
+            coll.groupBy("id", "cid")
+            .agg(F.count("*").alias("shared_fps"))
+            .filter(F.col("shared_fps") >= self.min_shared)
+        )
+        ct_base = (
+            texts
+            if idx_texts is None
+            else idx_texts.select("id", "t").unionByName(texts)
+        )
+        gd = texts.select(
+            "id", word_ngrams(F.col("t"), self.n).alias("grams_d")
+        )
+        gc = ct_base.select(
+            F.col("id").alias("cid"),
+            word_ngrams(F.col("t"), self.n).alias("grams_c"),
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("jaccard").desc(), F.col("cid").asc()
+        )
+        flagged = (
+            cand.join(gd, "id")
+            .join(gc, "cid")
+            .withColumn(
+                "jaccard",
+                F.round(ngram_jaccard(F.col("grams_d"), F.col("grams_c")), 4),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "id",
+                F.col("cid").alias("best_match_id"),
+                F.col("jaccard").alias("best_jaccard"),
+            )
+        )
+        flagged = flagged.persist()
+        self._alerts_by_batch[batch_id] = flagged.collect()
+        flagged_only_ids = flagged.select("id")
+        dfps.join(flagged_only_ids, "id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{self.state_dir}/fps/batch={batch_id}")
+        texts.join(flagged_only_ids, "id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{self.state_dir}/texts/batch={batch_id}")
+        flagged.unpersist()
+
+
+def winnow_screen_stream(
+    stream_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Drain ``stream_docs`` (availableNow) through the winnowing
+    arrival-index loop; returns the completed state (alerts + on-disk
+    fingerprint/text index)."""
+    state = WinnowIndexState(stream_docs.sparkSession, state_dir, **kwargs)
+    q = (
+        stream_docs.writeStream.foreachBatch(state.apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state
+
+
+def compact_winnow_index(spark, state_dir: str) -> dict:
+    """Consolidate the winnow arrival index's per-batch fingerprint +
+    text dirs; returns {"fps": n_rows, "texts": n_rows}."""
+    return _compact_index(spark, state_dir, ("fps", "texts"))
+
+
 class ExactSubstrIndexState(_ArrivalIndexState):
     """Streaming ExactSubstr cleaning against a GROWING on-disk gram
     index — the continuous-crawl form of

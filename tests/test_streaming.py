@@ -2777,6 +2777,7 @@ def test_arrival_index_redelivery_of_clean_batch_is_idempotent(spark, tmp_path):
         ExactSubstrIndexState,
         NeardupIndexState,
         SemanticIndexState,
+        WinnowIndexState,
     )
 
     text = (
@@ -2809,6 +2810,15 @@ def test_arrival_index_redelivery_of_clean_batch_is_idempotent(spark, tmp_path):
     assert nd.alerts == []
     nd.apply_batch(dup, 1)
     assert {(r.id, r.best_match_id) for r in nd.alerts} == {(1, 0)}
+
+    # --- Winnow: redelivered clean batch must not self-flag (jaccard
+    # 1.0 against its own failed-attempt index rows) or vanish
+    wn = WinnowIndexState(spark, str(tmp_path / "wn"), threshold=0.3)
+    wn.apply_batch(docs, 0)
+    wn.apply_batch(docs, 0)  # redelivery
+    assert wn.alerts == []
+    wn.apply_batch(dup, 1)
+    assert {(r.id, r.best_match_id) for r in wn.alerts} == {(1, 0)}
 
     # --- Semantic: same contract on the vector index
     v = [1.0, 0.0, 0.0, 0.0]
@@ -2866,3 +2876,93 @@ def test_stream_exact_substr_bloom_prune_matches_unpruned(spark, tmp_path):
     assert sorted((r.doc_id, r.n_removed) for r in pruned.alerts) == sorted(
         (r.doc_id, r.n_removed) for r in plain.alerts
     )
+
+
+def test_stream_winnow_screen_matches_batch_incremental(spark, tmp_path):
+    """r9 verdict item 3: the winnowing arrival index — the last tier
+    missing a streaming twin. A wave's flags must equal the BATCH
+    incremental_winnow_neardup of that wave against the corpus indexed
+    so far (same k/window/min_shared/threshold), a foreachBatch restart
+    must continue from the on-disk index, a flagged doc must NOT join
+    the index, compaction must not change the screen, and two
+    near-copies arriving in the SAME micro-batch must resolve
+    later-vs-earlier instead of both slipping in."""
+    import pandas as pd
+
+    from stream4flow_spark.llmdata.dedup import incremental_winnow_neardup
+    from stream4flow_spark.streaming.llmingest import (
+        compact_winnow_index,
+        winnow_screen_stream,
+    )
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "today in the bright morning sun with a long enough shared run"
+    )
+    other = (
+        "completely unrelated words about spark plans and parquet files "
+        "and columnar storage pushdown across executors tonight"
+    )
+    waves = [
+        [(0, "prefix one " + shared + " suffix alpha"), (1, other)],
+        [
+            (10, "other start " + shared + " different tail"),
+            (11, "more unrelated text on shuffle hash joins and very "
+                 "wide aggregation buffers in volcano style engines"),
+        ],
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def arrive(i, rows=None):
+        pd.DataFrame(
+            rows or waves[i], columns=["doc_id", "text"]
+        ).to_parquet(str(src / f"w{i}.parquet"), index=False)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return winnow_screen_stream(
+            stream,
+            state_dir=str(tmp_path / "index"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            threshold=0.3,
+        )
+
+    arrive(0)
+    st = run()
+    assert st.alerts == []  # wave 0 has no near-dups
+
+    arrive(1)
+    st = run()  # RESTART: fingerprint/text index must have survived
+    got = {r.id: (r.best_match_id, r.best_jaccard) for r in st.alerts}
+    corpus = spark.createDataFrame(waves[0], schema)
+    delta = spark.createDataFrame(waves[1], schema)
+    want = {
+        r.doc_id: (r.best_match_id, r.best_jaccard)
+        for r in incremental_winnow_neardup(
+            corpus, delta, threshold=0.3
+        ).collect()
+        if r.is_near_dup
+    }
+    assert got == want and set(got) == {10}
+
+    # compaction between runs must be transparent to later screening
+    counts = compact_winnow_index(spark, str(tmp_path / "index"))
+    assert counts["fps"] > 0 and counts["texts"] == 3  # 0, 1, 11 kept
+
+    # intra-batch pair + flagged-not-indexed: docs 20 and 21 are copies
+    # of the shared passage arriving together. 20 matches doc 0 — the
+    # indexed ORIGINAL (10 never joined the index) — while 21's best
+    # match is its near-identical same-batch sibling 20 (higher
+    # jaccard), the same later-vs-earlier chaining the MinHash twin
+    # documents.
+    arrive(2, [(20, "fresh head " + shared + " fresh tail"),
+               (21, "fresh head " + shared + " fresh tail end")])
+    st = run()
+    got = {r.id: r.best_match_id for r in st.alerts}
+    assert got == {20: 0, 21: 20}
