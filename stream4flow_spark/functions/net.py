@@ -90,20 +90,133 @@ def ms_to_iso(ms: Column) -> Column:
     )
 
 
+# valid IPv6 text AFTER the embedded-v4 tail is rewritten to hex groups:
+# either the full 8-group form, or a `::` form whose sides are themselves
+# valid group runs (group counts are enforced arithmetically on top —
+# the regex alone would admit 7+7 groups around the `::`).
+_V6_RE = (
+    "^("
+    "[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}"
+    "|([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,6})?"
+    "::"
+    "([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,6})?"
+    ")$"
+)
+_QUAD_RE = r"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+
+
+def ip6_to_words(ip: Column) -> Column:
+    """IPv6 string → ``array<long>`` of four 32-bit words (big-endian),
+    NULL for anything that is not a valid IPv6 address — as PURE Column
+    math (SURVEY.md §7.2's 128-bit-as-longs design), so v6 CIDR
+    predicates run inside whole-stage codegen like the v4 path instead
+    of detouring through Python per batch.
+
+    Handles the textual forms ``ipaddress`` accepts: full 8-group,
+    ``::`` zero-compression (expanded by padding the group array), the
+    embedded dotted-quad tail (``::ffff:1.2.3.4`` — rewritten to two
+    hex groups up front), and a single non-empty ``%zone`` suffix
+    (stripped, like ``IPv6Address.scope_id``). Malformed strings yield
+    NULL. Two longs would hold the 128 bits, but the sign bit breaks
+    ordered comparison at ``8000::``; four unsigned-safe 32-bit words
+    compare lexicographically with no sign traps.
+
+    Sub-expressions are deliberately referenced at most twice when
+    building the tree (``transform`` over an index sequence instead of
+    eight ``element_at`` pulls): every reference inlines the WHOLE
+    upstream parse expression, and the naive 8× form produced a 4 MiB
+    codegen tree (the [[collapse-project-lambda-inlining]] failure
+    mode, here at construction time rather than via CollapseProject)."""
+    # 0) strip one non-empty zone suffix ("fe80::1%eth0"); a bare or
+    # repeated '%' stays in the string and fails the v6 regex below
+    ip = F.when(
+        ip.rlike("^[^%]+%[^%]+$"), F.substring_index(ip, "%", 1)
+    ).otherwise(ip)
+    # 1) rewrite an embedded v4 tail to two hex groups
+    o = [F.regexp_extract(ip, _QUAD_RE, i + 1).try_cast("long") for i in range(4)]
+    tail_ok = (
+        ip.rlike(r"^[0-9A-Fa-f:]+:\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+        & (o[0] <= 255) & (o[1] <= 255) & (o[2] <= 255) & (o[3] <= 255)
+    )
+    v4val = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+    norm = F.when(
+        tail_ok,
+        F.concat(
+            F.regexp_replace(ip, r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$", ""),
+            F.format_string(
+                "%x:%x", F.shiftright(v4val, 16), v4val.bitwiseAND(F.lit(65535))
+            ),
+        ),
+    ).when(~ip.contains("."), ip)  # no dot: plain v6 candidate; else NULL
+    # 2) expand `::` by padding zeros between the two halves
+    halves = F.split(norm, "::", -1)
+    left = F.filter(
+        F.split(F.try_element_at(halves, F.lit(1)), ":"), lambda x: x != ""
+    )
+    right = F.when(
+        F.size(halves) == 2,
+        F.filter(
+            F.split(F.try_element_at(halves, F.lit(2)), ":"), lambda x: x != ""
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(left) + F.size(right)
+    ok = norm.rlike(_V6_RE) & (
+        ((F.size(halves) == 2) & (total <= 7))
+        | ((F.size(halves) == 1) & (total == 8))
+    )
+    groups = F.concat(
+        left, F.array_repeat(F.lit("0"), F.lit(8) - total), right
+    )
+    # 3) hex groups → four 32-bit words (conv is gated behind `ok`, so
+    # ANSI mode never sees a non-hex group — CaseWhen branches evaluate
+    # lazily per row); `groups` referenced twice, not eight times
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: (
+            F.conv(F.try_element_at(groups, i * 2 + 1), 16, 10).cast("long")
+            * 65536
+            + F.conv(F.try_element_at(groups, i * 2 + 2), 16, 10).cast("long")
+        ),
+    )
+    return F.when(ok, words)
+
+
 # F5 extension — IPv6-capable CIDR membership (SURVEY.md §7.2: the
 # reference silently assumed v4; the v6 path is the documented deviation).
 def ip_in_cidr_any(ip: Column, cidr: str) -> Column:
     """True iff `ip` (IPv4 dotted quad OR IPv6 string) is inside `cidr`.
 
-    v4 CIDRs take the pure-Column fast path (codegen, pushdown-friendly).
-    v6 CIDRs normalize to a 128-bit range compare inside an Arrow-batched
-    pandas UDF (``ipaddress`` handles `::` expansion); malformed strings
-    are false. Keep v4 filters on ``ip_in_cidr`` — this is the
-    mixed-family surface."""
+    Both families are pure-Column fast paths (codegen,
+    pushdown-friendly): v4 folds the CIDR to two literal longs
+    (``ip_in_cidr``); v6 parses to four 32-bit words (``ip6_to_words``)
+    and compares lexicographically against the bounds as struct
+    literals. Malformed strings are false. The retired pandas-UDF
+    implementation survives as ``ip6_in_cidr_pandas_oracle`` for
+    differential tests only."""
     net = ipaddress.ip_network(cidr, strict=False)
     if net.version == 4:
         return ip_in_cidr(ip, cidr)
 
+    lo, hi = int(net.network_address), int(net.broadcast_address)
+    lo_w = [(lo >> (96 - 32 * i)) & 0xFFFFFFFF for i in range(4)]
+    hi_w = [(hi >> (96 - 32 * i)) & 0xFFFFFFFF for i in range(4)]
+    w = ip6_to_words(ip)
+    # arrays of longs compare lexicographically in Spark — equal length
+    # by construction, so this is exactly the 128-bit range test; a NULL
+    # parse makes the comparison NULL, coalesced to false. `w` is
+    # referenced twice (see ip6_to_words on why references are rationed).
+    lo_a = F.array(*[F.lit(v).cast("long") for v in lo_w])
+    hi_a = F.array(*[F.lit(v).cast("long") for v in hi_w])
+    return F.coalesce((w >= lo_a) & (w <= hi_a), F.lit(False))
+
+
+def ip6_in_cidr_pandas_oracle(ip: Column, cidr: str) -> Column:
+    """TEST ORACLE ONLY: the original Arrow-batched ``ipaddress``-backed
+    v6 membership check, kept as the independent model
+    ``ip_in_cidr_any``'s Column math is differential-tested against
+    (tests/test_functions.py). Never use in a pipeline — it is the
+    Python detour the Column form exists to remove."""
+    net = ipaddress.ip_network(cidr, strict=False)
     lo, hi = int(net.network_address), int(net.broadcast_address)
 
     from pyspark.sql.functions import pandas_udf

@@ -133,3 +133,67 @@ def test_decode_rdata_all_types(spark):
         "fd00:0000:0000:0000:0000:0000:0000:0005",
         "www.example.com",
     ]
+
+
+def test_ip6_cidr_column_math_matches_ipaddress_oracle(spark):
+    """r9 verdict item 6: the v6 CIDR path is pure Column math
+    (SURVEY.md §7.2's 128-bit-as-words design). Differential-test it
+    against the retired pandas-UDF ``ipaddress`` implementation across
+    adversarial literals and a seeded random corpus of valid,
+    compressed, v4-embedded, zoned, and corrupted addresses, over CIDRs
+    whose bounds cross the 64-bit sign boundary — then pin that the
+    plan carries no Python eval node."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.functions.net import (
+        ip6_in_cidr_pandas_oracle,
+        ip_in_cidr_any,
+    )
+
+    rng = random.Random(0xF6)
+    cases = [
+        "fd00::1", "fd00:0:0:0:0:0:0:1", "fd00::", "::1", "::",
+        "fe80::1%eth0", "fe80::1%", "a%b%c", "1.2.3.4%eth0", "not an ip",
+        None, "10.0.1.2", "::ffff:10.0.1.2", "fd00::ffff:1.2.3.4",
+        "FD00::A", "fd00:1:2:3:4:5:6:7", "fd00:1:2:3:4:5:6:7:8",
+        "1:::2", ":::", "fd00::1::2", "fd00:1.2.3.4", "::256.1.1.1",
+        "8000::1", "7fff:ffff::1",
+        "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff",
+        "0:0:0:0:0:ffff:1.2.3.4", "fe80::2%0", "::ffff:1.2.3",
+        "12345::1", "g000::1", "",
+    ]
+    for _ in range(150):
+        n_groups = rng.randint(1, 8)
+        groups = [f"{rng.randint(0, 0xFFFF):x}" for _ in range(n_groups)]
+        s = ":".join(groups)
+        form = rng.random()
+        if n_groups < 8 and form < 0.6:
+            cut = rng.randint(0, n_groups)
+            s = ":".join(groups[:cut]) + "::" + ":".join(groups[cut:])
+        elif form < 0.7:
+            s += f":{rng.randint(0, 299)}.{rng.randint(0, 255)}.1.2"
+        if rng.random() < 0.1:
+            s += "%zone0"
+        if rng.random() < 0.1:  # corrupt
+            s = s.replace(":", "::", 1) if rng.random() < 0.5 else "x" + s
+        cases.append(s)
+
+    df = spark.createDataFrame([(c,) for c in cases], "ip string").cache()
+    for cidr in ["fd00::/32", "::/0", "8000::/1", "fe80::/10",
+                 "::ffff:0:0/96", "fd00:12::/47"]:
+        out = df.select(
+            "ip",
+            ip_in_cidr_any(F.col("ip"), cidr).alias("col"),
+            ip6_in_cidr_pandas_oracle(F.col("ip"), cidr).alias("udf"),
+        ).collect()
+        bad = [(r.ip, r.col, r.udf) for r in out if r.col != r.udf]
+        assert not bad, f"{cidr}: column math diverges from ipaddress: {bad}"
+
+    plan = (
+        df.filter(ip_in_cidr_any(F.col("ip"), "fd00::/32"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+    df.unpersist()
