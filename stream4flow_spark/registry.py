@@ -48,55 +48,51 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 # listed keep registration order after the pinned prefix, so nothing is
 # ever dropped from ``queries()`` itself.
 WINDOW_PRIORITY: list[str] = [
-    # Round-9 window. Rotation policy (capacity-aware, enforced by
+    # Round-10 window. Rotation policy (capacity-aware, enforced by
     # tests/test_results_store.py::test_window_rotation_staleness_policy):
     # with N oracle-backed queries and 50 slots/round, a full rotation
     # takes k = ceil(N/50) rounds, so any query NOT in this window must
-    # have a driver-green row at most k-1 rounds old. r09 took the
-    # "add >=7 oracle-backed queries" branch the r08 plan computed:
-    # SEVEN former rows-only queries converted to real DuckDB oracles
-    # (winnow x2 via the md5 dual-mode, quantized-ANN via pinned
-    # floor-rounding, IVF + embedding-LSH + semantic-LSH + image-pHash
-    # via deterministic replay) plus the NEW llm_incremental_exact_substr
-    # plus the NEW Bloom-pruned decontamination path and the NEW
-    # incremental winnow screen — n_oracle 144->154, k=ceil(154/50)=4,
-    # judging horizon r09-3=r06.
-    # The five remaining rows-only queries (bpe_tokenize, quality_model,
-    # distinct_sketch_rollup, audio_spectrogram, length_stats_approx)
-    # are genuinely un-oracle-able and PERMANENTLY hold no window slot —
-    # the driver has no weaker rows-only check (omitted oracle => red
-    # no_oracle row, proven r08); their certification is the named
-    # property tests in COVERAGE.md.
-    # 1-10: every never-driver-green oracle-backed query (the staleness
-    # policy REQUIRES these here) — the 7 conversions, the incremental
-    # ExactSubstr + winnow screens, and the Bloom-pruned
-    # decontamination path.
-    "llm_winnow_neardup", "llm_winnow_fingerprints",
-    "llm_ann_quantized_topk", "llm_ann_ivf_topk",
-    "llm_embedding_neardup_lsh", "llm_semantic_dedup_lsh",
-    "llm_image_phash_neardup", "llm_incremental_exact_substr",
-    "llm_decontaminate_bloom", "llm_incremental_winnow_neardup",
-    # 11-50: 40 of the 50-query r06-latest-green cohort (pre-rotation;
-    # alphabetical prefix). The 10 deferred — tpch_q10ish/q12ish/
-    # q13ish/q14ish/q18ish/q19ish/q22ish/q4ish/q7ish/q8ish — sit at
-    # latest=r06, inside the k=4 horizon through r09 (9-3=6) and MUST
-    # take r10 window slots (r10 judging horizon 10-3=7), leaving r10
-    # ~40 free slots.
-    "alert_suppression", "application_template", "dns_external_resolvers",
-    "dns_open_resolvers", "dns_statistics", "domain_entropy",
-    "host_daily_profile", "host_stats", "iso_timestamps",
-    "llm_chunk_documents", "llm_corpus_select", "llm_dedup_corpus",
-    "llm_dedup_rate_by_source", "llm_embedding_coverage",
-    "llm_heavy_hitters", "llm_incremental_neardup", "llm_random_projection",
-    "llm_scene_changes", "llm_segment_dedup", "llm_semantic_dedup",
-    "llm_source_overlap", "llm_text_clean", "llm_unigram_logprob",
-    "pattern_finder", "ports_scan", "protocols_statistics",
-    "readside_q1_range_term", "readside_q2_histogram_terms_sum",
-    "reflect_ddos", "rel_event_sessionization",
-    "rel_grouping_sets_nation_year", "rel_lateral_top_orders",
-    "rel_quality_audit", "rel_recursive_calendar", "rel_rollup_revenue",
-    "rel_snapshot_drift", "rel_trailing_week_revenue", "ssh_auth_simple",
-    "tls_classification", "top_n_host_stats",
+    # have a driver-green row at most k-1 rounds old. r10 adds ONE new
+    # oracle-backed query (the sharded Bloom decontamination path) —
+    # n_oracle 154->155, k=ceil(155/50)=4, judging horizon r10-3=r07.
+    # The five permanently rows-only queries (bpe_tokenize,
+    # quality_model, distinct_sketch_rollup, audio_spectrogram,
+    # length_stats_approx) hold no window slot by design (COVERAGE.md).
+    # Slot 1: the only never-driver-green oracle-backed query (the
+    # staleness policy REQUIRES never-green queries first).
+    "llm_decontaminate_bloom_sharded",
+    # 2-11: the 10 tpch analogs whose latest green is r06 — exactly at
+    # the horizon boundary once CORRECTNESS_r10 lands (10-3=7 > 6), so
+    # they MUST take slots this round (the r09 window already computed
+    # this; the tripwire reds otherwise).
+    "tpch_q4ish_priority_check", "tpch_q7ish_nation_volume",
+    "tpch_q8ish_market_share", "tpch_q10ish_returned_revenue",
+    "tpch_q12ish_shipmode_priority", "tpch_q13ish_order_distribution",
+    "tpch_q14ish_promo_share", "tpch_q18ish_large_orders",
+    "tpch_q19ish_bracket_revenue", "tpch_q22ish_dormant_customers",
+    # 12-50: 39 of the 50-query r07-latest-green cohort (alphabetical
+    # prefix), which hits the horizon at r11 (11-3=8 > 7). The 11
+    # deferred — readside_q8/q9, rel_part_cooccurrence,
+    # rel_pivot_order_priority, rel_scd2_user_state,
+    # rel_semi_anti_customers, rel_time_to_convert, tpch_q1/q3/q5ish/q6
+    # — stay inside the k=4 horizon through r10 and MUST take r11
+    # window slots, leaving r11 ~39 free slots for the r08 cohort (44
+    # queries, horizon r12) — plan r11/r12 together.
+    "host_pagerank", "llm_ann_cosine_topk", "llm_bm25_topk",
+    "llm_decontaminate", "llm_dedup_components", "llm_dedup_corpus_keeper",
+    "llm_dedup_savings", "llm_embedding_stats", "llm_epoch_upsample",
+    "llm_filter_funnel", "llm_gopher_rules", "llm_hybrid_rrf",
+    "llm_importance_sample", "llm_incremental_dedup",
+    "llm_incremental_semantic_neardup", "llm_knn_label_vote",
+    "llm_length_floor", "llm_minhash_lsh_dedup", "llm_mixture_plan",
+    "llm_mixture_resample", "llm_ngram_novelty", "llm_pack_sequences",
+    "llm_perplexity_buckets", "llm_pii_stats", "llm_prepare_corpus",
+    "llm_repetition", "llm_source_cap", "llm_source_overlap_trigram",
+    "llm_split_drift", "llm_split_leakage", "llm_tfidf_terms",
+    "llm_token_budget", "llm_vocab_growth", "llm_weighted_sample",
+    "readside_q3_global_sums", "readside_q4_per_host_sums",
+    "readside_q5_histogram_multimetric", "readside_q6_top1_per_type",
+    "readside_q7_latest_per_group",
 ]
 
 

@@ -1839,3 +1839,52 @@ def test_incremental_winnow_screen_flags_planted_copy(spark):
     }
     assert out[10] == (True, 0)
     assert out[11] == (False, None)
+
+
+def test_incremental_exact_substr_poisoned_first_occurrence(spark):
+    """r9 verdict item 7: pin WHICH copy survives when the usual
+    id-ordering assumption is violated. incremental_exact_substr's
+    parity contract ("equals batch exact_substr_dedup restricted to the
+    delta") holds when every corpus id precedes every delta id; the
+    adversarial case — a delta id SMALLER than the corpus id holding
+    the passage — must still cut the DELTA copy: the index is id-blind,
+    so whoever was indexed first is the authoritative first occurrence
+    regardless of id order. A refactor that switched the winner to
+    min(id) (the batch operator's rule) would silently re-admit
+    already-indexed text; this test fails loudly instead."""
+    from stream4flow_spark.llmdata.dedup import (
+        exact_substr_dedup,
+        incremental_exact_substr,
+    )
+
+    shared = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen"
+    )
+    corpus = spark.createDataFrame(
+        [(100, "corpus head " + shared + " corpus tail words")],
+        "doc_id long, text string",
+    )
+    # delta doc 5 < corpus doc 100 shares the >=15-token passage
+    delta = spark.createDataFrame(
+        [(5, "delta start " + shared + " delta ending")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_exact_substr(
+        corpus, delta, min_len=15
+    ).collect()}
+    assert out[5].n_removed >= 15, (
+        "the indexed corpus copy must win even when the delta id is "
+        "smaller — the delta occurrence was not removed"
+    )
+    assert shared not in out[5].dedup_text
+
+    # and the batch operator over the union would pick the OTHER winner
+    # (min id) — the documented divergence this test pins
+    batch = {
+        r.doc_id: r
+        for r in exact_substr_dedup(
+            corpus.unionByName(delta), min_len=15
+        ).collect()
+    }
+    assert batch[5].n_removed == 0 and batch[100].n_removed >= 15
