@@ -3592,6 +3592,36 @@ def q_llm_incremental_exact_substr(
 
 
 @register(
+    "llm_incremental_exact_substr_bloom",
+    covers="llm:dedup-substr llm:dedup-incremental llm:bloom-prune",
+    oracle=_exact_substr_oracle("WHERE d.doc_id >= 400"),
+)
+def q_llm_incremental_exact_substr_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ExactSubstr through the Bloom-pruned index probe
+    (r10): identical semantics to llm_incremental_exact_substr, but the
+    corpus gram index is cut map-side against a sharded bitmap of the
+    delta's grams before the exact semi-join
+    (dedup.incremental_exact_substr bloom_prefilter/bloom_shards —
+    the shape that stops a 100 TB index shuffling itself in full per
+    snapshot). The oracle is the SAME batch replay restricted to the
+    delta: a green row certifies the prune's no-false-negatives
+    property through the driver, on a different corpus/delta split
+    (doc_id 400) so the two gate entries are independent results."""
+    from stream4flow_spark.llmdata.dedup import incremental_exact_substr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_exact_substr(
+        docs.filter(F.col("doc_id") < 400),
+        docs.filter(F.col("doc_id") >= 400),
+        min_len=15,
+        bloom_prefilter=50_000,
+        bloom_shards=4,
+    )
+
+
+@register(
     "llm_cluster_balanced_sample",
     covers="llm:diversity-sample llm:clustering A9",
     oracle=_cluster_balanced_oracle(),

@@ -58,10 +58,10 @@ WINDOW_PRIORITY: list[str] = [
     # The five permanently rows-only queries (bpe_tokenize,
     # quality_model, distinct_sketch_rollup, audio_spectrogram,
     # length_stats_approx) hold no window slot by design (COVERAGE.md).
-    # Slot 1: the only never-driver-green oracle-backed query (the
+    # Slots 1-2: the never-driver-green oracle-backed queries (the
     # staleness policy REQUIRES never-green queries first).
-    "llm_decontaminate_bloom_sharded",
-    # 2-11: the 10 tpch analogs whose latest green is r06 — exactly at
+    "llm_decontaminate_bloom_sharded", "llm_incremental_exact_substr_bloom",
+    # 3-12: the 10 tpch analogs whose latest green is r06 — exactly at
     # the horizon boundary once CORRECTNESS_r10 lands (10-3=7 > 6), so
     # they MUST take slots this round (the r09 window already computed
     # this; the tripwire reds otherwise).
@@ -70,13 +70,14 @@ WINDOW_PRIORITY: list[str] = [
     "tpch_q12ish_shipmode_priority", "tpch_q13ish_order_distribution",
     "tpch_q14ish_promo_share", "tpch_q18ish_large_orders",
     "tpch_q19ish_bracket_revenue", "tpch_q22ish_dormant_customers",
-    # 12-50: 39 of the 50-query r07-latest-green cohort (alphabetical
-    # prefix), which hits the horizon at r11 (11-3=8 > 7). The 11
-    # deferred — readside_q8/q9, rel_part_cooccurrence,
+    # 13-50: 38 of the 50-query r07-latest-green cohort (alphabetical
+    # prefix), which hits the horizon at r11 (11-3=8 > 7). The 12
+    # deferred — readside_q7_latest_per_group, readside_q8/q9,
+    # rel_part_cooccurrence,
     # rel_pivot_order_priority, rel_scd2_user_state,
     # rel_semi_anti_customers, rel_time_to_convert, tpch_q1/q3/q5ish/q6
     # — stay inside the k=4 horizon through r10 and MUST take r11
-    # window slots, leaving r11 ~39 free slots for the r08 cohort (44
+    # window slots, leaving r11 ~38 free slots for the r08 cohort (44
     # queries, horizon r12) — plan r11/r12 together.
     "host_pagerank", "llm_ann_cosine_topk", "llm_bm25_topk",
     "llm_decontaminate", "llm_dedup_components", "llm_dedup_corpus_keeper",
@@ -92,7 +93,6 @@ WINDOW_PRIORITY: list[str] = [
     "llm_token_budget", "llm_vocab_growth", "llm_weighted_sample",
     "readside_q3_global_sums", "readside_q4_per_host_sums",
     "readside_q5_histogram_multimetric", "readside_q6_top1_per_type",
-    "readside_q7_latest_per_group",
 ]
 
 
