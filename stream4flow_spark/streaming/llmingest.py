@@ -774,20 +774,43 @@ def _compact_index(
     dedups rows across batch dirs (the ExactSubstr gram index: a gram
     re-indexed by a later batch is semantically idempotent but wastes
     bytes).
+
+    The NEWEST numeric batch dir is preserved AS ITSELF (rewritten,
+    not folded into ``batch=compacted``): if the previous run crashed
+    after that batch's index write but before its checkpoint commit,
+    the restart REDELIVERS the batch, and ``_read_prior``'s
+    own-batch-id exclusion only works while the failed attempt's rows
+    still live under their own ``batch=<id>`` partition. Folding them
+    into the compacted dir would resurrect the self-screening
+    corruption the exclusion exists to prevent — so compaction is
+    crash-safe by construction, not by "only compact after a clean
+    drain" discipline.
     """
     out = {}
     jvm = spark._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     for sub in subs:
         src = f"{state_dir}/{sub}"
-        if not _list_fs(spark, f"{src}/batch=*"):
+        dirs = _list_fs(spark, f"{src}/batch=*")
+        if not dirs:
             out[sub] = 0
             continue
-        df = spark.read.parquet(src).drop("batch")
-        if distinct:
-            df = df.distinct()
+        ids = [d.rsplit("batch=", 1)[1] for d in dirs]
+        numeric = [int(i) for i in ids if i.lstrip("-").isdigit()]
+        latest = max(numeric) if numeric else None
+        df = spark.read.parquet(src)
         tmp = f"{state_dir}/__compact_{sub}"
-        df.coalesce(max(1, df.rdd.getNumPartitions() // 8)).write.mode(
+        fold = df
+        if latest is not None:
+            keep = df.filter(F.col("batch").cast("string") == str(latest))
+            fold = df.filter(F.col("batch").cast("string") != str(latest))
+            keep.drop("batch").coalesce(1).write.mode("overwrite").parquet(
+                f"{tmp}/batch={latest}"
+            )
+        fold = fold.drop("batch")
+        if distinct:
+            fold = fold.distinct()
+        fold.coalesce(max(1, fold.rdd.getNumPartitions() // 8)).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/batch=compacted")
         out[sub] = spark.read.parquet(tmp).count()

@@ -1865,7 +1865,9 @@ def test_neardup_index_compaction_preserves_screening(spark, tmp_path):
     assert n_dirs_before >= 2
     counts = compact_neardup_index(spark, str(tmp_path / "index"))
     assert counts["sigs"] == 2
-    assert len(glob.glob(str(tmp_path / "index" / "bands" / "batch=*"))) == 1
+    # compacted dir + the PRESERVED newest batch dir (kept as itself so
+    # a crash-redelivery of that batch can still exclude its own rows)
+    assert len(glob.glob(str(tmp_path / "index" / "bands" / "batch=*"))) == 2
 
     arrive("w2.parquet", [(2, near)])
     st = run()
@@ -1920,7 +1922,8 @@ def test_semantic_index_compaction_preserves_screening(spark, tmp_path):
     assert len(glob.glob(str(tmp_path / "index" / "buckets" / "batch=*"))) >= 2
     counts = compact_semantic_index(spark, str(tmp_path / "index"))
     assert counts["vecs"] == 2
-    assert len(glob.glob(str(tmp_path / "index" / "buckets" / "batch=*"))) == 1
+    # compacted dir + the preserved newest batch dir (crash-safety)
+    assert len(glob.glob(str(tmp_path / "index" / "buckets" / "batch=*"))) == 2
 
     arrive("w2.parquet", [(2, near)])
     st = run()
@@ -2966,3 +2969,45 @@ def test_stream_winnow_screen_matches_batch_incremental(spark, tmp_path):
     st = run()
     got = {r.id: r.best_match_id for r in st.alerts}
     assert got == {20: 0, 21: 20}
+
+
+def test_compaction_preserves_newest_batch_for_crash_redelivery(spark, tmp_path):
+    """The sequence the own-batch exclusion alone can't survive: the
+    run CRASHES after batch 1's index write (checkpoint uncommitted),
+    an operator compacts "between runs", and the restart REDELIVERS
+    batch 1. If compaction folded batch 1's rows into batch=compacted,
+    the redelivered batch would screen against its own failed attempt
+    (self-match corruption). _compact_index therefore preserves the
+    newest numeric batch dir as itself — redelivery after compaction
+    must be idempotent."""
+    from stream4flow_spark.streaming.llmingest import (
+        NeardupIndexState,
+        compact_neardup_index,
+    )
+
+    t0 = ("the quick brown fox jumps over the lazy dog again and again "
+          "today in the bright morning sun near the old stone wall")
+    t1 = ("completely different words appear in this sentence about "
+          "spark engines and distributed execution plans tonight")
+    st = NeardupIndexState(spark, str(tmp_path / "nd"), threshold=0.5)
+    st.apply_batch(
+        spark.createDataFrame([(0, t0)], "doc_id long, text string"), 0
+    )
+    # batch 1 writes its index rows, then the run "crashes" before the
+    # checkpoint commit
+    b1 = spark.createDataFrame([(1, t1)], "doc_id long, text string")
+    st.apply_batch(b1, 1)
+    assert st.alerts == []
+
+    compact_neardup_index(spark, str(tmp_path / "nd"))
+
+    # restart redelivers batch 1: no self-flag, index intact
+    st2 = NeardupIndexState(spark, str(tmp_path / "nd"), threshold=0.5)
+    st2.apply_batch(b1, 1)
+    assert st2.alerts == []
+    # and both documents are still authoritative for later arrivals
+    near0 = t0.replace("today", "tomorrow")
+    st2.apply_batch(
+        spark.createDataFrame([(2, near0)], "doc_id long, text string"), 2
+    )
+    assert {(r.id, r.best_match_id) for r in st2.alerts} == {(2, 0)}
