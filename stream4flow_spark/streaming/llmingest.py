@@ -75,12 +75,37 @@ def _list_fs(spark, pattern: str) -> list[str]:
 class _ArrivalIndexState:
     """Shared mechanics of the on-arrival screening states: per-batch
     alert snapshots keyed by batch_id (a foreachBatch redelivery
-    REPLACES, never double-counts) and Hadoop-FS index listing."""
+    REPLACES, never double-counts), Hadoop-FS index listing, and
+    optional AUTO-compaction (``auto_compact_dirs``: once any index
+    sub-dir accumulates that many ``batch=*`` dirs, the state runs its
+    compactor after the batch commit — safe mid-run because compaction
+    preserves the newest batch dir, see ``_compact_index``). Long-lived
+    continuous-trigger deployments should set it (DEPLOY.md sizes the
+    file-listing degradation); tests and short drains leave it off."""
 
-    def __init__(self, spark, state_dir: str):
+    #: (sub-dirs to compact, distinct flag) — overridden per state
+    _COMPACT: tuple[tuple[str, ...], bool] = ((), False)
+
+    def __init__(self, spark, state_dir: str, auto_compact_dirs: int | None = None):
         self.spark = spark
         self.state_dir = state_dir
+        self.auto_compact_dirs = auto_compact_dirs
         self._alerts_by_batch: dict[int, list] = {}
+
+    def maybe_compact(self) -> dict | None:
+        """Run this state's compactor if any sub-dir's batch count has
+        reached ``auto_compact_dirs``; returns the compactor's row
+        counts, or None if below threshold/disabled."""
+        subs, distinct = self._COMPACT
+        if self.auto_compact_dirs is None or not subs:
+            return None
+        n = max(
+            len(_list_fs(self.spark, f"{self.state_dir}/{s}/batch=*"))
+            for s in subs
+        )
+        if n < self.auto_compact_dirs:
+            return None
+        return _compact_index(self.spark, self.state_dir, subs, distinct)
 
     @property
     def alerts(self) -> list:
@@ -160,8 +185,9 @@ class NeardupIndexState(_ArrivalIndexState):
         rows_per_band: int = 2,
         threshold: float = 0.5,
         max_bucket: int | None = 10_000,
+        auto_compact_dirs: int | None = None,
     ):
-        super().__init__(spark, state_dir)
+        super().__init__(spark, state_dir, auto_compact_dirs)
         self.text_col = text_col
         self.id_col = id_col
         self.n = n
@@ -169,6 +195,8 @@ class NeardupIndexState(_ArrivalIndexState):
         self.rows_per_band = rows_per_band
         self.threshold = threshold
         self.max_bucket = max_bucket
+
+    _COMPACT = (("bands", "sigs"), False)
 
     def _paths(self, batch_id: int) -> tuple[str, str]:
         return (
@@ -280,6 +308,7 @@ class NeardupIndexState(_ArrivalIndexState):
             "overwrite"
         ).parquet(sig_dir)
         flagged.unpersist()
+        self.maybe_compact()
 
 
 def neardup_screen_stream(
@@ -329,8 +358,9 @@ class SemanticIndexState(_ArrivalIndexState):
         num_tables: int = 2,
         threshold: float = 0.3,
         max_bucket: int | None = 10_000,
+        auto_compact_dirs: int | None = None,
     ):
-        super().__init__(spark, state_dir)
+        super().__init__(spark, state_dir, auto_compact_dirs)
         self.id_col = id_col
         self.vec_col = vec_col
         self.num_planes = num_planes
@@ -338,6 +368,8 @@ class SemanticIndexState(_ArrivalIndexState):
         self.num_tables = num_tables
         self.threshold = threshold
         self.max_bucket = max_bucket
+
+    _COMPACT = (("buckets", "vecs"), False)
 
     def _read_index(self, batch_id: int):
         buckets = self._read_prior("buckets", batch_id)
@@ -418,6 +450,7 @@ class SemanticIndexState(_ArrivalIndexState):
             "overwrite"
         ).parquet(f"{self.state_dir}/vecs/batch={batch_id}")
         flagged.unpersist()
+        self.maybe_compact()
 
 
 def semantic_screen_stream(
@@ -485,8 +518,9 @@ class WinnowIndexState(_ArrivalIndexState):
         max_fps_per_doc: int | None = 32,
         max_bucket: int | None = 150,
         hash_mode: str = "rolling",
+        auto_compact_dirs: int | None = None,
     ):
-        super().__init__(spark, state_dir)
+        super().__init__(spark, state_dir, auto_compact_dirs)
         self.text_col = text_col
         self.id_col = id_col
         self.k = k
@@ -497,6 +531,8 @@ class WinnowIndexState(_ArrivalIndexState):
         self.max_fps_per_doc = max_fps_per_doc
         self.max_bucket = max_bucket
         self.hash_mode = hash_mode
+
+    _COMPACT = (("fps", "texts"), False)
 
     def _read_index(self, batch_id: int):
         fps = self._read_prior("fps", batch_id)
@@ -594,6 +630,7 @@ class WinnowIndexState(_ArrivalIndexState):
             "overwrite"
         ).parquet(f"{self.state_dir}/texts/batch={batch_id}")
         flagged.unpersist()
+        self.maybe_compact()
 
 
 def winnow_screen_stream(
@@ -657,6 +694,7 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         min_len: int = 15,
         bloom_prefilter: int | None = None,
         bloom_shards: int = 16,
+        auto_compact_dirs: int | None = None,
     ):
         """``bloom_prefilter`` = expected distinct grams PER BATCH:
         when set, the stored gram index — the side that grows with the
@@ -667,12 +705,14 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         every micro-batch. ``bloom_shards`` defaults sharded: the batch
         gram count varies with crawl bursts and the sharded bitmap
         degrades gracefully instead of overflowing one broadcast cell."""
-        super().__init__(spark, state_dir)
+        super().__init__(spark, state_dir, auto_compact_dirs)
         self.text_col = text_col
         self.id_col = id_col
         self.min_len = min_len
         self.bloom_prefilter = bloom_prefilter
         self.bloom_shards = bloom_shards
+
+    _COMPACT = (("grams",), True)
 
     def _read_index(self, batch_id: int):
         prior = self._read_prior("grams", batch_id)
@@ -714,6 +754,7 @@ class ExactSubstrIndexState(_ArrivalIndexState):
             .select(self.id_col, "n_removed")
             .collect()
         )
+        self.maybe_compact()
 
     def cleaned(self) -> DataFrame:
         """Every drained batch's cleaned documents."""

@@ -3011,3 +3011,41 @@ def test_compaction_preserves_newest_batch_for_crash_redelivery(spark, tmp_path)
         spark.createDataFrame([(2, near0)], "doc_id long, text string"), 2
     )
     assert {(r.id, r.best_match_id) for r in st2.alerts} == {(2, 0)}
+
+
+def test_auto_compaction_triggers_and_preserves_screening(spark, tmp_path):
+    """auto_compact_dirs: once the batch-dir count reaches the
+    threshold, apply_batch compacts inline (safe mid-run: the newest
+    dir is preserved for redelivery). Screening afterwards is
+    unchanged, and the dir count actually shrank."""
+    import glob
+
+    from stream4flow_spark.streaming.llmingest import NeardupIndexState
+
+    texts = [
+        ("zero words about alpha beta gamma delta epsilon zeta eta "
+         "theta iota kappa now", 0),
+        ("one sentence on shuffle exchanges broadcast joins and "
+         "adaptive query execution plans", 1),
+        ("two remarks regarding parquet row groups column chunks and "
+         "dictionary encodings tonight", 2),
+    ]
+    st = NeardupIndexState(
+        spark, str(tmp_path / "nd"), threshold=0.5, auto_compact_dirs=3
+    )
+    for text, b in texts:
+        st.apply_batch(
+            spark.createDataFrame([(b, text)], "doc_id long, text string"), b
+        )
+    dirs = glob.glob(str(tmp_path / "nd" / "bands" / "batch=*"))
+    # threshold hit at batch 2 → compacted + preserved-newest = 2 dirs
+    assert len(dirs) == 2
+    assert any(d.endswith("batch=compacted") for d in dirs)
+    assert st.alerts == []
+
+    # screening against pre-compaction docs still works
+    near = texts[0][0].replace("now", "later")
+    st.apply_batch(
+        spark.createDataFrame([(9, near)], "doc_id long, text string"), 9
+    )
+    assert {(r.id, r.best_match_id) for r in st.alerts} == {(9, 0)}
