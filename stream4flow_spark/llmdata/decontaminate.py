@@ -121,3 +121,68 @@ def decontaminate(
         corpus, benchmark, n, text_col, id_col, hash_grams
     ).filter(F.col("n_contaminated_grams") >= min_overlap)
     return corpus.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def contamination_screen(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    expected_grams: int = 1_000_000,
+    fpp: float = 0.01,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MAP-SIDE contamination screen — the STREAM-compatible form of
+    ``contamination_counts``: adds ``n_suspect_grams``, an upper bound
+    on each document's exact distinct-gram overlap with ``benchmark``,
+    computed entirely inside one projection (no explode, no groupBy,
+    no per-doc shuffle, NO STATE).
+
+    The benchmark's distinct grams fold into a broadcast Bloom bitmap
+    (``operators/bloom.py``) joined in on a constant key — legal and
+    stateless in Structured Streaming append mode, so the SAME
+    expression screens a batch corpus or a live document stream
+    (parity- and plan-tested). Per document, the count of distinct
+    grams passing ``might_contain`` is ≥ the true overlap (the filter
+    has no false negatives) and exceeds it only by ~fpp junk grams, so:
+
+    - ``n_suspect_grams == 0`` ⇒ certainly clean (the overwhelming
+      majority at ingest — they flow through untouched);
+    - ``n_suspect_grams ≥ min_overlap`` ⇒ quarantine for the EXACT
+      check (``contamination_counts`` over the flagged sliver), the
+      usual two-stage screen shape.
+
+    This is the decontamination tier's arrival-time twin: unlike the
+    index-backed screens it needs no on-disk state at all, because the
+    benchmark is a fixed reference set, not a growing corpus."""
+    from stream4flow_spark.operators.bloom import (
+        bloom_params,
+        bloom_words,
+        might_contain,
+    )
+
+    m, k = bloom_params(expected_grams, fpp)
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gram"))
+        .distinct()
+    )
+    bloom_bitmap = (
+        bloom_words(bench_grams, "gram", expected_grams, fpp)
+        .select("bf_words")
+        .withColumn("__k", F.lit(1))
+    )
+    probed = docs.withColumn("__k", F.lit(1)).join(
+        F.broadcast(bloom_bitmap), "__k"
+    )
+    n_suspect = F.size(
+        F.filter(
+            word_ngrams(F.col(text_col), n),
+            lambda g: might_contain(F.xxhash64(g), "bf_words", m, k),
+        )
+    )
+    return probed.withColumn("n_suspect_grams", n_suspect).drop(
+        "__k", "bf_words"
+    )

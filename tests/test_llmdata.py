@@ -1888,3 +1888,78 @@ def test_incremental_exact_substr_poisoned_first_occurrence(spark):
         ).collect()
     }
     assert batch[5].n_removed == 0 and batch[100].n_removed >= 15
+
+
+def test_contamination_screen_bounds_exact_counts(spark):
+    """contamination_screen's n_suspect_grams must upper-bound the
+    exact per-doc overlap with zero false negatives (every doc the
+    exact path flags at any threshold is flagged by the screen), and on
+    a clean-margin fixture the flag sets coincide."""
+    from stream4flow_spark.llmdata.decontaminate import (
+        contamination_counts,
+        contamination_screen,
+    )
+    from stream4flow_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+
+    exact = {
+        r.doc_id: r.n_contaminated_grams
+        for r in contamination_counts(train, bench, n=3).collect()
+    }
+    screened = {
+        r.doc_id: r.n_suspect_grams
+        for r in contamination_screen(
+            train, bench, n=3, expected_grams=50_000
+        ).collect()
+    }
+    assert set(screened) == {r.doc_id for r in train.select("doc_id").collect()}
+    for d, n_exact in exact.items():
+        assert screened[d] >= n_exact, (d, screened[d], n_exact)
+    # upper bound is tight at 1% fpp: zero-overlap docs stay ~zero
+    clean = [screened[d] for d in screened if d not in exact]
+    assert clean and sum(v == 0 for v in clean) / len(clean) > 0.9
+
+
+def test_contamination_screen_is_stateless_in_streaming(spark, tmp_path):
+    """The SAME contamination_screen expression must run as a
+    Structured Streaming append query with NO stateful operator (the
+    whole screen is one projection + a broadcast of the benchmark
+    bitmap) and emit exactly the batch output."""
+    import pandas as pd
+
+    from stream4flow_spark.llmdata.decontaminate import contamination_screen
+    from stream4flow_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+    from tests.test_streaming import run_stream_to_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    want = {
+        (r.doc_id, r.n_suspect_grams)
+        for r in contamination_screen(
+            train, bench, n=3, expected_grams=50_000
+        ).collect()
+    }
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pdf = train.toPandas()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(src / "w0.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(str(src / "w1.parquet"), index=False)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    screened = contamination_screen(
+        stream, bench, n=3, expected_grams=50_000
+    )
+    got_df = run_stream_to_table(screened, output_mode="append")
+    got = {(r.doc_id, r.n_suspect_grams) for r in got_df.collect()}
+    assert got == want

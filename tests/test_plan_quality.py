@@ -166,6 +166,9 @@ def test_no_broadcast_hint_on_scale_growing_tables():
     allowed_scoped = {
         ("bloom.py", "flt"),
         ("bloom.py", "tbl"),
+        # the contamination screen's 1-row benchmark bitmap — sized by
+        # the fpp math, never by the corpus/stream side
+        ("decontaminate.py", "bloom_bitmap"),
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []
