@@ -169,9 +169,19 @@ class NeardupIndexState(_ArrivalIndexState):
     keyed by batch_id too (replace, not extend), so a redelivered batch
     reports its near-dups once. State on disk is
     O(indexed docs × (bands + num_perm)) longs — the minimum any
-    near-dup index carries; there is deliberately NO horizon eviction
-    (near-dup against the WHOLE corpus is the semantics; a TTL'd
-    variant would just add a watermark filter on an indexed_at column).
+    near-dup index carries. By default there is NO horizon eviction
+    (near-dup against the WHOLE corpus is the semantics);
+    ``ttl_batches`` switches on the TTL'd variant: every index row is
+    stamped with its ``indexed_at`` batch id and rows older than
+    ``batch_id - ttl_batches`` stop participating in the screen — the
+    "duplicate within the recent horizon" semantics (e.g. recrawl
+    windows), with index reads pruned to the live horizon. Rows written
+    before TTL was enabled carry no stamp and are treated as EXPIRED
+    (the conservative reading for a bounded-state contract); enable TTL
+    from the first batch or after a fresh compaction. Disk reclamation
+    is compaction's job — the read filter bounds what screens, and a
+    ``compact_neardup_index`` pass after the horizon advances rewrites
+    the store without the dead rows' dirs once whole batches expire.
     """
 
     def __init__(
@@ -186,6 +196,7 @@ class NeardupIndexState(_ArrivalIndexState):
         threshold: float = 0.5,
         max_bucket: int | None = 10_000,
         auto_compact_dirs: int | None = None,
+        ttl_batches: int | None = None,
     ):
         super().__init__(spark, state_dir, auto_compact_dirs)
         self.text_col = text_col
@@ -195,6 +206,7 @@ class NeardupIndexState(_ArrivalIndexState):
         self.rows_per_band = rows_per_band
         self.threshold = threshold
         self.max_bucket = max_bucket
+        self.ttl_batches = ttl_batches
 
     _COMPACT = (("bands", "sigs"), False)
 
@@ -208,7 +220,18 @@ class NeardupIndexState(_ArrivalIndexState):
         bands = self._read_prior("bands", batch_id)
         if bands is None:
             return None, None
-        return bands, self._read_prior("sigs", batch_id)
+        sigs = self._read_prior("sigs", batch_id)
+        if self.ttl_batches is not None:
+            if "indexed_at" not in bands.columns:
+                # a pre-TTL store has no stamps at all: conservatively
+                # the whole index is expired under the TTL contract
+                return None, None
+            # live horizon only; unstamped (pre-TTL) rows read as NULL
+            # and are conservatively expired
+            live = F.col("indexed_at") > F.lit(batch_id - self.ttl_batches)
+            bands = bands.filter(live).drop("indexed_at")
+            sigs = sigs.filter(live).drop("indexed_at")
+        return bands, sigs
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from stream4flow_spark.llmdata.dedup import (
@@ -301,12 +324,14 @@ class NeardupIndexState(_ArrivalIndexState):
         # index only the non-duplicate arrivals; per-batch dirs make a
         # foreachBatch retry overwrite instead of double-append
         band_dir, sig_dir = self._paths(batch_id)
-        bands.join(flagged_only_ids, "id", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(band_dir)
-        sigs.join(flagged_only_ids, "id", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(sig_dir)
+        bands_out = bands.join(flagged_only_ids, "id", "left_anti")
+        sigs_out = sigs.join(flagged_only_ids, "id", "left_anti")
+        if self.ttl_batches is not None:
+            stamp = F.lit(batch_id).cast("long").alias("indexed_at")
+            bands_out = bands_out.select("*", stamp)
+            sigs_out = sigs_out.select("*", stamp)
+        bands_out.write.mode("overwrite").parquet(band_dir)
+        sigs_out.write.mode("overwrite").parquet(sig_dir)
         flagged.unpersist()
         self.maybe_compact()
 

@@ -3049,3 +3049,41 @@ def test_auto_compaction_triggers_and_preserves_screening(spark, tmp_path):
         spark.createDataFrame([(9, near)], "doc_id long, text string"), 9
     )
     assert {(r.id, r.best_match_id) for r in st.alerts} == {(9, 0)}
+
+
+def test_neardup_index_ttl_evicts_old_entries(spark, tmp_path):
+    """ttl_batches: index rows older than the horizon stop screening —
+    a near-copy of a doc indexed ttl_batches ago passes clean (and is
+    itself indexed as the new original), while a near-copy within the
+    horizon still flags. The same arrival order WITHOUT ttl flags the
+    old original, pinning that eviction (not chance) made the
+    difference."""
+    from stream4flow_spark.streaming.llmingest import NeardupIndexState
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun by the wall")
+    near = base.replace("today", "tomorrow")
+    near2 = base.replace("today", "yesterday")
+    filler1 = ("unrelated sentence one about columnar storage formats and "
+               "vectorized readers in modern analytical engines")
+    filler2 = ("unrelated sentence two covering shuffle services dynamic "
+               "allocation and executor decommissioning at scale")
+    schema = "doc_id long, text string"
+
+    def drain(ttl):
+        st = NeardupIndexState(
+            spark, str(tmp_path / f"ttl{ttl}"), threshold=0.5,
+            ttl_batches=ttl,
+        )
+        for b, (i, t) in enumerate(
+            [(0, base), (1, filler1), (2, filler2), (3, near), (4, near2)]
+        ):
+            st.apply_batch(spark.createDataFrame([(i, t)], schema), b)
+        return {r.id: r.best_match_id for r in st.alerts}
+
+    # ttl=2: doc 0 (batch 0) is out of horizon by batch 3 -> doc 3
+    # passes clean and becomes the new original; doc 4 (batch 4) is a
+    # near-copy WITHIN horizon of doc 3 -> flags against 3, not 0
+    assert drain(2) == {4: 3}
+    # no ttl: the original never expires -> both copies flag against 0
+    assert drain(None) == {3: 0, 4: 0}
