@@ -174,15 +174,20 @@ def contamination_screen(
         .select("bf_words")
         .withColumn("__k", F.lit(1))
     )
-    probed = docs.withColumn("__k", F.lit(1)).join(
-        F.broadcast(bloom_bitmap), "__k"
+    # tokenize into a real column BEFORE the gram slicer — an inlined
+    # whitespace_tokens() would be re-evaluated once per shifted slice
+    # (see word_grams_from_tokens' materialization warning)
+    probed = (
+        docs.withColumn("__toks", whitespace_tokens(F.col(text_col)))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(bloom_bitmap), "__k")
     )
     n_suspect = F.size(
         F.filter(
-            word_ngrams(F.col(text_col), n),
+            word_grams_from_tokens(F.col("__toks"), n),
             lambda g: might_contain(F.xxhash64(g), "bf_words", m, k),
         )
     )
     return probed.withColumn("n_suspect_grams", n_suspect).drop(
-        "__k", "bf_words"
+        "__k", "__toks", "bf_words"
     )
