@@ -134,10 +134,10 @@ class _ArrivalIndexState:
 
         The predicate is an inequality on the STRING form of the
         partition value, not ``batch < batch_id``: after
-        ``_compact_index`` the consolidated dir is ``batch=compacted``
-        (partition inference then types the column string), and a
-        numeric compare would cast "compacted" to NULL and silently
-        drop the whole compacted index from every subsequent read."""
+        ``_compact_index`` the consolidated dir is
+        ``batch=compacted-<gen>`` (partition inference then types the
+        column string), and a numeric compare would cast it to NULL and
+        silently drop the whole compacted index from every read."""
         if not self._has_index(sub):
             return None
         return (
@@ -563,7 +563,13 @@ class WinnowIndexState(_ArrivalIndexState):
         fps = self._read_prior("fps", batch_id)
         if fps is None:
             return None, None
-        return fps, self._read_prior("texts", batch_id)
+        # (fp, id) rows are unique by construction, but a compaction
+        # crash-window can expose folded rows twice (see _compact_index)
+        # — and unlike the semi-join/rank-window consumers, the
+        # shared-fps COUNT would double. Dedup is semantically free.
+        return fps.dropDuplicates(["fp", "id"]), self._read_prior(
+            "texts", batch_id
+        )
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -841,17 +847,33 @@ def _compact_index(
     re-indexed by a later batch is semantically idempotent but wastes
     bytes).
 
-    The NEWEST numeric batch dir is preserved AS ITSELF (rewritten,
-    not folded into ``batch=compacted``): if the previous run crashed
-    after that batch's index write but before its checkpoint commit,
-    the restart REDELIVERS the batch, and ``_read_prior``'s
-    own-batch-id exclusion only works while the failed attempt's rows
-    still live under their own ``batch=<id>`` partition. Folding them
-    into the compacted dir would resurrect the self-screening
-    corruption the exclusion exists to prevent — so compaction is
-    crash-safe by construction, not by "only compact after a clean
-    drain" discipline.
+    Crash-safe on two axes:
+
+    - **Redelivery**: the NEWEST numeric batch dir is preserved AS
+      ITSELF, never folded. If the previous run crashed after that
+      batch's index write but before its checkpoint commit, the restart
+      REDELIVERS the batch, and ``_read_prior``'s own-batch-id
+      exclusion only works while the failed attempt's rows still live
+      under their own ``batch=<id>`` partition.
+    - **Compaction crash**: the consolidated rows are renamed INTO the
+      ``batch=*`` namespace as a fresh ``batch=compacted-<gen>`` dir
+      FIRST; the superseded source dirs are deleted AFTER (the
+      sketch-table ordering, streaming/sketches.py). A crash at any
+      point leaves a complete index — between rename and the deletes,
+      readers see folded rows TWICE, which every consumer here
+      tolerates: index rows are unique by construction (distinct gram
+      hashes / one bucket per band per id / sorted-distinct winnow
+      sketches / one signature row per id), candidate pairs dedup
+      before use, and the winnow count path additionally dedups its
+      index read. The old delete-src-then-rename order had a window
+      where the WHOLE index vanished — a reader then treats it as
+      empty and silently re-admits duplicates.
+
+    Rows fold DISTINCT across batch dirs: semantically free given the
+    uniqueness invariants above, and it makes a crash-window's doubled
+    rows self-heal on the next compaction instead of accumulating.
     """
+    del distinct  # always distinct now — kept for call-site compat
     out = {}
     jvm = spark._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -864,25 +886,26 @@ def _compact_index(
         ids = [d.rsplit("batch=", 1)[1] for d in dirs]
         numeric = [int(i) for i in ids if i.lstrip("-").isdigit()]
         latest = max(numeric) if numeric else None
-        df = spark.read.parquet(src)
-        tmp = f"{state_dir}/__compact_{sub}"
-        fold = df
+        gen = max(
+            (int(i.rsplit("-", 1)[1]) for i in ids
+             if i.startswith("compacted-")),
+            default=0,
+        )
+        fold = spark.read.parquet(src)
         if latest is not None:
-            keep = df.filter(F.col("batch").cast("string") == str(latest))
-            fold = df.filter(F.col("batch").cast("string") != str(latest))
-            keep.drop("batch").coalesce(1).write.mode("overwrite").parquet(
-                f"{tmp}/batch={latest}"
-            )
-        fold = fold.drop("batch")
-        if distinct:
-            fold = fold.distinct()
+            fold = fold.filter(F.col("batch").cast("string") != str(latest))
+        fold = fold.drop("batch").distinct()
+        tmp = f"{state_dir}/__compact_{sub}"
         fold.coalesce(max(1, fold.rdd.getNumPartitions() // 8)).write.mode(
             "overwrite"
-        ).parquet(f"{tmp}/batch=compacted")
-        out[sub] = spark.read.parquet(tmp).count()
-        src_p = jvm.org.apache.hadoop.fs.Path(src)
-        tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-        fs = src_p.getFileSystem(conf)
-        fs.delete(src_p, True)
-        fs.rename(tmp_p, src_p)
+        ).parquet(tmp)
+        path_cls = jvm.org.apache.hadoop.fs.Path
+        fs = path_cls(src).getFileSystem(conf)
+        fs.rename(
+            path_cls(tmp), path_cls(f"{src}/batch=compacted-{gen + 1}")
+        )
+        for d in dirs:
+            if latest is None or not d.endswith(f"batch={latest}"):
+                fs.delete(path_cls(d), True)
+        out[sub] = spark.read.parquet(src).count()
     return out
