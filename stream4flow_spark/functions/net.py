@@ -102,7 +102,10 @@ _V6_RE = (
     "([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,6})?"
     ")$"
 )
-_QUAD_RE = r"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+# octets must not carry leading zeros — ipaddress rejects "01.2.3.4"
+# (post-CVE-2021-29921 ambiguity rule) and the Column math must agree
+_OCT = r"(\d|[1-9]\d{1,2})"
+_QUAD_RE = rf"{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}$"
 
 
 def ip6_to_words(ip: Column) -> Column:
@@ -135,7 +138,9 @@ def ip6_to_words(ip: Column) -> Column:
     # 1) rewrite an embedded v4 tail to two hex groups
     o = [F.regexp_extract(ip, _QUAD_RE, i + 1).try_cast("long") for i in range(4)]
     tail_ok = (
-        ip.rlike(r"^[0-9A-Fa-f:]+:\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+        ip.rlike(
+            r"^[0-9A-Fa-f:]+:" + r"\.".join([_OCT.replace("(", "(?:")] * 4) + "$"
+        )
         & (o[0] <= 255) & (o[1] <= 255) & (o[2] <= 255) & (o[3] <= 255)
     )
     v4val = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]

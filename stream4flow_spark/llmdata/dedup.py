@@ -1276,6 +1276,12 @@ def incremental_exact_substr(
     if bloom_prefilter is not None:
         from stream4flow_spark.operators.bloom import bloom_prune
 
+        # the bitmap build adds a THIRD consumer of the delta gram
+        # derivation (semi-join probe + within-delta dup count already
+        # read it); checkpoint lazily so the tokenize+hash pass runs
+        # once instead of three times (the word_grams_from_tokens
+        # re-evaluation failure mode, r10 review)
+        grams = grams.localCheckpoint(eager=False)
         corpus_gh = bloom_prune(
             corpus_gh,
             grams.select("gh"),

@@ -95,7 +95,9 @@ class _ArrivalIndexState:
     def maybe_compact(self) -> dict | None:
         """Run this state's compactor if any sub-dir's batch count has
         reached ``auto_compact_dirs``; returns the compactor's row
-        counts, or None if below threshold/disabled."""
+        counts, or None if below threshold/disabled. TTL'd states also
+        drop expired rows from the fold (``_ttl_floor``), so auto-
+        compaction doubles as disk reclamation of the dead horizon."""
         subs, distinct = self._COMPACT
         if self.auto_compact_dirs is None or not subs:
             return None
@@ -105,7 +107,15 @@ class _ArrivalIndexState:
         )
         if n < self.auto_compact_dirs:
             return None
-        return _compact_index(self.spark, self.state_dir, subs, distinct)
+        return _compact_index(
+            self.spark, self.state_dir, subs, distinct,
+            min_indexed_at=self._ttl_floor(),
+        )
+
+    def _ttl_floor(self) -> int | None:
+        """Oldest still-live ``indexed_at`` stamp, or None when the
+        state has no TTL — overridden by TTL-capable states."""
+        return None
 
     @property
     def alerts(self) -> list:
@@ -120,7 +130,9 @@ class _ArrivalIndexState:
     def _has_index(self, sub: str) -> bool:
         return bool(_list_fs(self.spark, f"{self.state_dir}/{sub}/batch=*"))
 
-    def _read_prior(self, sub: str, batch_id: int) -> DataFrame | None:
+    def _read_prior(
+        self, sub: str, batch_id: int, merge_schema: bool = False
+    ) -> DataFrame | None:
         """Read an index sub-dir EXCLUDING the current batch's own
         partition. On a foreachBatch redelivery (crash after the index
         write, before the checkpoint commit), ``{sub}/batch=<batch_id>``
@@ -140,8 +152,16 @@ class _ArrivalIndexState:
         silently drop the whole compacted index from every read."""
         if not self._has_index(sub):
             return None
+        reader = self.spark.read
+        if merge_schema:
+            # TTL stores can mix stamped and pre-TTL unstamped batch
+            # dirs; without mergeSchema, whether `indexed_at` exists
+            # depends on WHICH footer Spark samples — nondeterministic
+            # screening (r10 review). Merging makes the column present
+            # whenever any file carries it; unstamped rows read NULL.
+            reader = reader.option("mergeSchema", "true")
         return (
-            self.spark.read.parquet(f"{self.state_dir}/{sub}")
+            reader.parquet(f"{self.state_dir}/{sub}")
             .filter(F.col("batch").cast("string") != F.lit(str(batch_id)))
             .drop("batch")
         )
@@ -178,10 +198,12 @@ class NeardupIndexState(_ArrivalIndexState):
     windows), with index reads pruned to the live horizon. Rows written
     before TTL was enabled carry no stamp and are treated as EXPIRED
     (the conservative reading for a bounded-state contract); enable TTL
-    from the first batch or after a fresh compaction. Disk reclamation
-    is compaction's job — the read filter bounds what screens, and a
-    ``compact_neardup_index`` pass after the horizon advances rewrites
-    the store without the dead rows' dirs once whole batches expire.
+    from the first batch or after a fresh compaction. The read filter
+    bounds what SCREENS; disk reclamation happens at compaction —
+    ``maybe_compact`` passes the live-horizon floor so expired rows are
+    dropped from the fold instead of being copied forward forever
+    (manual ``compact_neardup_index`` callers can pass
+    ``min_indexed_at`` themselves via ``_compact_index``).
     """
 
     def __init__(
@@ -207,8 +229,14 @@ class NeardupIndexState(_ArrivalIndexState):
         self.threshold = threshold
         self.max_bucket = max_bucket
         self.ttl_batches = ttl_batches
+        self._last_batch: int | None = None
 
     _COMPACT = (("bands", "sigs"), False)
+
+    def _ttl_floor(self) -> int | None:
+        if self.ttl_batches is None or self._last_batch is None:
+            return None
+        return self._last_batch - self.ttl_batches
 
     def _paths(self, batch_id: int) -> tuple[str, str]:
         return (
@@ -217,23 +245,29 @@ class NeardupIndexState(_ArrivalIndexState):
         )
 
     def _read_index(self, batch_id: int):
-        bands = self._read_prior("bands", batch_id)
+        ttl = self.ttl_batches is not None
+        bands = self._read_prior("bands", batch_id, merge_schema=ttl)
         if bands is None:
             return None, None
-        sigs = self._read_prior("sigs", batch_id)
-        if self.ttl_batches is not None:
+        sigs = self._read_prior("sigs", batch_id, merge_schema=ttl)
+        if ttl:
             if "indexed_at" not in bands.columns:
-                # a pre-TTL store has no stamps at all: conservatively
-                # the whole index is expired under the TTL contract
+                # a pre-TTL store has no stamps in ANY file (mergeSchema
+                # saw every footer): conservatively the whole index is
+                # expired under the TTL contract
                 return None, None
-            # live horizon only; unstamped (pre-TTL) rows read as NULL
+            # live horizon: the previous ttl_batches batches participate
+            # (>=, not > — strict compare made ttl_batches=1 expire the
+            # IMMEDIATELY preceding batch and disabled screening
+            # entirely, r10 review); unstamped pre-TTL rows read NULL
             # and are conservatively expired
-            live = F.col("indexed_at") > F.lit(batch_id - self.ttl_batches)
+            live = F.col("indexed_at") >= F.lit(batch_id - self.ttl_batches)
             bands = bands.filter(live).drop("indexed_at")
             sigs = sigs.filter(live).drop("indexed_at")
         return bands, sigs
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._last_batch = batch_id
         from stream4flow_spark.llmdata.dedup import (
             _band_table,
             minhash_table,
@@ -336,15 +370,11 @@ class NeardupIndexState(_ArrivalIndexState):
         self.maybe_compact()
 
 
-def neardup_screen_stream(
-    stream_docs: DataFrame,
-    state_dir: str,
-    checkpoint_dir: str,
-    **kwargs,
-):
-    """Drain ``stream_docs`` (availableNow) through the near-dup index
-    loop; returns (StreamingQuery-completed state, flagged rows)."""
-    state = NeardupIndexState(stream_docs.sparkSession, state_dir, **kwargs)
+def _drain(state, stream_docs: DataFrame, checkpoint_dir: str):
+    """Shared availableNow drain harness for the arrival-index states:
+    foreachBatch into ``state.apply_batch``, block until the source is
+    exhausted, return the completed state (one definition — the four
+    screen entry points differ only in the state class)."""
     q = (
         stream_docs.writeStream.foreachBatch(state.apply_batch)
         .outputMode("append")
@@ -354,6 +384,21 @@ def neardup_screen_stream(
     )
     q.awaitTermination()
     return state
+
+
+def neardup_screen_stream(
+    stream_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Drain ``stream_docs`` (availableNow) through the near-dup index
+    loop; returns the completed state (alerts + on-disk index)."""
+    return _drain(
+        NeardupIndexState(stream_docs.sparkSession, state_dir, **kwargs),
+        stream_docs,
+        checkpoint_dir,
+    )
 
 
 class SemanticIndexState(_ArrivalIndexState):
@@ -487,16 +532,11 @@ def semantic_screen_stream(
     """Drain ``stream_vecs`` (availableNow) through the semantic
     near-dup index loop; returns the completed state (alerts +
     on-disk index)."""
-    state = SemanticIndexState(stream_vecs.sparkSession, state_dir, **kwargs)
-    q = (
-        stream_vecs.writeStream.foreachBatch(state.apply_batch)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _drain(
+        SemanticIndexState(stream_vecs.sparkSession, state_dir, **kwargs),
+        stream_vecs,
+        checkpoint_dir,
     )
-    q.awaitTermination()
-    return state
 
 
 class WinnowIndexState(_ArrivalIndexState):
@@ -673,16 +713,11 @@ def winnow_screen_stream(
     """Drain ``stream_docs`` (availableNow) through the winnowing
     arrival-index loop; returns the completed state (alerts + on-disk
     fingerprint/text index)."""
-    state = WinnowIndexState(stream_docs.sparkSession, state_dir, **kwargs)
-    q = (
-        stream_docs.writeStream.foreachBatch(state.apply_batch)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _drain(
+        WinnowIndexState(stream_docs.sparkSession, state_dir, **kwargs),
+        stream_docs,
+        checkpoint_dir,
     )
-    q.awaitTermination()
-    return state
 
 
 def compact_winnow_index(spark, state_dir: str) -> dict:
@@ -801,16 +836,11 @@ def exact_substr_screen_stream(
     """Drain ``stream_docs`` (availableNow) through the ExactSubstr
     index loop; returns the completed state (cleaned docs + gram
     index + per-batch alerts)."""
-    state = ExactSubstrIndexState(stream_docs.sparkSession, state_dir, **kwargs)
-    q = (
-        stream_docs.writeStream.foreachBatch(state.apply_batch)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _drain(
+        ExactSubstrIndexState(stream_docs.sparkSession, state_dir, **kwargs),
+        stream_docs,
+        checkpoint_dir,
     )
-    q.awaitTermination()
-    return state
 
 
 def compact_exact_substr_index(spark, state_dir: str) -> dict:
@@ -836,7 +866,11 @@ def compact_semantic_index(spark, state_dir: str) -> dict:
 
 
 def _compact_index(
-    spark, state_dir: str, subs: tuple[str, ...], distinct: bool = False
+    spark,
+    state_dir: str,
+    subs: tuple[str, ...],
+    distinct: bool = False,
+    min_indexed_at: int | None = None,
 ) -> dict:
     """Per-batch-dir → single-dir rewrite shared by the arrival
     indexes. Listing and the delete/rename swap go through the Hadoop
@@ -872,6 +906,13 @@ def _compact_index(
     Rows fold DISTINCT across batch dirs: semantically free given the
     uniqueness invariants above, and it makes a crash-window's doubled
     rows self-heal on the next compaction instead of accumulating.
+
+    ``min_indexed_at``: for TTL'd stores — rows whose ``indexed_at``
+    stamp is below it (or NULL) are dropped from the fold, so disk
+    reclamation of expired entries happens here (the read-side TTL
+    filter only bounds what SCREENS; without this, dead rows would be
+    copied forward by every compaction forever). Ignored when the
+    store carries no ``indexed_at`` column.
     """
     del distinct  # always distinct now — kept for call-site compat
     out = {}
@@ -891,19 +932,31 @@ def _compact_index(
              if i.startswith("compacted-")),
             default=0,
         )
-        fold = spark.read.parquet(src)
+        fold = spark.read.option("mergeSchema", "true").parquet(src)
         if latest is not None:
             fold = fold.filter(F.col("batch").cast("string") != str(latest))
-        fold = fold.drop("batch").distinct()
+        fold = fold.drop("batch")
+        if min_indexed_at is not None and "indexed_at" in fold.columns:
+            fold = fold.filter(F.col("indexed_at") >= F.lit(min_indexed_at))
+        fold = fold.distinct()
         tmp = f"{state_dir}/__compact_{sub}"
         fold.coalesce(max(1, fold.rdd.getNumPartitions() // 8)).write.mode(
             "overwrite"
         ).parquet(tmp)
         path_cls = jvm.org.apache.hadoop.fs.Path
         fs = path_cls(src).getFileSystem(conf)
-        fs.rename(
-            path_cls(tmp), path_cls(f"{src}/batch=compacted-{gen + 1}")
-        )
+        dest = f"{src}/batch=compacted-{gen + 1}"
+        if not fs.rename(path_cls(tmp), path_cls(dest)):
+            # Hadoop rename reports failure as FALSE, not an exception
+            # (e.g. the destination was created by a concurrent
+            # compaction). Deleting the source dirs anyway would
+            # truncate the index to the newest batch — fail loudly and
+            # delete NOTHING instead (r10 review).
+            raise RuntimeError(
+                f"index compaction rename failed: {tmp} -> {dest}; "
+                "source batch dirs left untouched (possible concurrent "
+                "compaction of the same store)"
+            )
         for d in dirs:
             if latest is None or not d.endswith(f"batch={latest}"):
                 fs.delete(path_cls(d), True)

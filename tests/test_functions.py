@@ -163,6 +163,10 @@ def test_ip6_cidr_column_math_matches_ipaddress_oracle(spark):
         "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff",
         "0:0:0:0:0:ffff:1.2.3.4", "fe80::2%0", "::ffff:1.2.3",
         "12345::1", "g000::1", "",
+        # leading-zero octets: ipaddress rejects post-CVE-2021-29921,
+        # the Column math must agree (r10 review)
+        "::ffff:01.2.3.4", "::ffff:1.02.3.4", "::ffff:001.2.3.4",
+        "::ffff:0.2.3.4", "::ffff:1234.5.6.7", "0:0:0:0:0:ffff:010.0.0.1",
     ]
     for _ in range(150):
         n_groups = rng.randint(1, 8)

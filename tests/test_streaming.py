@@ -3087,3 +3087,48 @@ def test_neardup_index_ttl_evicts_old_entries(spark, tmp_path):
     assert drain(2) == {4: 3}
     # no ttl: the original never expires -> both copies flag against 0
     assert drain(None) == {3: 0, 4: 0}
+
+
+def test_neardup_ttl_boundary_and_disk_reclamation(spark, tmp_path):
+    """r10 review findings: (a) ttl_batches=1 must keep the IMMEDIATELY
+    preceding batch screening (the strict '>' compare silently disabled
+    screening entirely at ttl=1); (b) auto-compaction on a TTL'd state
+    must RECLAIM expired rows from disk, not copy them forward forever
+    — after the horizon advances past a batch, its stamped rows vanish
+    from the store."""
+    from stream4flow_spark.streaming.llmingest import NeardupIndexState
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun near the stone wall")
+    near = base.replace("today", "tomorrow")
+    schema = "doc_id long, text string"
+
+    # (a) ttl=1 boundary: batch 0's rows must screen batch 1
+    st = NeardupIndexState(
+        spark, str(tmp_path / "b"), threshold=0.5, ttl_batches=1
+    )
+    st.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+    st.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+    assert {(r.id, r.best_match_id) for r in st.alerts} == {(1, 0)}
+
+    # (b) reclamation: 5 unrelated single-doc batches, ttl=2,
+    # auto_compact_dirs=3 — compactions at batches 2/3/4 prune rows
+    # whose indexed_at fell below the live floor (last_batch - ttl)
+    fillers = [
+        f"filler document number {i} holding words alpha{i} beta{i} "
+        f"gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i}"
+        for i in range(5)
+    ]
+    st2 = NeardupIndexState(
+        spark, str(tmp_path / "r"), threshold=0.5,
+        ttl_batches=2, auto_compact_dirs=3,
+    )
+    for i, t in enumerate(fillers):
+        st2.apply_batch(spark.createDataFrame([(i, t)], schema), i)
+    stamps = {
+        r.indexed_at
+        for r in spark.read.parquet(str(tmp_path / "r" / "bands")).collect()
+    }
+    # floor at the last compaction (batch 4) = 4 - 2 = 2: batches 0 and
+    # 1 are gone from disk, the live horizon (2, 3, 4) remains
+    assert stamps == {2, 3, 4}, stamps
