@@ -83,7 +83,13 @@ def _baseline_queries() -> dict[str, float]:
 
 
 def _run_bench(only: list[str] | None = None) -> dict[str, float]:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
+    # suite runs are contended — never let them overwrite the committed
+    # quiet-run sidecar record
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+        SPARK_GRAFT_BENCH_NO_SIDECAR="1",
+    )
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
     out = subprocess.run(
