@@ -139,8 +139,12 @@ def main() -> int:
     if prev is not None and prev.get("sf") != sf_val:
         # a spot-check at another sf (full OR filtered) must never
         # replace the durable default-sf record the driver ingests —
-        # full runs at sf0.01 clobbered the sf0.1 map before this guard
-        write_sidecar = sf_val == 0.1 or prev.get("sf") is None
+        # full runs at sf0.01 clobbered the sf0.1 map before this guard.
+        # `and`, not `=`: this branch must narrow the decision, never
+        # resurrect a write the NO_SIDECAR opt-out already suppressed
+        write_sidecar = write_sidecar and (
+            sf_val == 0.1 or prev.get("sf") is None
+        )
     elif prev is not None and only:
         # a filtered run (SPARK_GRAFT_BENCH_ONLY) refreshes only its own
         # entries — clobbering the tracked full map with a 1-query run

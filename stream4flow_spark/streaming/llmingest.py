@@ -83,8 +83,8 @@ class _ArrivalIndexState:
     continuous-trigger deployments should set it (DEPLOY.md sizes the
     file-listing degradation); tests and short drains leave it off."""
 
-    #: (sub-dirs to compact, distinct flag) — overridden per state
-    _COMPACT: tuple[tuple[str, ...], bool] = ((), False)
+    #: index sub-dirs to compact — overridden per state
+    _COMPACT: tuple[str, ...] = ()
 
     def __init__(self, spark, state_dir: str, auto_compact_dirs: int | None = None):
         self.spark = spark
@@ -98,7 +98,7 @@ class _ArrivalIndexState:
         counts, or None if below threshold/disabled. TTL'd states also
         drop expired rows from the fold (``_ttl_floor``), so auto-
         compaction doubles as disk reclamation of the dead horizon."""
-        subs, distinct = self._COMPACT
+        subs = self._COMPACT
         if self.auto_compact_dirs is None or not subs:
             return None
         n = max(
@@ -108,7 +108,7 @@ class _ArrivalIndexState:
         if n < self.auto_compact_dirs:
             return None
         return _compact_index(
-            self.spark, self.state_dir, subs, distinct,
+            self.spark, self.state_dir, subs,
             min_indexed_at=self._ttl_floor(),
         )
 
@@ -159,6 +159,10 @@ class _ArrivalIndexState:
             # depends on WHICH footer Spark samples — nondeterministic
             # screening (r10 review). Merging makes the column present
             # whenever any file carries it; unstamped rows read NULL.
+            # Cost: a footer-merge over the store's files per batch —
+            # bounded by auto_compact_dirs (set it on TTL'd states; an
+            # explicit schema can't replace this because the id column's
+            # type derives from the caller's corpus).
             reader = reader.option("mergeSchema", "true")
         return (
             reader.parquet(f"{self.state_dir}/{sub}")
@@ -202,8 +206,7 @@ class NeardupIndexState(_ArrivalIndexState):
     bounds what SCREENS; disk reclamation happens at compaction —
     ``maybe_compact`` passes the live-horizon floor so expired rows are
     dropped from the fold instead of being copied forward forever
-    (manual ``compact_neardup_index`` callers can pass
-    ``min_indexed_at`` themselves via ``_compact_index``).
+    (manual callers: ``compact_neardup_index(..., min_indexed_at=...)``).
     """
 
     def __init__(
@@ -231,7 +234,7 @@ class NeardupIndexState(_ArrivalIndexState):
         self.ttl_batches = ttl_batches
         self._last_batch: int | None = None
 
-    _COMPACT = (("bands", "sigs"), False)
+    _COMPACT = ("bands", "sigs")
 
     def _ttl_floor(self) -> int | None:
         if self.ttl_batches is None or self._last_batch is None:
@@ -247,11 +250,18 @@ class NeardupIndexState(_ArrivalIndexState):
     def _read_index(self, batch_id: int):
         ttl = self.ttl_batches is not None
         bands = self._read_prior("bands", batch_id, merge_schema=ttl)
-        if bands is None:
-            return None, None
         sigs = self._read_prior("sigs", batch_id, merge_schema=ttl)
+        if bands is None or sigs is None:
+            # sigs None with bands present = a crash landed between the
+            # two index writes; the redelivered batch overwrites both,
+            # so treat the half-written index as absent instead of
+            # crash-looping on the missing side (r10 review)
+            return None, None
         if ttl:
-            if "indexed_at" not in bands.columns:
+            if (
+                "indexed_at" not in bands.columns
+                or "indexed_at" not in sigs.columns
+            ):
                 # a pre-TTL store has no stamps in ANY file (mergeSchema
                 # saw every footer): conservatively the whole index is
                 # expired under the TTL contract
@@ -439,13 +449,14 @@ class SemanticIndexState(_ArrivalIndexState):
         self.threshold = threshold
         self.max_bucket = max_bucket
 
-    _COMPACT = (("buckets", "vecs"), False)
+    _COMPACT = ("buckets", "vecs")
 
     def _read_index(self, batch_id: int):
         buckets = self._read_prior("buckets", batch_id)
-        if buckets is None:
+        vecs = self._read_prior("vecs", batch_id)
+        if buckets is None or vecs is None:  # half-written = absent
             return None, None
-        return buckets, self._read_prior("vecs", batch_id)
+        return buckets, vecs
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from stream4flow_spark.llmdata.simsearch import (
@@ -597,19 +608,18 @@ class WinnowIndexState(_ArrivalIndexState):
         self.max_bucket = max_bucket
         self.hash_mode = hash_mode
 
-    _COMPACT = (("fps", "texts"), False)
+    _COMPACT = ("fps", "texts")
 
     def _read_index(self, batch_id: int):
         fps = self._read_prior("fps", batch_id)
-        if fps is None:
+        texts = self._read_prior("texts", batch_id)
+        if fps is None or texts is None:  # half-written = absent
             return None, None
         # (fp, id) rows are unique by construction, but a compaction
         # crash-window can expose folded rows twice (see _compact_index)
         # — and unlike the semi-join/rank-window consumers, the
         # shared-fps COUNT would double. Dedup is semantically free.
-        return fps.dropDuplicates(["fp", "id"]), self._read_prior(
-            "texts", batch_id
-        )
+        return fps.dropDuplicates(["fp", "id"]), texts
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -778,7 +788,7 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         self.bloom_prefilter = bloom_prefilter
         self.bloom_shards = bloom_shards
 
-    _COMPACT = (("grams",), True)
+    _COMPACT = ("grams",)
 
     def _read_index(self, batch_id: int):
         prior = self._read_prior("grams", batch_id)
@@ -846,17 +856,24 @@ def exact_substr_screen_stream(
 def compact_exact_substr_index(spark, state_dir: str) -> dict:
     """Consolidate the ExactSubstr gram index's per-batch dirs (and
     drop cross-batch duplicate grams); returns {"grams": n_rows}."""
-    return _compact_index(spark, state_dir, ("grams",), distinct=True)
+    return _compact_index(spark, state_dir, ("grams",))
 
 
-def compact_neardup_index(spark, state_dir: str) -> dict:
+def compact_neardup_index(
+    spark, state_dir: str, min_indexed_at: int | None = None
+) -> dict:
     """Rewrite the minhash near-dup index's accumulated per-batch dirs
     into one consolidated batch each for bands and signatures (DEPLOY.md:
     run once batch-dir counts reach thousands — file-listing cost, not
     data size, is what degrades). Safe between runs (the index is only
     read at batch boundaries); returns {"bands": n_rows, "sigs": n_rows}.
-    """
-    return _compact_index(spark, state_dir, ("bands", "sigs"))
+
+    ``min_indexed_at``: for TTL'd stores — drop rows stamped below the
+    live horizon (``last_batch - ttl_batches``) so manual compaction
+    reclaims expired disk, same as the state's own ``maybe_compact``."""
+    return _compact_index(
+        spark, state_dir, ("bands", "sigs"), min_indexed_at=min_indexed_at
+    )
 
 
 def compact_semantic_index(spark, state_dir: str) -> dict:
@@ -869,17 +886,13 @@ def _compact_index(
     spark,
     state_dir: str,
     subs: tuple[str, ...],
-    distinct: bool = False,
     min_indexed_at: int | None = None,
 ) -> dict:
     """Per-batch-dir → single-dir rewrite shared by the arrival
     indexes. Listing and the delete/rename swap go through the Hadoop
     FS API, so the index can live on any mounted scheme (local, HDFS,
     S3A) — the same stores DEPLOY.md sizes it for; ``glob``/``shutil``
-    would silently see an empty index there. ``distinct`` additionally
-    dedups rows across batch dirs (the ExactSubstr gram index: a gram
-    re-indexed by a later batch is semantically idempotent but wastes
-    bytes).
+    would silently see an empty index there.
 
     Crash-safe on two axes:
 
@@ -914,7 +927,6 @@ def _compact_index(
     copied forward by every compaction forever). Ignored when the
     store carries no ``indexed_at`` column.
     """
-    del distinct  # always distinct now — kept for call-site compat
     out = {}
     jvm = spark._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()

@@ -3132,3 +3132,34 @@ def test_neardup_ttl_boundary_and_disk_reclamation(spark, tmp_path):
     # floor at the last compaction (batch 4) = 4 - 2 = 2: batches 0 and
     # 1 are gone from disk, the live horizon (2, 3, 4) remains
     assert stamps == {2, 3, 4}, stamps
+
+
+def test_half_written_index_recovers_on_redelivery(spark, tmp_path):
+    """r10 review: a crash BETWEEN the two index writes (bands landed,
+    sigs did not) must not crash-loop the restarted stream — the
+    redelivered batch treats the half-written index as absent and
+    overwrites both sides. Covered for the TTL'd form too (the filter
+    on the missing side was the original AttributeError site)."""
+    import shutil
+
+    from stream4flow_spark.streaming.llmingest import NeardupIndexState
+
+    text = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun by the old wall")
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    for ttl in (None, 2):
+        d = tmp_path / f"t{ttl}"
+        st = NeardupIndexState(
+            spark, str(d), threshold=0.5, ttl_batches=ttl
+        )
+        st.apply_batch(docs, 0)
+        shutil.rmtree(str(d / "sigs"))  # crash window: sigs never landed
+        st.apply_batch(docs, 0)  # redelivery must not raise
+        assert st.alerts == []
+        # index is whole again: a later near-copy flags against doc 0
+        near = spark.createDataFrame(
+            [(1, text.replace("today", "tomorrow"))],
+            "doc_id long, text string",
+        )
+        st.apply_batch(near, 1)
+        assert {(r.id, r.best_match_id) for r in st.alerts} == {(1, 0)}
