@@ -1136,6 +1136,51 @@ def q_llm_decontaminate_bloom_sharded(
 
 
 @register(
+    "llm_decontaminate_bloom_shuffle",
+    covers="llm:decontamination llm:bloom-prune-shuffle J1",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, unnest(list_distinct({_GRAMS3})) AS gram
+            FROM documents WHERE len({_W}) >= 3
+        ),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 12 = 0)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 12 <> 0
+        GROUP BY 1 HAVING COUNT(*) >= 2
+        """,
+)
+def q_llm_decontaminate_bloom_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination through the NON-BROADCAST sharded Bloom rung
+    (``bloom_prune(shards=4, broadcast=False)``) — the ≥10¹⁰-key form
+    where the total bitmap outgrows per-executor broadcast budgets and
+    the probe becomes a hinted SHUFFLED hash join on
+    ``pmod(xxhash64(gram), shards)`` (DEPLOY.md sizing table). The
+    oracle is the same plain exact-overlap SQL as the broadcast rungs:
+    a green row certifies that moving the bitmap off the broadcast path
+    preserves the no-false-negatives composition end to end. Every 12th
+    document plays the benchmark; threshold ≥2 grams."""
+    from stream4flow_spark.llmdata.decontaminate import contamination_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 12 == 0)
+    train = docs.filter(F.col("doc_id") % 12 != 0)
+    counts = contamination_counts(
+        train,
+        bench,
+        n=3,
+        hash_grams=False,
+        bloom_prefilter=20_000,
+        bloom_shards=4,
+        bloom_broadcast=False,
+    )
+    return counts.filter(F.col("n_contaminated_grams") >= 2)
+
+
+@register(
     "llm_repetition",
     covers="llm:repetition-filter llm:quality-score",
     oracle=f"""

@@ -51,6 +51,7 @@ def contamination_counts(
     hash_grams: bool = True,
     bloom_prefilter: int | None = None,
     bloom_shards: int = 1,
+    bloom_broadcast: bool = True,
 ) -> DataFrame:
     """Per-corpus-document count of distinct n-grams that also occur in
     ``benchmark``. Documents with zero overlap are absent from the
@@ -69,7 +70,11 @@ def contamination_counts(
     (``bloom_words_sharded``): a broadcast hash join on the shard id
     instead of the 1-row crossJoin, still zero corpus-side shuffle —
     the form for benchmark gram sets past ~10⁹ keys where one dense
-    array outgrows a single broadcast cell."""
+    array outgrows a single broadcast cell. ``bloom_broadcast=False``
+    (needs shards > 1) is the rung past ~10¹⁰ keys: the bitmap stops
+    being broadcast at all and the probe becomes a shuffled hash join
+    on the shard id (``operators/bloom.py`` sizing discussion /
+    DEPLOY.md table)."""
     def grams_of(df: DataFrame, keep_id: bool) -> DataFrame:
         cols = [F.col(id_col)] if keep_id else []
         # tokenize into a real column BEFORE the gram lambdas — an
@@ -97,6 +102,7 @@ def contamination_counts(
             "gram",
             expected_items=bloom_prefilter,
             shards=bloom_shards,
+            broadcast=bloom_broadcast,
         )
     return (
         corpus_grams.join(bench_grams, "gram")

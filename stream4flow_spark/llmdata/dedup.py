@@ -1231,6 +1231,7 @@ def incremental_exact_substr(
     corpus_index: DataFrame | None = None,
     bloom_prefilter: int | None = None,
     bloom_shards: int = 1,
+    bloom_broadcast: bool = True,
 ) -> DataFrame:
     """ExactSubstr cleaning of a DELTA snapshot against an existing
     CORPUS — the incremental form of ``exact_substr_dedup`` a
@@ -1263,7 +1264,10 @@ def incremental_exact_substr(
     difference between shuffling the whole 8 B/gram index every
     micro-batch and shuffling the delta-sized sliver. ``bloom_shards``
     > 1 uses the sharded bitmap for delta gram sets past one broadcast
-    cell (≥10⁹ keys).
+    cell (≥10⁹ keys); ``bloom_broadcast=False`` (needs shards > 1) is
+    the ≥10¹⁰-key rung — the bitmap probe becomes a shuffled hash join
+    on the shard id instead of a per-executor broadcast copy
+    (``operators/bloom.py`` / DEPLOY.md sizing table).
     """
     if corpus_index is None:
         if corpus is None:
@@ -1288,6 +1292,7 @@ def incremental_exact_substr(
             "gh",
             expected_items=bloom_prefilter,
             shards=bloom_shards,
+            broadcast=bloom_broadcast,
         )
     # marked-by-corpus: EVERY delta occurrence of an indexed gram
     in_corpus = grams.join(corpus_gh, "gh", "left_semi").select(

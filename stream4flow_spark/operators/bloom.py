@@ -202,6 +202,7 @@ def bloom_prune(
     expected_items: int,
     fpp: float = 0.01,
     shards: int = 1,
+    broadcast: bool = True,
 ) -> DataFrame:
     """``big`` minus the rows whose ``key_col`` is definitely NOT in
     ``keys`` — the map-side prune in front of an exact semi/inner join.
@@ -213,8 +214,25 @@ def bloom_prune(
     sharded``): the probe becomes a broadcast hash join on the shard id
     — still zero big-side shuffle — with per-row bits bounded at
     ~1.44·(n/shards)·log2(1/fpp). Use when one dense array outgrows a
-    single broadcast cell (~10⁹ small-side keys and up)."""
+    single broadcast cell (~10⁹ small-side keys and up).
+
+    ``broadcast=False`` is the rung ABOVE that (requires ``shards`` >
+    1): every executor holding the full sharded bitmap is still
+    O(total filter bits) of memory each — ~1.44·n·log2(1/fpp) bits,
+    past executor budgets somewhere around 10¹⁰ keys (DEPLOY.md sizing
+    table). The probe then becomes a SHUFFLED hash join on ``bf_shard``
+    (hinted, so AQE cannot demote it back to broadcast): ``big`` pays
+    one exchange keyed by the shard id, but per-task filter memory
+    drops to ~total_bits/shuffle_partitions and the bitmap itself never
+    leaves the cluster. No-false-negatives is unchanged — same bitmap,
+    same probe expression — so downstream exact joins still make the
+    composition result-identical."""
     if shards <= 1:
+        if not broadcast:
+            raise ValueError(
+                "broadcast=False needs shards > 1 — an unsharded bitmap "
+                "is one row and can only be broadcast"
+            )
         m, k = bloom_params(expected_items, fpp)
         flt = bloom_words(keys, key_col, expected_items, fpp).select("bf_words")
         return (
@@ -228,8 +246,9 @@ def bloom_prune(
         "bf_shard",
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(shards)).cast("int"),
     )
+    flt_side = F.broadcast(tbl) if broadcast else tbl.hint("shuffle_hash")
     return (
-        probed.join(F.broadcast(tbl), "bf_shard")
+        probed.join(flt_side, "bf_shard")
         .filter(might_contain(F.col(key_col), "bf_words", m, k))
         .drop("bf_shard", "bf_words")
     )

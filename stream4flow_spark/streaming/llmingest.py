@@ -78,8 +78,10 @@ class _ArrivalIndexState:
     REPLACES, never double-counts), Hadoop-FS index listing, and
     optional AUTO-compaction (``auto_compact_dirs``: once any index
     sub-dir accumulates that many ``batch=*`` dirs, the state runs its
-    compactor after the batch commit — safe mid-run because compaction
-    preserves the newest batch dir, see ``_compact_index``). Long-lived
+    compactor at the end of ``apply_batch`` — i.e. BEFORE the streaming
+    checkpoint commits the batch, which is safe because compaction
+    preserves the newest batch dir for redelivery, see
+    ``_compact_index``). Long-lived
     continuous-trigger deployments should set it (DEPLOY.md sizes the
     file-listing degradation); tests and short drains leave it off."""
 

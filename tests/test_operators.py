@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from stream4flow_spark.operators.interval_join import interval_join
@@ -1192,11 +1193,15 @@ def test_bloom_pruned_decontamination_is_value_identical(spark):
     assert hashed == plain
 
 
-def test_bloom_sharded_prune_preserves_members_and_exactness(spark):
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_bloom_sharded_prune_preserves_members_and_exactness(spark, broadcast):
     """The sharded bitmap (the >10^9-key scale path) keeps the same
     contract as the 1-row filter: no false negatives, fpp in range, and
     value-identical exact-join results; an empty shard must emit an
-    all-zero bitmap, never drop its probe rows."""
+    all-zero bitmap, never drop its probe rows. Parameterized over BOTH
+    probe modes — broadcast hash join (≤~10⁹ keys) and the
+    broadcast=False shuffled hash join (the ≥10¹⁰-key rung where the
+    total bitmap outgrows executor broadcast budgets, DEPLOY.md)."""
     from pyspark.sql import functions as F
 
     from stream4flow_spark.llmdata.decontaminate import contamination_counts
@@ -1208,7 +1213,9 @@ def test_bloom_sharded_prune_preserves_members_and_exactness(spark):
     big = spark.range(0, 30000).select(F.col("id").alias("k"))
     got = {
         r.k
-        for r in bloom_prune(big, keys, "k", 1000, fpp=0.01, shards=7).collect()
+        for r in bloom_prune(
+            big, keys, "k", 1000, fpp=0.01, shards=7, broadcast=broadcast
+        ).collect()
     }
     members = {r.k for r in keys.collect()} & set(range(30000))
     assert members <= got
@@ -1219,7 +1226,7 @@ def test_bloom_sharded_prune_preserves_members_and_exactness(spark):
     # probes routed to those shards must survive routing (and then fail
     # the bit test), not disappear at the join
     tiny = spark.createDataFrame([(5,), (9,)], "k long")
-    pruned = bloom_prune(big, tiny, "k", 2, fpp=0.01, shards=64)
+    pruned = bloom_prune(big, tiny, "k", 2, fpp=0.01, shards=64, broadcast=broadcast)
     assert {5, 9} <= {r.k for r in pruned.collect()}
 
     # exactness through decontamination, sharded
@@ -1246,7 +1253,7 @@ def test_bloom_sharded_prune_preserves_members_and_exactness(spark):
 
     cg = bloom_prune(
         grams_of(train, True), grams_of(bench, False).distinct(),
-        "gram", 20_000, shards=4,
+        "gram", 20_000, shards=4, broadcast=broadcast,
     )
     sharded = {
         r.doc_id: r.n
@@ -1254,6 +1261,21 @@ def test_bloom_sharded_prune_preserves_members_and_exactness(spark):
         .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
     }
     assert sharded == plain
+
+
+def test_bloom_prune_broadcast_false_requires_shards(spark):
+    """broadcast=False only makes sense on the sharded bitmap — the
+    unsharded filter is one row and can only travel by broadcast; the
+    misconfiguration must fail loudly at plan time, not silently
+    broadcast anyway."""
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.operators.bloom import bloom_prune
+
+    keys = spark.range(0, 10).select(F.col("id").alias("k"))
+    big = spark.range(0, 100).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="shards"):
+        bloom_prune(big, keys, "k", 10, shards=1, broadcast=False)
 
 
 def test_bloom_filter_persists_and_reloads(spark, tmp_path):

@@ -466,3 +466,41 @@ def test_sharded_bloom_probe_streams_corpus_exchange_free(spark):
         assert not any("Exchange" in s for s in streamed), (
             f"corpus side shuffles before the Bloom probe: {streamed}"
         )
+
+
+def test_shuffle_bloom_probe_plans_without_broadcast(spark):
+    """The broadcast=False rung (llm_decontaminate_bloom_shuffle) must
+    plan the bf_shard probe as a SHUFFLED hash join — the hint has to
+    survive into the physical plan so the ≥10¹⁰-key deployment never
+    materializes the full bitmap per executor. A BroadcastHashJoin on
+    bf_shard here would mean the hint was silently dropped and the
+    memory contract (DEPLOY.md sizing table) is void."""
+    df = REGISTRY["llm_decontaminate_bloom_shuffle"].fn(spark, SF_DIR)
+    root = df._jdf.queryExecution().executedPlan()
+
+    def walk(n):
+        yield n
+        if n.nodeName() == "AdaptiveSparkPlan":
+            yield from walk(n.initialPlan())
+            return
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    # two bf_shard joins exist: the PROBE (streams the corpus parquet
+    # scan — must be shuffled) and, inside its build subtree, the
+    # all-shards Range backfill join (1-row-per-shard, broadcast is
+    # correct there). Classify by whether the streamed child holds a
+    # file Scan, same discriminator as the sharded-probe test above.
+    probe_joins = [
+        n for n in walk(root)
+        if "Join" in n.nodeName()
+        and "bf_shard" in n.leftKeys().toString()
+        and any("Scan" in x.nodeName() for x in walk(n.children().apply(0)))
+    ]
+    assert probe_joins, "no bf_shard join streams the corpus scan"
+    for n in probe_joins:
+        assert "ShuffledHashJoin" in n.nodeName(), (
+            "broadcast=False probe join is not shuffled-hash: "
+            f"{n.nodeName()}"
+        )
