@@ -17,7 +17,7 @@ from stream4flow_spark.apps.host_stats import host_stats
 from stream4flow_spark.apps.protocols_statistics import protocols_statistics
 from stream4flow_spark.apps.tls_classification import tls_classification
 from stream4flow_spark.apps.top_n_host_stats import top_n_host_stats
-from stream4flow_spark.fixtures.flows import flows_df, oracle_query
+from stream4flow_spark.fixtures.flows import LOCAL_CIDR, flows_df, oracle_query
 from stream4flow_spark.registry import register
 
 HOUR_MS = 3_600_000
@@ -1028,3 +1028,82 @@ def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ipfix_destinationIPv4Address").alias("dst"),
     )
     return kcore(edges, k=6, fixed_rounds=5)
+
+
+@register(
+    "net_cidr_v6_classify",
+    covers="F5 F5v6 C2 A1 F9",
+    oracle=oracle_query(
+        f"""
+        SELECT CASE WHEN {_SRC_LOCAL} THEN 'local_v4'
+                    WHEN ipfix_sourceIPv4Address IS NOT NULL THEN 'external_v4'
+                    WHEN CAST(substr(ipfix_sourceIPv6Address, 7) AS INT) <= 19
+                         THEN 'local_v6'
+                    WHEN ipfix_sourceIPv6Address IS NOT NULL THEN 'external_v6'
+                    ELSE 'none' END AS src_class,
+               CASE WHEN {_DST_LOCAL} THEN 'local_v4'
+                    WHEN ipfix_destinationIPv4Address IS NOT NULL THEN 'external_v4'
+                    WHEN CAST(substr(ipfix_destinationIPv6Address, 9) AS INT)
+                         BETWEEN 40 AND 79 THEN 'local_v6'
+                    WHEN ipfix_destinationIPv6Address IS NOT NULL THEN 'external_v6'
+                    ELSE 'none' END AS dst_class,
+               CAST(COUNT(*) AS BIGINT) AS flows,
+               CAST(SUM(ipfix_packetDeltaCount) AS BIGINT) AS packets
+        FROM flows
+        GROUP BY 1, 2
+        """
+    ),
+)
+def q_net_cidr_v6_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed v4/v6 CIDR classification through ``ip_in_cidr_any`` — the
+    driver-green certification of the IPv6 Column-math path (F5-v6,
+    functions/net.py:191): the reference apps only ever test v4 CIDRs
+    (reference host_stats.py:152), so this query routes BOTH families
+    of the fixture's addresses through the same public predicate, with
+    the v6 branch exercised by two non-trivial prefixes that cut
+    through a hex group (fd00::/123 on sources, fd00::1:40/122 on
+    destinations).
+
+    Oracle honesty (COVERAGE.md replay rule): the DuckDB side derives
+    membership in the DECIMAL domain — the fixture's v6 tails are
+    decimal digit strings read as hex groups, and because the
+    digit-string -> hex-value map is monotonic, fd00::/123 membership
+    is exactly ``tail <= 19`` and fd00::1:40/122 is ``tail BETWEEN 40
+    AND 79`` — an independent derivation sharing no code with the
+    128-bit word parse it certifies. The per-address differential test
+    against the retired ipaddress pandas oracle (tests/test_functions)
+    remains the adversarial gate for arbitrary textual forms."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.functions.net import ip_in_cidr_any
+
+    fl = flows_df(spark, sf_dir)
+
+    def classify(v4: str, v6: str, v6_cidr: str):
+        ip = F.coalesce(F.col(v4), F.col(v6))
+        return (
+            F.when(ip_in_cidr_any(ip, LOCAL_CIDR), "local_v4")
+            .when(ip_in_cidr_any(ip, "0.0.0.0/0"), "external_v4")
+            .when(ip_in_cidr_any(ip, v6_cidr), "local_v6")
+            .when(ip_in_cidr_any(ip, "::/0"), "external_v6")
+            .otherwise("none")
+        )
+
+    return (
+        fl.select(
+            classify(
+                "ipfix_sourceIPv4Address", "ipfix_sourceIPv6Address",
+                "fd00::/123",
+            ).alias("src_class"),
+            classify(
+                "ipfix_destinationIPv4Address", "ipfix_destinationIPv6Address",
+                "fd00::1:40/122",
+            ).alias("dst_class"),
+            F.col("ipfix_packetDeltaCount").alias("pk"),
+        )
+        .groupBy("src_class", "dst_class")
+        .agg(
+            F.count("*").alias("flows"),
+            F.sum("pk").cast("long").alias("packets"),
+        )
+    )

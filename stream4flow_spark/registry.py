@@ -48,51 +48,57 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 # listed keep registration order after the pinned prefix, so nothing is
 # ever dropped from ``queries()`` itself.
 WINDOW_PRIORITY: list[str] = [
-    # Round-10 window. Rotation policy (capacity-aware, enforced by
+    # Round-11 window. Rotation policy (capacity-aware, enforced by
     # tests/test_results_store.py::test_window_rotation_staleness_policy):
     # with N oracle-backed queries and 50 slots/round, a full rotation
     # takes k = ceil(N/50) rounds, so any query NOT in this window must
-    # have a driver-green row at most k-1 rounds old. r10 adds ONE new
-    # oracle-backed query (the sharded Bloom decontamination path) —
-    # n_oracle 154->155, k=ceil(155/50)=4, judging horizon r10-3=r07.
-    # The five permanently rows-only queries (bpe_tokenize,
-    # quality_model, distinct_sketch_rollup, audio_spectrogram,
-    # length_stats_approx) hold no window slot by design (COVERAGE.md).
+    # have a driver-green row at most k-1 rounds old. Bookkeeping
+    # correction (r10 ADVICE): r10 added TWO oracle-backed queries
+    # (llm_decontaminate_bloom_sharded AND
+    # llm_incremental_exact_substr_bloom) — n_oracle 154->156. r11 adds
+    # two more (the non-broadcast Bloom rung and the IPv6 CIDR
+    # classifier) — n_oracle 156->158, k=ceil(158/50)=4 unchanged,
+    # judging horizon r11-3=r08. The five permanently rows-only queries
+    # (bpe_tokenize, quality_model, distinct_sketch_rollup,
+    # audio_spectrogram, length_stats_approx) hold no window slot by
+    # design (COVERAGE.md).
     # Slots 1-2: the never-driver-green oracle-backed queries (the
     # staleness policy REQUIRES never-green queries first).
-    "llm_decontaminate_bloom_sharded", "llm_incremental_exact_substr_bloom",
-    # 3-12: the 10 tpch analogs whose latest green is r06 — exactly at
-    # the horizon boundary once CORRECTNESS_r10 lands (10-3=7 > 6), so
-    # they MUST take slots this round (the r09 window already computed
-    # this; the tripwire reds otherwise).
-    "tpch_q4ish_priority_check", "tpch_q7ish_nation_volume",
-    "tpch_q8ish_market_share", "tpch_q10ish_returned_revenue",
-    "tpch_q12ish_shipmode_priority", "tpch_q13ish_order_distribution",
-    "tpch_q14ish_promo_share", "tpch_q18ish_large_orders",
-    "tpch_q19ish_bracket_revenue", "tpch_q22ish_dormant_customers",
-    # 13-50: 38 of the 50-query r07-latest-green cohort (alphabetical
-    # prefix), which hits the horizon at r11 (11-3=8 > 7). The 12
-    # deferred — readside_q7_latest_per_group, readside_q8/q9,
-    # rel_part_cooccurrence,
-    # rel_pivot_order_priority, rel_scd2_user_state,
-    # rel_semi_anti_customers, rel_time_to_convert, tpch_q1/q3/q5ish/q6
-    # — stay inside the k=4 horizon through r10 and MUST take r11
-    # window slots, leaving r11 ~38 free slots for the r08 cohort (44
-    # queries, horizon r12) — plan r11/r12 together.
-    "host_pagerank", "llm_ann_cosine_topk", "llm_bm25_topk",
-    "llm_decontaminate", "llm_dedup_components", "llm_dedup_corpus_keeper",
-    "llm_dedup_savings", "llm_embedding_stats", "llm_epoch_upsample",
-    "llm_filter_funnel", "llm_gopher_rules", "llm_hybrid_rrf",
-    "llm_importance_sample", "llm_incremental_dedup",
-    "llm_incremental_semantic_neardup", "llm_knn_label_vote",
-    "llm_length_floor", "llm_minhash_lsh_dedup", "llm_mixture_plan",
-    "llm_mixture_resample", "llm_ngram_novelty", "llm_pack_sequences",
-    "llm_perplexity_buckets", "llm_pii_stats", "llm_prepare_corpus",
-    "llm_repetition", "llm_source_cap", "llm_source_overlap_trigram",
-    "llm_split_drift", "llm_split_leakage", "llm_tfidf_terms",
-    "llm_token_budget", "llm_vocab_growth", "llm_weighted_sample",
-    "readside_q3_global_sums", "readside_q4_per_host_sums",
-    "readside_q5_histogram_multimetric", "readside_q6_top1_per_type",
+    "llm_decontaminate_bloom_shuffle", "net_cidr_v6_classify",
+    # 3-14: the 12 queries whose latest green is r07 — exactly at the
+    # horizon boundary once CORRECTNESS_r11 lands (11-3=8 > 7), so they
+    # MUST take slots this round (the r10 window pre-committed this).
+    "readside_q7_latest_per_group", "readside_q8_either_term",
+    "readside_q9_ordered", "rel_part_cooccurrence",
+    "rel_pivot_order_priority", "rel_scd2_user_state",
+    "rel_semi_anti_customers", "rel_time_to_convert",
+    "tpch_q1_pricing_summary", "tpch_q3_top_revenue_orders",
+    "tpch_q5ish_revenue_per_region", "tpch_q6_forecast_revenue",
+    # 15-50: 36 of the 44-query r08-latest-green cohort (alphabetical
+    # prefix), which hits the horizon at r12 (12-3=9 > 8). The 8
+    # deferred — tpch_q11ish_important_parts, tpch_q15ish_top_supplier,
+    # tpch_q16ish_supplier_variety, tpch_q17ish_small_quantity_revenue,
+    # tpch_q20ish_excess_suppliers, tpch_q21ish_sole_supplier,
+    # tpch_q2ish_min_cost_supplier, tpch_q9ish_nation_year_profit —
+    # stay inside the k=4 horizon through r11 and MUST take r12 window
+    # slots, leaving r12 ~42 free slots for the alphabetical prefix of
+    # the 50-query r09 cohort (horizon r13; its ~8 leftovers take r13
+    # slots with the r10 cohort following) — the steady-state 50-slot
+    # rotation.
+    "detection_ddos", "host_kcore", "host_triangles",
+    "llm_cluster_balanced_sample", "llm_corpus_diff", "llm_dsir_select",
+    "llm_embedding_neardup", "llm_exact_dedup", "llm_exact_substr_dedup",
+    "llm_fingerprints", "llm_hard_negatives", "llm_hash_split",
+    "llm_language_id", "llm_leakage_safe_split", "llm_length_stats",
+    "llm_multimodal_decode", "llm_multimodal_features",
+    "llm_multimodal_frames", "llm_multimodal_resize", "llm_ngram_jaccard",
+    "llm_simhash_dedup", "llm_stratified_sample", "llm_text_stats",
+    "llm_unicode_normalize", "rel_asof_join", "rel_attribution",
+    "rel_cube_mktsegment_year", "rel_funnel_conversion",
+    "rel_gapfill_events", "rel_json_props", "rel_moving_order_value",
+    "rel_retention_cohorts", "rel_rolling_active_users",
+    "rel_setops_customer_years", "rel_spend_deciles",
+    "rel_unpivot_measures",
 ]
 
 

@@ -135,7 +135,9 @@ def test_window_rotation_staleness_policy():
     root = os.path.join(os.path.dirname(__file__), "..")
     latest: dict[str, int] = {}
     rounds = []
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+    # r* not r0*: the single-digit glob silently dropped CORRECTNESS_r10+
+    # from the audit, freezing the horizon one round behind reality
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         r = int(os.path.basename(f).split("_r")[1].split(".")[0])
         rounds.append(r)
         for name, row in json.load(open(f)).items():
