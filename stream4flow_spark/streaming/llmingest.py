@@ -88,6 +88,11 @@ class _ArrivalIndexState:
     #: index sub-dirs to compact — overridden per state
     _COMPACT: tuple[str, ...] = ()
 
+    #: in-memory alert batches kept per state object (the durable
+    #: record is the alerts/ dir; the tail only serves cheap access to
+    #: the most recent batches without a read job)
+    ALERTS_TAIL_BATCHES = 16
+
     def __init__(self, spark, state_dir: str, auto_compact_dirs: int | None = None):
         self.spark = spark
         self.state_dir = state_dir
@@ -119,10 +124,48 @@ class _ArrivalIndexState:
         state has no TTL — overridden by TTL-capable states."""
         return None
 
+    def _record_alerts(self, batch_id: int, flagged: DataFrame) -> None:
+        """Durable per-batch alert sink (r10 verdict item 3): alerts
+        write to ``alerts/batch=<batch_id>`` — keyed by batch_id like
+        every index dir, so a foreachBatch redelivery OVERWRITES the
+        failed attempt instead of double-counting — and only a bounded
+        tail (``ALERTS_TAIL_BATCHES``) stays in driver memory. The old
+        shape accumulated every batch's flagged rows in the driver for
+        the life of the query: bounded per batch, unbounded across a
+        continuous deployment — a slow driver leak (DEPLOY.md)."""
+        flagged.write.mode("overwrite").parquet(
+            f"{self.state_dir}/alerts/batch={batch_id}"
+        )
+        self._alerts_by_batch[batch_id] = flagged.collect()
+        while len(self._alerts_by_batch) > self.ALERTS_TAIL_BATCHES:
+            self._alerts_by_batch.pop(min(self._alerts_by_batch))
+
     @property
     def alerts(self) -> list:
-        """Flagged near-dups across all batches, each batch counted once
-        even after a foreachBatch redelivery."""
+        """Flagged rows across ALL drained batches, read back from the
+        durable ``alerts/`` dir — so the history survives a driver
+        restart (a fresh state object over the same ``state_dir`` sees
+        every prior batch's alerts) and each batch counts once even
+        after a foreachBatch redelivery (its dir was overwritten).
+        Ordered by (batch, alert columns) for determinism. Driver
+        memory is bounded by the flagged set actually returned, never
+        by the query's lifetime; use ``recent_alerts`` for the in-memory
+        tail without a read job."""
+        if not _list_fs(self.spark, f"{self.state_dir}/alerts/batch=*"):
+            return []
+        df = self.spark.read.parquet(f"{self.state_dir}/alerts")
+        cols = [c for c in df.columns if c != "batch"]
+        return [
+            r[0]
+            for r in df.orderBy(F.col("batch").cast("long"), *cols)
+            .select(F.struct(*cols).alias("r"))
+            .collect()
+        ]
+
+    @property
+    def recent_alerts(self) -> list:
+        """The bounded in-memory tail: flagged rows of the last
+        ``ALERTS_TAIL_BATCHES`` batches THIS object drained."""
         return [
             r
             for b in sorted(self._alerts_by_batch)
@@ -357,14 +400,13 @@ class NeardupIndexState(_ArrivalIndexState):
                 "est_jaccard",
             )
         )
-        # the alert stream is the (small) report output — the driver
-        # pull is bounded by flagged near-dups per batch, like the DDoS
-        # twin's alert snapshot; the index update itself stays
-        # distributed (anti-join, no id list through the driver).
-        # keyed by batch_id: a foreachBatch redelivery REPLACES the
-        # batch's alerts instead of double-counting them
+        # the alert stream is the (small) report output — durable
+        # per-batch sink + bounded driver tail (_record_alerts); the
+        # index update itself stays distributed (anti-join, no id list
+        # through the driver). keyed by batch_id: a foreachBatch
+        # redelivery REPLACES the batch's alerts, never double-counts
         flagged = flagged.persist()
-        self._alerts_by_batch[batch_id] = flagged.collect()
+        self._record_alerts(batch_id, flagged)
         flagged_only_ids = flagged.select("id")
 
         # index only the non-duplicate arrivals; per-batch dirs make a
@@ -524,7 +566,7 @@ class SemanticIndexState(_ArrivalIndexState):
             .select("id", F.col("cid").alias("best_match_id"), "cos")
         )
         flagged = flagged.persist()
-        self._alerts_by_batch[batch_id] = flagged.collect()
+        self._record_alerts(batch_id, flagged)
         flagged_only_ids = flagged.select("id")
         buckets.join(flagged_only_ids, "id", "left_anti").write.mode(
             "overwrite"
@@ -677,10 +719,26 @@ class WinnowIndexState(_ArrivalIndexState):
             if idx_texts is None
             else idx_texts.select("id", "t").unionByName(texts)
         )
-        gd = texts.select(
-            "id", word_ngrams(F.col("t"), self.n).alias("grams_d")
-        )
-        gc = ct_base.select(
+        # Candidate-bounded verify fetch (r10 verdict): semi-join each
+        # text source on the candidate ids BEFORE the word_ngrams
+        # projection — Catalyst won't defer a projection below a join
+        # probe, so the written plan otherwise tokenizes the ENTIRE
+        # persisted text archive every micro-batch, O(archive) where
+        # "text fetched by id" promises O(candidates). The semi-join is
+        # correctness-neutral (the verify join is inner on the same
+        # ids); candidates are few post-threshold, so AQE broadcasts
+        # them and the archive never shuffles for the fetch. Lazy
+        # checkpoint: cand now feeds three consumers and must not
+        # re-run the collision join per consumer.
+        cand = cand.localCheckpoint(eager=False)
+        gd = texts.join(
+            cand.select("id").distinct(), "id", "left_semi"
+        ).select("id", word_ngrams(F.col("t"), self.n).alias("grams_d"))
+        gc = ct_base.join(
+            cand.select(F.col("cid").alias("id")).distinct(),
+            "id",
+            "left_semi",
+        ).select(
             F.col("id").alias("cid"),
             word_ngrams(F.col("t"), self.n).alias("grams_c"),
         )
@@ -704,7 +762,7 @@ class WinnowIndexState(_ArrivalIndexState):
             )
         )
         flagged = flagged.persist()
-        self._alerts_by_batch[batch_id] = flagged.collect()
+        self._record_alerts(batch_id, flagged)
         flagged_only_ids = flagged.select("id")
         dfps.join(flagged_only_ids, "id", "left_anti").write.mode(
             "overwrite"
@@ -825,12 +883,13 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         ).write.mode("overwrite").parquet(
             f"{self.state_dir}/grams/batch={batch_id}"
         )
-        # bounded driver pull: one row per document that lost tokens
-        self._alerts_by_batch[batch_id] = (
+        # durable + bounded: one row per document that lost tokens,
+        # derived from the batch's already-written clean dir
+        self._record_alerts(
+            batch_id,
             self.spark.read.parquet(f"{self.state_dir}/clean/batch={batch_id}")
             .filter(F.col("n_removed") > 0)
-            .select(self.id_col, "n_removed")
-            .collect()
+            .select(self.id_col, "n_removed"),
         )
         self.maybe_compact()
 

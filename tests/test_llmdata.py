@@ -1963,3 +1963,77 @@ def test_contamination_screen_is_stateless_in_streaming(spark, tmp_path):
     got_df = run_stream_to_table(screened, output_mode="append")
     got = {(r.doc_id, r.n_suspect_grams) for r in got_df.collect()}
     assert got == want
+
+
+def _left_semi_join_output_rows(df):
+    """numOutputRows of every LeftSemi join in the EXECUTED plan — the
+    measured-rows form of SCALE.md's candidate-bounded-fetch claim."""
+    df.collect()
+
+    def walk(n):
+        yield n
+        nm = n.nodeName()
+        if nm == "AdaptiveSparkPlan":
+            yield from walk(n.executedPlan())
+            return
+        if "QueryStage" in nm:
+            yield from walk(n.plan())
+            return
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    out = []
+    for n in walk(df._jdf.queryExecution().executedPlan()):
+        if "Join" in n.nodeName() and "LeftSemi" in n.toString().splitlines()[0]:
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    out.append(kv._2().value())
+    return out
+
+
+def test_incremental_winnow_verify_is_candidate_bounded(spark):
+    """r10 verdict item 2: the winnow verify stage must tokenize only
+    the CANDIDATE ids' text, not the whole archive — the left-semi on
+    candidate ids sits BELOW the word_ngrams projection, so the
+    measured row count entering the tokenizer equals the candidate
+    count (here 1 of a 301-doc corpus), while the flags stay exactly
+    the planted expectation (the sf0.001 gate oracle replays this
+    pipeline end-to-end for value parity)."""
+    from stream4flow_spark.llmdata.dedup import incremental_winnow_neardup
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "today in the bright morning sun with a long enough shared run"
+    )
+    fillers = [
+        f"corpus filler number {i} carrying tokens alpha{i} beta{i} "
+        f"gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i} iota{i}"
+        for i in range(300)
+    ]
+    corpus = _docs(spark, ["prefix one " + shared + " suffix alpha"] + fillers)
+    delta = spark.createDataFrame(
+        [
+            (1000, "other start " + shared + " different tail"),
+            (1001, "completely unrelated words about spark plans and "
+                   "parquet files and columnar storage pushdown"),
+        ],
+        "doc_id long, text string",
+    )
+    out_df = incremental_winnow_neardup(corpus, delta, threshold=0.3)
+    out = {
+        r.doc_id: (r.is_near_dup, r.best_match_id) for r in out_df.collect()
+    }
+    assert out[1000] == (True, 0)
+    assert out[1001] == (False, None)
+
+    semi_rows = _left_semi_join_output_rows(out_df)
+    # two semi-joins (delta fetch, corpus fetch), each bounded by the
+    # single candidate pair — NOT the 301-doc corpus or the 2-doc delta
+    assert len(semi_rows) == 2, semi_rows
+    assert all(r == 1 for r in semi_rows), (
+        f"verify fetch is not candidate-bounded: {semi_rows} rows "
+        "entered the tokenizer"
+    )

@@ -1642,7 +1642,9 @@ def test_stream_neardup_screen_flags_arrivals_against_growing_index(
     arrive(2)
     st = run()
     flagged = {r.id: r.best_match_id for r in st.alerts}
-    assert flagged == {4: 0}
+    # alerts are DURABLE: the restarted run reads back wave 1's alert
+    # (2 -> 0) alongside the new wave's (4 -> 0)
+    assert flagged == {2: 0, 4: 0}
 
 
 def test_stream_neardup_screen_flags_within_batch_arrivals(spark, tmp_path):
@@ -1692,7 +1694,9 @@ def test_stream_neardup_screen_flags_within_batch_arrivals(spark, tmp_path):
     )
     st = run()
     flagged = {r.id: r.best_match_id for r in st.alerts}
-    assert flagged == {3: 0}
+    # durable alerts: batch 0's intra-batch flag (1 -> 0) persists
+    # across the restart alongside the new arrival's (3 -> 0)
+    assert flagged == {1: 0, 3: 0}
 
     # foreachBatch redelivery: re-applying the same batch_id replaces its
     # alert snapshot (and its index dirs) — totals don't double
@@ -1776,7 +1780,8 @@ def test_stream_semantic_screen_matches_batch_incremental(spark, tmp_path):
     arrive(2)
     st = run()
     got = {r.id: r.best_match_id for r in st.alerts}
-    assert got == {4: 0}
+    # durable alerts: wave 1's flag (2 -> 0) survives the restart
+    assert got == {2: 0, 4: 0}
 
 
 def test_stream_chunk_documents_matches_batch(spark, tmp_path):
@@ -2968,7 +2973,9 @@ def test_stream_winnow_screen_matches_batch_incremental(spark, tmp_path):
                (21, "fresh head " + shared + " fresh tail end")])
     st = run()
     got = {r.id: r.best_match_id for r in st.alerts}
-    assert got == {20: 0, 21: 20}
+    # durable alerts: wave 1's flag (10 -> 0) survives restart AND the
+    # compaction between runs (alerts/ is not a compacted index dir)
+    assert got == {10: 0, 20: 0, 21: 20}
 
 
 def test_compaction_preserves_newest_batch_for_crash_redelivery(spark, tmp_path):
@@ -3163,3 +3170,41 @@ def test_half_written_index_recovers_on_redelivery(spark, tmp_path):
         )
         st.apply_batch(near, 1)
         assert {(r.id, r.best_match_id) for r in st.alerts} == {(1, 0)}
+
+
+def test_alert_history_survives_restart_and_bounds_driver_memory(
+    spark, tmp_path, monkeypatch
+):
+    """r10 verdict item 3: alerts are a durable per-batch sink, not
+    driver state. A FRESH state object over the same state_dir reads
+    back every prior batch's alerts; the in-memory snapshot keeps only
+    a bounded tail of recent batches, so a year-long continuous
+    deployment holds O(tail), not O(lifetime), in the driver."""
+    from stream4flow_spark.streaming.llmingest import NeardupIndexState
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun by the harbor wall")
+    nears = [base.replace("today", w) for w in ("tomorrow", "yesterday",
+                                                "tonight")]
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+
+    monkeypatch.setattr(NeardupIndexState, "ALERTS_TAIL_BATCHES", 2)
+    st = NeardupIndexState(spark, d, threshold=0.5)
+    st.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+    for b, t in enumerate(nears, start=1):
+        st.apply_batch(spark.createDataFrame([(b, t)], schema), b)
+
+    want = {(1, 0), (2, 0), (3, 0)}  # every near-copy flags against 0
+    assert {(r.id, r.best_match_id) for r in st.alerts} == want
+    # driver memory: only the 2 most recent batches stay resident
+    assert set(st._alerts_by_batch) == {2, 3}
+    assert {(r.id, r.best_match_id) for r in st.recent_alerts} == {
+        (2, 0), (3, 0)
+    }
+
+    # restart: a brand-new object over the same dir sees the full
+    # durable history without having drained anything itself
+    st2 = NeardupIndexState(spark, d, threshold=0.5)
+    assert {(r.id, r.best_match_id) for r in st2.alerts} == want
+    assert st2.recent_alerts == []
