@@ -129,14 +129,43 @@ def decontaminate(
     return corpus.join(flagged.select(id_col), id_col, "left_anti")
 
 
-def contamination_screen(
-    docs: DataFrame,
+def benchmark_gram_bitmap(
     benchmark: DataFrame,
     n: int = 3,
     expected_grams: int = 1_000_000,
     fpp: float = 0.01,
     text_col: str = "text",
+) -> DataFrame:
+    """The 1-row broadcastable Bloom bitmap of ``benchmark``'s distinct
+    xxhash64'd word n-grams — ``contamination_screen``'s stage-1
+    artifact, exposed so a long-running stream builds (and persists) it
+    ONCE instead of re-deriving the benchmark grams every micro-batch.
+    Probe with the same (n, expected_grams, fpp) it was built with."""
+    from stream4flow_spark.operators.bloom import bloom_words
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gram"))
+        .distinct()
+    )
+    return (
+        bloom_words(bench_grams, "gram", expected_grams, fpp)
+        .select("bf_words")
+        .withColumn("__k", F.lit(1))
+    )
+
+
+def contamination_screen(
+    docs: DataFrame,
+    benchmark: DataFrame | None,
+    n: int = 3,
+    expected_grams: int = 1_000_000,
+    fpp: float = 0.01,
+    text_col: str = "text",
     id_col: str = "doc_id",
+    bitmap: DataFrame | None = None,
 ) -> DataFrame:
     """MAP-SIDE contamination screen — the STREAM-compatible form of
     ``contamination_counts``: adds ``n_suspect_grams``, an upper bound
@@ -160,25 +189,19 @@ def contamination_screen(
 
     This is the decontamination tier's arrival-time twin: unlike the
     index-backed screens it needs no on-disk state at all, because the
-    benchmark is a fixed reference set, not a growing corpus."""
-    from stream4flow_spark.operators.bloom import (
-        bloom_params,
-        bloom_words,
-        might_contain,
-    )
+    benchmark is a fixed reference set, not a growing corpus.
+
+    ``bitmap``: a prebuilt (persisted) ``benchmark_gram_bitmap`` — the
+    streaming path passes it so the benchmark folds once per query,
+    not once per micro-batch; it must have been built with the same
+    (n, expected_grams, fpp)."""
+    from stream4flow_spark.operators.bloom import bloom_params, might_contain
 
     m, k = bloom_params(expected_grams, fpp)
-    bench_grams = (
-        benchmark.select(
-            F.explode(word_ngrams(F.col(text_col), n)).alias("g")
-        )
-        .select(F.xxhash64("g").alias("gram"))
-        .distinct()
-    )
     bloom_bitmap = (
-        bloom_words(bench_grams, "gram", expected_grams, fpp)
-        .select("bf_words")
-        .withColumn("__k", F.lit(1))
+        benchmark_gram_bitmap(benchmark, n, expected_grams, fpp, text_col)
+        if bitmap is None
+        else bitmap
     )
     # tokenize into a real column BEFORE the gram slicer — an inlined
     # whitespace_tokens() would be re-evaluated once per shifted slice

@@ -622,6 +622,18 @@ class WinnowIndexState(_ArrivalIndexState):
     build (delta-locally), the same per-side bound as
     ``incremental_winnow_neardup`` documents; ``compact_winnow_index``
     consolidates the per-batch dirs without changing the screen.
+
+    ``ttl_batches`` bounds BOTH stores to the recent horizon, exactly
+    like the MinHash twin: every fingerprint/text row is stamped with
+    its ``indexed_at`` batch id, rows older than ``batch_id -
+    ttl_batches`` stop participating in the screen (fps and texts share
+    the floor, so a live fingerprint's verify text is always live too),
+    and compaction reclaims the dead horizon from disk
+    (``maybe_compact`` passes the live floor). Unstamped pre-TTL rows
+    are conservatively treated as expired — enable TTL from the first
+    batch or after a fresh compaction. With TTL the text store is no
+    longer a full corpus archive: point long-retention archival at its
+    own sink if you need one.
     """
 
     def __init__(
@@ -639,6 +651,7 @@ class WinnowIndexState(_ArrivalIndexState):
         max_bucket: int | None = 150,
         hash_mode: str = "rolling",
         auto_compact_dirs: int | None = None,
+        ttl_batches: int | None = None,
     ):
         super().__init__(spark, state_dir, auto_compact_dirs)
         self.text_col = text_col
@@ -651,14 +664,33 @@ class WinnowIndexState(_ArrivalIndexState):
         self.max_fps_per_doc = max_fps_per_doc
         self.max_bucket = max_bucket
         self.hash_mode = hash_mode
+        self.ttl_batches = ttl_batches
+        self._last_batch: int | None = None
 
     _COMPACT = ("fps", "texts")
 
+    def _ttl_floor(self) -> int | None:
+        if self.ttl_batches is None or self._last_batch is None:
+            return None
+        return self._last_batch - self.ttl_batches
+
     def _read_index(self, batch_id: int):
-        fps = self._read_prior("fps", batch_id)
-        texts = self._read_prior("texts", batch_id)
+        ttl = self.ttl_batches is not None
+        fps = self._read_prior("fps", batch_id, merge_schema=ttl)
+        texts = self._read_prior("texts", batch_id, merge_schema=ttl)
         if fps is None or texts is None:  # half-written = absent
             return None, None
+        if ttl:
+            if (
+                "indexed_at" not in fps.columns
+                or "indexed_at" not in texts.columns
+            ):
+                # pre-TTL store: conservatively expired (same contract
+                # as the MinHash twin)
+                return None, None
+            live = F.col("indexed_at") >= F.lit(batch_id - self.ttl_batches)
+            fps = fps.filter(live).drop("indexed_at")
+            texts = texts.filter(live).drop("indexed_at")
         # (fp, id) rows are unique by construction, but a compaction
         # crash-window can expose folded rows twice (see _compact_index)
         # — and unlike the semi-join/rank-window consumers, the
@@ -666,6 +698,7 @@ class WinnowIndexState(_ArrivalIndexState):
         return fps.dropDuplicates(["fp", "id"]), texts
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._last_batch = batch_id
         from pyspark.sql import Window
 
         from stream4flow_spark.llmdata.dedup import (
@@ -764,12 +797,18 @@ class WinnowIndexState(_ArrivalIndexState):
         flagged = flagged.persist()
         self._record_alerts(batch_id, flagged)
         flagged_only_ids = flagged.select("id")
-        dfps.join(flagged_only_ids, "id", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(f"{self.state_dir}/fps/batch={batch_id}")
-        texts.join(flagged_only_ids, "id", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(f"{self.state_dir}/texts/batch={batch_id}")
+        fps_out = dfps.join(flagged_only_ids, "id", "left_anti")
+        texts_out = texts.join(flagged_only_ids, "id", "left_anti")
+        if self.ttl_batches is not None:
+            stamp = F.lit(batch_id).cast("long").alias("indexed_at")
+            fps_out = fps_out.select("*", stamp)
+            texts_out = texts_out.select("*", stamp)
+        fps_out.write.mode("overwrite").parquet(
+            f"{self.state_dir}/fps/batch={batch_id}"
+        )
+        texts_out.write.mode("overwrite").parquet(
+            f"{self.state_dir}/texts/batch={batch_id}"
+        )
         flagged.unpersist()
         self.maybe_compact()
 
@@ -790,10 +829,17 @@ def winnow_screen_stream(
     )
 
 
-def compact_winnow_index(spark, state_dir: str) -> dict:
+def compact_winnow_index(
+    spark, state_dir: str, min_indexed_at: int | None = None
+) -> dict:
     """Consolidate the winnow arrival index's per-batch fingerprint +
-    text dirs; returns {"fps": n_rows, "texts": n_rows}."""
-    return _compact_index(spark, state_dir, ("fps", "texts"))
+    text dirs; returns {"fps": n_rows, "texts": n_rows}.
+    ``min_indexed_at``: for TTL'd stores — drop rows stamped below the
+    live horizon so manual compaction reclaims expired disk, same as
+    the state's own ``maybe_compact``."""
+    return _compact_index(
+        spark, state_dir, ("fps", "texts"), min_indexed_at=min_indexed_at
+    )
 
 
 class ExactSubstrIndexState(_ArrivalIndexState):
@@ -831,6 +877,7 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         bloom_prefilter: int | None = None,
         bloom_shards: int = 16,
         auto_compact_dirs: int | None = None,
+        ttl_batches: int | None = None,
     ):
         """``bloom_prefilter`` = expected distinct grams PER BATCH:
         when set, the stored gram index — the side that grows with the
@@ -840,21 +887,49 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         (no false negatives); the index stops shuffling itself in full
         every micro-batch. ``bloom_shards`` defaults sharded: the batch
         gram count varies with crawl bursts and the sharded bitmap
-        degrades gracefully instead of overflowing one broadcast cell."""
+        degrades gracefully instead of overflowing one broadcast cell.
+
+        ``ttl_batches`` bounds the gram index to the recent horizon
+        (the MinHash twin's TTL contract): rows stamped ``indexed_at``,
+        grams older than ``batch_id - ttl_batches`` stop cutting later
+        arrivals — "repeated within the recrawl window" semantics —
+        and compaction reclaims expired rows from disk. Unstamped
+        pre-TTL rows are conservatively expired; enable TTL from the
+        first batch or after a fresh compaction. The batch-parity
+        property (arrival-ordered stream == batch operator) only holds
+        for the unbounded default."""
         super().__init__(spark, state_dir, auto_compact_dirs)
         self.text_col = text_col
         self.id_col = id_col
         self.min_len = min_len
         self.bloom_prefilter = bloom_prefilter
         self.bloom_shards = bloom_shards
+        self.ttl_batches = ttl_batches
+        self._last_batch: int | None = None
 
     _COMPACT = ("grams",)
 
+    def _ttl_floor(self) -> int | None:
+        if self.ttl_batches is None or self._last_batch is None:
+            return None
+        return self._last_batch - self.ttl_batches
+
     def _read_index(self, batch_id: int):
-        prior = self._read_prior("grams", batch_id)
-        return None if prior is None else prior.select("gh")
+        ttl = self.ttl_batches is not None
+        prior = self._read_prior("grams", batch_id, merge_schema=ttl)
+        if prior is None:
+            return None
+        if ttl:
+            if "indexed_at" not in prior.columns:
+                # pre-TTL store: conservatively expired
+                return None
+            prior = prior.filter(
+                F.col("indexed_at") >= F.lit(batch_id - self.ttl_batches)
+            )
+        return prior.select("gh")
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._last_batch = batch_id
         from stream4flow_spark.llmdata.dedup import (
             exact_substr_index,
             incremental_exact_substr,
@@ -878,9 +953,14 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         )
         # index the batch's ORIGINAL grams (uncut text): the first copy
         # keeps its full text, so later arrivals must dedup against it
-        exact_substr_index(
+        grams_out = exact_substr_index(
             batch_df, self.text_col, self.id_col, self.min_len
-        ).write.mode("overwrite").parquet(
+        )
+        if self.ttl_batches is not None:
+            grams_out = grams_out.select(
+                "*", F.lit(batch_id).cast("long").alias("indexed_at")
+            )
+        grams_out.write.mode("overwrite").parquet(
             f"{self.state_dir}/grams/batch={batch_id}"
         )
         # durable + bounded: one row per document that lost tokens,
@@ -914,10 +994,144 @@ def exact_substr_screen_stream(
     )
 
 
-def compact_exact_substr_index(spark, state_dir: str) -> dict:
+def compact_exact_substr_index(
+    spark, state_dir: str, min_indexed_at: int | None = None
+) -> dict:
     """Consolidate the ExactSubstr gram index's per-batch dirs (and
-    drop cross-batch duplicate grams); returns {"grams": n_rows}."""
-    return _compact_index(spark, state_dir, ("grams",))
+    drop cross-batch duplicate grams); returns {"grams": n_rows}.
+    ``min_indexed_at``: for TTL'd stores — drop rows stamped below the
+    live horizon so manual compaction reclaims expired disk."""
+    return _compact_index(
+        spark, state_dir, ("grams",), min_indexed_at=min_indexed_at
+    )
+
+
+class ContaminationScreenState(_ArrivalIndexState):
+    """Two-stage decontamination-on-arrival (r10 verdict item 6) — the
+    end-to-end consumer of ``decontaminate.contamination_screen``:
+
+    - **Stage 1 (map-side, stateless)**: every arriving document gets
+      ``n_suspect_grams`` — an upper bound on its true distinct-gram
+      overlap with the benchmark — from ONE projection against the
+      broadcast Bloom bitmap (built and persisted ONCE at state
+      construction; the benchmark is a fixed reference set, so unlike
+      the arrival indexes there is no growing on-disk state). Docs
+      under ``min_overlap`` are certainly clean (no false negatives)
+      and flow straight through — at ingest proportions that is the
+      overwhelming majority, and they never shuffle.
+    - **Stage 2 (exact, sliver-only)**: the quarantined suspects run
+      the EXACT ``contamination_counts`` join against the benchmark;
+      only documents whose true overlap clears ``min_overlap`` are
+      flagged. Because stage 1 over-approximates, the flagged set is
+      IDENTICAL to running the exact path on everything — parity- and
+      reduction-tested in tests/test_streaming.py.
+
+    Clean documents land in ``clean/batch=<id>`` (redelivery
+    overwrites); flagged docs are the durable alert stream
+    (``_record_alerts``). ``screen_stats`` records per-batch
+    (n_docs, n_suspects) so the exact-path row reduction is observable;
+    it keeps the same bounded tail as the alert snapshots."""
+
+    _COMPACT = ()  # no growing index — the benchmark is fixed
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        benchmark: DataFrame,
+        n: int = 3,
+        min_overlap: int = 2,
+        expected_grams: int = 1_000_000,
+        fpp: float = 0.01,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        super().__init__(spark, state_dir)
+        self.n = n
+        self.min_overlap = min_overlap
+        self.expected_grams = expected_grams
+        self.fpp = fpp
+        self.text_col = text_col
+        self.id_col = id_col
+        from stream4flow_spark.llmdata.decontaminate import (
+            benchmark_gram_bitmap,
+        )
+
+        self.benchmark = benchmark.persist()
+        self._bitmap = benchmark_gram_bitmap(
+            benchmark, n, expected_grams, fpp, text_col
+        ).persist()
+        self.screen_stats: dict[int, tuple[int, int]] = {}
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from stream4flow_spark.llmdata.decontaminate import (
+            contamination_counts,
+            contamination_screen,
+        )
+
+        screened = contamination_screen(
+            batch_df,
+            None,
+            n=self.n,
+            expected_grams=self.expected_grams,
+            fpp=self.fpp,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            bitmap=self._bitmap,
+        ).persist()
+        suspects = screened.filter(
+            F.col("n_suspect_grams") >= self.min_overlap
+        ).drop("n_suspect_grams")
+        exact = contamination_counts(
+            suspects,
+            self.benchmark,
+            n=self.n,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            hash_grams=True,
+        )
+        flagged = exact.filter(
+            F.col("n_contaminated_grams") >= self.min_overlap
+        ).persist()
+        self._record_alerts(batch_id, flagged)
+        batch_df.join(
+            flagged.select(self.id_col), self.id_col, "left_anti"
+        ).write.mode("overwrite").parquet(
+            f"{self.state_dir}/clean/batch={batch_id}"
+        )
+        self.screen_stats[batch_id] = (
+            screened.count(),
+            screened.filter(
+                F.col("n_suspect_grams") >= self.min_overlap
+            ).count(),
+        )
+        while len(self.screen_stats) > self.ALERTS_TAIL_BATCHES:
+            self.screen_stats.pop(min(self.screen_stats))
+        flagged.unpersist()
+        screened.unpersist()
+
+    def cleaned(self) -> DataFrame:
+        """Every drained batch's decontaminated documents."""
+        return self.spark.read.parquet(f"{self.state_dir}/clean").drop("batch")
+
+
+def contamination_screen_stream(
+    stream_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    benchmark: DataFrame,
+    **kwargs,
+):
+    """Drain ``stream_docs`` (availableNow) through the two-stage
+    contamination screen; returns the completed state (clean docs +
+    flagged alerts + per-batch screen stats)."""
+    return _drain(
+        ContaminationScreenState(
+            stream_docs.sparkSession, state_dir, benchmark, **kwargs
+        ),
+        stream_docs,
+        checkpoint_dir,
+    )
 
 
 def compact_neardup_index(

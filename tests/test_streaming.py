@@ -3208,3 +3208,194 @@ def test_alert_history_survives_restart_and_bounds_driver_memory(
     st2 = NeardupIndexState(spark, d, threshold=0.5)
     assert {(r.id, r.best_match_id) for r in st2.alerts} == want
     assert st2.recent_alerts == []
+
+
+def test_winnow_ttl_boundary_and_disk_reclamation(spark, tmp_path):
+    """r10 verdict item 7 (winnow tier): ttl_batches bounds the
+    fingerprint/text stores to the recent horizon — an original that
+    aged out no longer attracts flags (the later copy becomes the new
+    original), ttl=1 keeps the immediately-preceding batch screening,
+    and auto-compaction RECLAIMS expired rows from disk instead of
+    copying them forward forever."""
+    from stream4flow_spark.streaming.llmingest import WinnowIndexState
+
+    shared = ("the quick brown fox jumps over the lazy dog again and "
+              "again today in the bright morning sun with a long shared run")
+    near = "other start " + shared + " different tail"
+    near2 = "second head " + shared + " second tail"
+    fillers = [
+        f"filler document number {i} holding words alpha{i} beta{i} "
+        f"gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i}"
+        for i in range(2)
+    ]
+    schema = "doc_id long, text string"
+
+    def drain(ttl, dirname):
+        st = WinnowIndexState(
+            spark, str(tmp_path / dirname), threshold=0.3, ttl_batches=ttl
+        )
+        for b, (i, t) in enumerate(
+            [(0, "prefix one " + shared + " suffix alpha"),
+             (1, fillers[0]), (2, fillers[1]), (3, near), (4, near2)]
+        ):
+            st.apply_batch(spark.createDataFrame([(i, t)], schema), b)
+        return {r.id: r.best_match_id for r in st.alerts}
+
+    # ttl=2: doc 0 (batch 0) is out of horizon by batch 3 -> doc 3
+    # passes clean, becomes the new original; doc 4 flags against 3
+    assert drain(2, "t2") == {4: 3}
+    # no ttl: the original never expires -> both copies flag against 0
+    assert drain(None, "tn") == {3: 0, 4: 0}
+
+    # ttl=1 boundary: batch 0's rows must still screen batch 1
+    st = WinnowIndexState(
+        spark, str(tmp_path / "b1"), threshold=0.3, ttl_batches=1
+    )
+    st.apply_batch(
+        spark.createDataFrame([(0, "prefix one " + shared + " tail")], schema), 0
+    )
+    st.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+    assert {(r.id, r.best_match_id) for r in st.alerts} == {(1, 0)}
+
+    # disk reclamation: 5 unrelated single-doc batches, ttl=2,
+    # auto_compact_dirs=3 — the last compaction's floor (4 - 2 = 2)
+    # prunes batches 0 and 1 from BOTH stores
+    more = [
+        f"reclaim filler {i} with words kappa{i} lambda{i} mu{i} nu{i} "
+        f"xi{i} omicron{i} pi{i} rho{i} sigma{i} tau{i}"
+        for i in range(5)
+    ]
+    st2 = WinnowIndexState(
+        spark, str(tmp_path / "r"), threshold=0.3,
+        ttl_batches=2, auto_compact_dirs=3,
+    )
+    for i, t in enumerate(more):
+        st2.apply_batch(spark.createDataFrame([(i, t)], schema), i)
+    for sub in ("fps", "texts"):
+        stamps = {
+            r.indexed_at
+            for r in spark.read.parquet(str(tmp_path / "r" / sub)).collect()
+        }
+        assert stamps == {2, 3, 4}, (sub, stamps)
+
+
+def test_exact_substr_ttl_boundary_and_disk_reclamation(spark, tmp_path):
+    """r10 verdict item 7 (ExactSubstr tier): with ttl_batches the gram
+    index stops cutting passages whose first copy aged out of the
+    horizon — the later copy keeps its text and re-indexes as the new
+    first occurrence — while ttl=1 still screens the immediately
+    preceding batch, and compaction reclaims expired gram rows."""
+    from stream4flow_spark.streaming.llmingest import ExactSubstrIndexState
+
+    passage = " ".join(f"tok{i}" for i in range(20))  # 20 tokens >= min_len
+    doc0 = "head0 " + passage + " tail0"
+    doc1 = "head1 " + passage + " tail1"
+    filler = [
+        " ".join(f"f{b}w{i}" for i in range(18)) for b in range(3)
+    ]
+    schema = "doc_id long, text string"
+
+    def drain(ttl, dirname, gap):
+        st = ExactSubstrIndexState(
+            spark, str(tmp_path / dirname), min_len=15, ttl_batches=ttl
+        )
+        st.apply_batch(spark.createDataFrame([(0, doc0)], schema), 0)
+        for b in range(gap):
+            st.apply_batch(
+                spark.createDataFrame([(100 + b, filler[b])], schema), 1 + b
+            )
+        st.apply_batch(
+            spark.createDataFrame([(1, doc1)], schema), 1 + gap
+        )
+        return {r.doc_id: r.n_removed for r in st.alerts}
+
+    # ttl=2, copy arrives at batch 3: the original's grams expired ->
+    # doc 1 passes UNCUT (and its alerts stay empty)
+    assert drain(2, "t2", gap=2) == {}
+    # unbounded: the copy is cut (alert row with n_removed > 0)
+    got = drain(None, "tn", gap=2)
+    assert set(got) == {1} and got[1] > 0
+    # ttl=1 boundary: copy in the IMMEDIATELY next batch is still cut
+    got = drain(1, "b1", gap=0)
+    assert set(got) == {1} and got[1] > 0
+
+    # disk reclamation via auto-compaction, ttl=2, auto_compact_dirs=3
+    st2 = ExactSubstrIndexState(
+        spark, str(tmp_path / "r"), min_len=15,
+        ttl_batches=2, auto_compact_dirs=3,
+    )
+    texts = [
+        " ".join(f"r{b}w{i}" for i in range(18)) for b in range(5)
+    ]
+    for b, t in enumerate(texts):
+        st2.apply_batch(spark.createDataFrame([(b, t)], schema), b)
+    stamps = {
+        r.indexed_at
+        for r in spark.read.parquet(str(tmp_path / "r" / "grams")).collect()
+    }
+    assert stamps == {2, 3, 4}, stamps
+
+
+def test_stream_two_stage_contamination_matches_exact_path(spark, tmp_path):
+    """r10 verdict item 6: the two-stage pipeline — map-side Bloom
+    screen quarantines the n_suspect_grams >= threshold sliver, the
+    EXACT contamination_counts runs only on that sliver — must flag
+    EXACTLY the documents the exact path flags over everything (stage 1
+    has no false negatives), while the measured exact-path input drops
+    from the full corpus to the sliver."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.llmdata.decontaminate import contamination_counts
+    from stream4flow_spark.streaming.llmingest import (
+        contamination_screen_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pdf = train.toPandas()
+    half = len(pdf) // 2
+    for i, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        part.to_parquet(str(src / f"w{i}.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    st = contamination_screen_stream(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        benchmark=bench,
+        n=3,
+        min_overlap=3,
+        expected_grams=20_000,
+    )
+
+    got = {r.doc_id: r.n_contaminated_grams for r in st.alerts}
+    want = {
+        r.doc_id: r.n_contaminated_grams
+        for r in contamination_counts(
+            train, bench, n=3, hash_grams=True
+        )
+        .filter(F.col("n_contaminated_grams") >= 3)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+    # measured reduction: the exact stage saw only the suspect sliver,
+    # strictly smaller than the corpus, and never lost a true positive
+    n_docs = sum(d for d, _ in st.screen_stats.values())
+    n_suspects = sum(s for _, s in st.screen_stats.values())
+    assert n_docs == train.count()
+    assert len(want) <= n_suspects < n_docs, (n_suspects, n_docs)
+
+    # the clean output is exactly the unflagged documents
+    assert st.cleaned().count() == n_docs - len(want)
