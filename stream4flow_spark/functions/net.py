@@ -186,6 +186,39 @@ def ip6_to_words(ip: Column) -> Column:
     return F.when(ok, words)
 
 
+def cidr_words_bounds(cidr: str) -> tuple[list[int], list[int]]:
+    """An IPv6 CIDR's inclusive (lo, hi) bounds as four big-endian
+    32-bit words each (driver-side; the word form ``ip6_to_words``
+    parses to)."""
+    net = ipaddress.ip_network(cidr, strict=False)
+    lo, hi = int(net.network_address), int(net.broadcast_address)
+    return (
+        [(lo >> (96 - 32 * i)) & 0xFFFFFFFF for i in range(4)],
+        [(hi >> (96 - 32 * i)) & 0xFFFFFFFF for i in range(4)],
+    )
+
+
+def words_in_cidr(words: Column, cidr: str) -> Column:
+    """True iff an ALREADY-PARSED ``ip6_to_words`` array is inside the
+    IPv6 ``cidr`` — the parse-once/test-many form for pipelines that
+    check several prefixes per address (route classifiers, ACL chains):
+    project ``ip6_to_words(ip)`` ONCE into a column in its own select
+    (Catalyst keeps a non-trivial multi-referenced alias materialized
+    rather than inlining it per consumer), then each prefix test is two
+    literal array compares. ``ip_in_cidr_any`` composes this with the
+    parse for the single-test case; calling THAT once per prefix
+    re-instantiates the whole parse tree per test — measured 4× slower
+    at two prefixes per address (SCALE.md, net_cidr_v6_classify).
+
+    Arrays of longs compare lexicographically in Spark — equal length
+    by construction, so this is exactly the 128-bit range test; a NULL
+    parse makes the comparison NULL, coalesced to false."""
+    lo_w, hi_w = cidr_words_bounds(cidr)
+    lo_a = F.array(*[F.lit(v).cast("long") for v in lo_w])
+    hi_a = F.array(*[F.lit(v).cast("long") for v in hi_w])
+    return F.coalesce((words >= lo_a) & (words <= hi_a), F.lit(False))
+
+
 # F5 extension — IPv6-capable CIDR membership (SURVEY.md §7.2: the
 # reference silently assumed v4; the v6 path is the documented deviation).
 def ip_in_cidr_any(ip: Column, cidr: str) -> Column:
@@ -194,25 +227,17 @@ def ip_in_cidr_any(ip: Column, cidr: str) -> Column:
     Both families are pure-Column fast paths (codegen,
     pushdown-friendly): v4 folds the CIDR to two literal longs
     (``ip_in_cidr``); v6 parses to four 32-bit words (``ip6_to_words``)
-    and compares lexicographically against the bounds as struct
-    literals. Malformed strings are false. The retired pandas-UDF
-    implementation survives as ``ip6_in_cidr_pandas_oracle`` for
-    differential tests only."""
+    and compares lexicographically against the bounds as literal arrays
+    (``words_in_cidr`` — use that directly with a projected parse when
+    testing multiple prefixes per address). Malformed strings are
+    false. The retired pandas-UDF implementation survives as
+    ``ip6_in_cidr_pandas_oracle`` for differential tests only."""
     net = ipaddress.ip_network(cidr, strict=False)
     if net.version == 4:
         return ip_in_cidr(ip, cidr)
-
-    lo, hi = int(net.network_address), int(net.broadcast_address)
-    lo_w = [(lo >> (96 - 32 * i)) & 0xFFFFFFFF for i in range(4)]
-    hi_w = [(hi >> (96 - 32 * i)) & 0xFFFFFFFF for i in range(4)]
-    w = ip6_to_words(ip)
-    # arrays of longs compare lexicographically in Spark — equal length
-    # by construction, so this is exactly the 128-bit range test; a NULL
-    # parse makes the comparison NULL, coalesced to false. `w` is
-    # referenced twice (see ip6_to_words on why references are rationed).
-    lo_a = F.array(*[F.lit(v).cast("long") for v in lo_w])
-    hi_a = F.array(*[F.lit(v).cast("long") for v in hi_w])
-    return F.coalesce((w >= lo_a) & (w <= hi_a), F.lit(False))
+    # the parse is referenced twice by the compare (see ip6_to_words on
+    # why references are rationed)
+    return words_in_cidr(ip6_to_words(ip), cidr)
 
 
 def ip6_in_cidr_pandas_oracle(ip: Column, cidr: str) -> Column:

@@ -3935,3 +3935,83 @@ def q_llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return corpus_diff(old, new)
+
+
+@register(
+    "llm_cdc_chunk_dedup",
+    covers="llm:dedup-cdc A15",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(
+                       string_split_regex(trim(text), '\\s+'), 1) AS rp
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, tok,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY rp) - 1
+                       AS pos
+            FROM raw WHERE tok <> ''
+        ),
+        flg AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN pos >= 2 AND
+                        (CAST(('0x' || substring(md5(
+                            lag(tok, 2) OVER w || ' ' ||
+                            lag(tok, 1) OVER w || ' ' || tok), 1, 15))
+                         AS BIGINT) % 8) = 0
+                        THEN 1 ELSE 0 END AS flag
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        segd AS (
+            SELECT doc_id, pos, tok,
+                   COALESCE(SUM(flag) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS seg
+            FROM flg
+        ),
+        chunks AS (
+            SELECT doc_id, seg, min(pos) AS cpos, count(*) AS ntoks,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+            FROM segd GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT *, count(*) OVER (PARTITION BY fp) AS c,
+                   row_number() OVER (
+                       PARTITION BY fp ORDER BY doc_id, cpos) AS rn
+            FROM chunks
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_chunks,
+                   SUM(CASE WHEN c >= 2 AND rn >= 2 THEN 1 ELSE 0 END)
+                       AS n_dup_chunks,
+                   SUM(CASE WHEN c >= 2 AND rn >= 2 THEN ntoks ELSE 0 END)
+                       AS n_dup_tokens
+            FROM stats GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+               CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+)
+def q_llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup audit (llmdata/dedup.py
+    cdc_chunk_dedup) — the shift-robust sixth blocking scheme: chunk
+    boundaries fall where the hash of the 3-token window divides 8, so
+    an edit moves only the boundaries in its own neighborhood and
+    copied passages re-synchronize to identical interior chunks (LBFS
+    CDC on token streams; property-tested). Per document: chunk count,
+    chunks duplicated elsewhere in the corpus (first occurrence by
+    (doc, position) unblamed), and the tokens they cover. All chunking
+    happens in-task over the token array — only (id, seg, ints, fp)
+    rows ever shuffle. Gate runs hash_mode="md5" so DuckDB replays
+    boundary hash and chunk fingerprint exactly; production uses
+    xxhash64 for both."""
+    from stream4flow_spark.llmdata.dedup import cdc_chunk_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_dedup(docs, context=3, divisor=8, hash_mode="md5")

@@ -1355,3 +1355,215 @@ def incremental_exact_substr(
     )
     marked = in_corpus.unionByName(in_delta).dropDuplicates(["id", "s"])
     return _substr_rebuild(delta, id_col, toks, marked, min_len)
+
+
+# ------------------------------------------------ content-defined chunking
+
+def cdc_chunk_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context: int = 3,
+    divisor: int = 8,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Content-defined chunks of every document — the shift-robust
+    blocking primitive the fixed-geometry tiers miss: a chunk boundary
+    falls after token *i* whenever the hash of the ``context``-token
+    window ending at *i* is ≡ 0 (mod ``divisor``), so boundaries are a
+    function of LOCAL CONTENT only. Insert or delete one token and
+    every boundary outside its ``context``-token neighborhood stays put
+    — the storage-dedup CDC idea (Muthitacharoen et al. 2001, LBFS)
+    applied to token streams, sitting between ``segment_dedup`` (needs
+    explicit separators) and ``exact_substr_dedup`` (fixed-L windows,
+    O(tokens) gram exchange) in the dedup family. Expected chunk length
+    is ``divisor`` tokens.
+
+    Scale shape: tokenization, boundary hashing, chunk slicing and the
+    chunk fingerprint all happen IN-TASK over the token array (each
+    intermediate is materialized into its own projected column so
+    Catalyst keeps the multi-referenced arrays as attributes instead of
+    re-inlining their producers); only (id, seg, chunk_pos, n_toks,
+    chunk_fp) rows leave the scan — chunk TEXT never shuffles, the same
+    ids+hashes wire discipline as the winnow/ExactSubstr tiers.
+
+    ``hash_mode="md5"`` (gate/verification): boundary hash = first 15
+    hex digits of md5(window) as a 60-bit int, chunk_fp = md5(chunk) —
+    both replayable in DuckDB (the winnow dual-mode convention).
+    ``hash_mode="xxhash"`` (production): xxhash64 for both, cheaper and
+    64-bit. Returns (id_col, seg, chunk_pos, n_toks, chunk_fp).
+    """
+    if hash_mode == "md5":
+        def bhash(c: Column) -> Column:
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+        def cfp(c: Column) -> Column:
+            return F.md5(c)
+    elif hash_mode == "xxhash":
+        bhash = F.xxhash64
+        cfp = F.xxhash64
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        whitespace_tokens(F.col(text_col)).alias("__toks"),
+    )
+    t = F.col("__toks")
+    # boundary flag per token (0-based i): 1 iff a full context window
+    # ends at i and its hash divides; flags materialize as a column so
+    # the starts filter reads an attribute, not a re-inlined transform
+    flagged = toked.select(
+        "id",
+        "__toks",
+        F.transform(
+            F.when(F.size(t) > 0, F.sequence(F.lit(0), F.size(t) - 1))
+            .otherwise(F.array().cast("array<int>")),
+            lambda i: F.when(
+                i >= context - 1,
+                (
+                    F.pmod(
+                        bhash(
+                            F.array_join(
+                                F.slice(t, i - (context - 2), context), " "
+                            )
+                        ),
+                        F.lit(divisor),
+                    )
+                    == 0
+                ).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).alias("__flags"),
+    )
+    # chunk start positions (0-based): 0, plus i+1 for every flagged
+    # boundary i that is not the last token. The flags array is passed
+    # as the TRANSFORM ARGUMENT with an (element, index) lambda — never
+    # referenced inside a lambda body — because CollapseProject inlines
+    # a once-referenced producer into its consumer, and a producer
+    # inlined into a lambda BODY re-evaluates per element: the first
+    # cut filtered sequence(0, n-1) on try_element_at(__flags, i),
+    # which re-ran the whole per-token md5 transform once per index —
+    # O(tokens²) hashes per document, measured 33 s at sf0.1 vs ~3 s
+    # for this shape (the winnow md5-mode lesson, textstats.py:204).
+    started = flagged.select(
+        "id",
+        "__toks",
+        F.when(
+            F.size(t) > 0,
+            F.array_compact(
+                F.concat(
+                    F.array(F.lit(0)),
+                    F.transform(
+                        F.col("__flags"),
+                        lambda x, i: F.when(
+                            (x == 1) & (i < F.size(t) - 1), i + 1
+                        ),
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("__starts"),
+    )
+    s = F.col("__starts")
+    nexted = started.select(
+        "id",
+        "__toks",
+        "__starts",
+        F.when(
+            F.size(s) > 1,
+            F.concat(F.slice(s, 2, F.size(s) - 1), F.array(F.size(t))),
+        )
+        .otherwise(
+            F.when(F.size(s) == 1, F.array(F.size(t))).otherwise(
+                F.array().cast("array<int>")
+            )
+        )
+        .alias("__nexts"),
+    )
+    chunks = nexted.select(
+        "id",
+        F.posexplode(
+            F.zip_with(
+                F.col("__starts"),
+                F.col("__nexts"),
+                lambda st, nx: F.struct(
+                    st.alias("cpos"),
+                    (nx - st).alias("ntoks"),
+                    cfp(F.array_join(F.slice(t, st + 1, nx - st), " ")).alias(
+                        "fp"
+                    ),
+                ),
+            )
+        ).alias("seg", "ch"),
+    )
+    return chunks.select(
+        F.col("id").alias(id_col),
+        "seg",
+        F.col("ch.cpos").alias("chunk_pos"),
+        F.col("ch.ntoks").alias("n_toks"),
+        F.col("ch.fp").alias("chunk_fp"),
+    )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context: int = 3,
+    divisor: int = 8,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Corpus-wide duplicated-chunk audit over the content-defined
+    chunking (``cdc_chunk_table``): for every document, how many of its
+    chunks also occur elsewhere in the corpus (first occurrence by
+    (doc, position) stays unblamed — the keep-first convention every
+    dedup tier here shares) and how many tokens those duplicate chunks
+    cover. Because boundaries are content-defined, a passage copied
+    WITH INSERTIONS around it still yields identical interior chunks —
+    the case where ExactSubstr's fixed-L windows still match but
+    segment_dedup's separator-split lines do not, and the one where
+    CDC's re-synchronization is the textbook answer.
+
+    One partial-agg ``min(struct(id, pos))`` + count per distinct
+    chunk_fp names each chunk's first occurrence (no window sort); the
+    stats exchange carries (fp, id, two ints) only. Returns one row per
+    input document: (id_col, n_chunks, n_dup_chunks, n_dup_tokens).
+    """
+    chunks = cdc_chunk_table(df, text_col, id_col, context, divisor, hash_mode)
+    agg = (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("k"), F.col("chunk_pos").alias("p")
+                )
+            ).alias("w"),
+        )
+    )
+    marked = chunks.join(agg, "chunk_fp").withColumn(
+        "is_dup",
+        (F.col("c") >= 2)
+        & ~(
+            (F.col(id_col) == F.col("w.k"))
+            & (F.col("chunk_pos") == F.col("w.p"))
+        ),
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_chunks"),
+        F.sum(
+            F.when(F.col("is_dup"), F.col("n_toks")).otherwise(0)
+        ).alias("n_dup_tokens"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+        )
+    )

@@ -2037,3 +2037,63 @@ def test_incremental_winnow_verify_is_candidate_bounded(spark):
         f"verify fetch is not candidate-bounded: {semi_rows} rows "
         "entered the tokenizer"
     )
+
+
+def test_cdc_chunk_dedup_shift_robust_and_edges(spark):
+    """The CDC selling point (llmdata/dedup.py cdc_chunk_table):
+    boundaries are a function of local content, so inserting tokens at
+    the FRONT of a copied document re-synchronizes — the interior
+    chunks hash identically and the copy's duplication is still seen,
+    where a fixed-offset segmentation would shift every chunk. Also
+    pins the keep-first convention and the degenerate inputs (empty
+    doc, doc shorter than the context window)."""
+    import random
+
+    from stream4flow_spark.llmdata.dedup import (
+        cdc_chunk_dedup,
+        cdc_chunk_table,
+    )
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(400)}" for _ in range(300)]
+    base = " ".join(words)
+    shifted = "alpha beta gamma " + base          # 3 inserted tokens
+    docs = spark.createDataFrame(
+        [(0, base), (1, shifted)], "doc_id long, text string"
+    )
+
+    for mode in ("md5", "xxhash"):
+        ch = cdc_chunk_table(docs, divisor=8, hash_mode=mode)
+        fps0 = {r.chunk_fp for r in ch.filter("doc_id = 0").collect()}
+        fps1 = {r.chunk_fp for r in ch.filter("doc_id = 1").collect()}
+        # re-synchronization: nearly every chunk of the original
+        # reappears verbatim in the shifted copy (only the first chunk,
+        # whose head absorbed the insertion, may differ)
+        shared = len(fps0 & fps1) / len(fps0)
+        assert shared >= 0.8, (mode, shared, len(fps0))
+
+        out = {
+            r.doc_id: (r.n_chunks, r.n_dup_chunks)
+            for r in cdc_chunk_dedup(docs, divisor=8, hash_mode=mode).collect()
+        }
+        # keep-first: doc 0 holds the first occurrences; the copy is
+        # the one blamed for (almost) all its chunks
+        assert out[0][1] == 0
+        assert out[1][1] >= 0.8 * out[1][0]
+
+    # edges: empty text -> 0 chunks; 2 tokens (< context) -> 1 chunk
+    ed = spark.createDataFrame(
+        [(10, ""), (11, "just two")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.n_dup_tokens)
+        for r in cdc_chunk_dedup(ed, divisor=4).collect()
+    }
+    assert got == {10: (0, 0, 0), 11: (1, 0, 0)}
+
+    # chunk geometry invariant: chunks tile the token stream — lengths
+    # sum to the token count and expected length tracks the divisor
+    ch = cdc_chunk_table(docs.filter("doc_id = 0"), divisor=8)
+    lens = [r.n_toks for r in ch.collect()]
+    assert sum(lens) == 300
+    assert 3 <= sum(lens) / len(lens) <= 24  # loose band around divisor=8
