@@ -3937,10 +3937,13 @@ def q_llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new)
 
 
-@register(
-    "llm_cdc_chunk_dedup",
-    covers="llm:dedup-cdc A15",
-    oracle="""
+def _cdc_oracle(final_where: str = "") -> str:
+    """The batch CDC chunk-dedup replay (md5 boundary hash + md5 chunk
+    fingerprint); with ``final_where`` restricting the output rows it
+    also oracles the incremental form (batch-restricted-to-delta ==
+    incremental — the parity property incremental_cdc_chunks
+    documents, the _exact_substr_oracle device)."""
+    return f"""
         WITH raw AS (
             SELECT doc_id,
                    unnest(string_split_regex(trim(text), '\\s+')) AS tok,
@@ -3996,7 +3999,14 @@ def q_llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COALESCE(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
                CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
-        """,
+        {final_where}
+        """
+
+
+@register(
+    "llm_cdc_chunk_dedup",
+    covers="llm:dedup-cdc A15",
+    oracle=_cdc_oracle(),
 )
 def q_llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunking dedup audit (llmdata/dedup.py
@@ -4015,3 +4025,32 @@ def q_llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunk_dedup(docs, context=3, divisor=8, hash_mode="md5")
+
+
+@register(
+    "llm_incremental_cdc_chunks",
+    covers="llm:dedup-cdc llm:dedup-incremental",
+    oracle=_cdc_oracle("WHERE d.doc_id >= 250"),
+)
+def q_llm_incremental_cdc_chunks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental CDC: the delta (doc_id >= 250) audits its
+    content-defined chunks against the already-admitted corpus' chunk
+    fingerprints plus its own intra-delta repeats
+    (dedup.incremental_cdc_chunks — the growing-index form; streaming
+    twin CdcIndexState in streaming/llmingest.py). Because corpus ids
+    precede delta ids, the result equals the batch operator restricted
+    to the delta, which is exactly what the oracle replays — certifying
+    the incremental path AND the parity property with one query (the
+    llm_incremental_exact_substr device)."""
+    from stream4flow_spark.llmdata.dedup import incremental_cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_cdc_chunks(
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+        context=3,
+        divisor=8,
+        hash_mode="md5",
+    )

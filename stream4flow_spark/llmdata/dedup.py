@@ -1567,3 +1567,106 @@ def cdc_chunk_dedup(
             F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
         )
     )
+
+
+def cdc_chunk_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context: int = 3,
+    divisor: int = 8,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """The persistable CDC index: one row per DISTINCT chunk
+    fingerprint in the corpus — fp-only, no text, no positions (16 B in
+    md5 mode, 8 B in xxhash mode). A production pipeline computes this
+    once per snapshot (or grows it per micro-batch —
+    ``streaming/llmingest.py CdcIndexState``) and every delta audits
+    itself against the stored table; the corpus never re-chunks."""
+    return (
+        cdc_chunk_table(df, text_col, id_col, context, divisor, hash_mode)
+        .select("chunk_fp")
+        .distinct()
+    )
+
+
+def incremental_cdc_chunks(
+    corpus: DataFrame | None,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context: int = 3,
+    divisor: int = 8,
+    hash_mode: str = "md5",
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """CDC duplicated-chunk audit of a DELTA against an existing CORPUS
+    — the growing-index form of ``cdc_chunk_dedup``, same shape as
+    ``incremental_exact_substr``: a delta chunk counts as duplicated
+    iff its fingerprint already exists in the corpus index OR repeats
+    within the delta and this occurrence is not the delta-wide first by
+    (id, position). When every corpus id precedes every delta id this
+    equals the batch operator restricted to the delta's rows
+    (parity-tested — the property that makes the arrival-ordered
+    streaming twin exact).
+
+    Pass ``corpus_index`` = a persisted ``cdc_chunk_index`` and the
+    per-snapshot cost is O(delta) chunking + one fp-keyed join; with
+    ``corpus_index=None`` the index computes in-line from ``corpus``.
+    Returns (id_col, n_chunks, n_dup_chunks, n_dup_tokens) for every
+    delta document."""
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("need corpus or corpus_index")
+        corpus_index = cdc_chunk_index(
+            corpus, text_col, id_col, context, divisor, hash_mode
+        )
+    chunks = cdc_chunk_table(
+        delta, text_col, id_col, context, divisor, hash_mode
+    )
+    # three consumers of the chunk derivation (within-delta agg, the
+    # stats join, the corpus-fp join) — checkpoint lazily so the
+    # tokenize+hash pass runs once
+    chunks = chunks.localCheckpoint(eager=False)
+    agg = chunks.groupBy("chunk_fp").agg(
+        F.count("*").alias("c"),
+        F.min(
+            F.struct(F.col(id_col).alias("k"), F.col("chunk_pos").alias("p"))
+        ).alias("w"),
+    )
+    corpus_fp = corpus_index.select("chunk_fp").withColumn(
+        "__in_corpus", F.lit(1)
+    )
+    marked = (
+        chunks.join(agg, "chunk_fp")
+        .join(corpus_fp, "chunk_fp", "left")
+        .withColumn(
+            "is_dup",
+            (F.col("__in_corpus") == 1)
+            | (
+                (F.col("c") >= 2)
+                & ~(
+                    (F.col(id_col) == F.col("w.k"))
+                    & (F.col("chunk_pos") == F.col("w.p"))
+                )
+            ),
+        )
+        .withColumn("is_dup", F.coalesce("is_dup", F.lit(False)))
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_chunks"),
+        F.sum(
+            F.when(F.col("is_dup"), F.col("n_toks")).otherwise(0)
+        ).alias("n_dup_tokens"),
+    )
+    return (
+        delta.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+        )
+    )

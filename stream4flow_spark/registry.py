@@ -56,17 +56,17 @@ WINDOW_PRIORITY: list[str] = [
     # correction (r10 ADVICE): r10 added TWO oracle-backed queries
     # (llm_decontaminate_bloom_sharded AND
     # llm_incremental_exact_substr_bloom) — n_oracle 154->156. r11 adds
-    # three more (the non-broadcast Bloom rung, the IPv6 CIDR
-    # classifier, and the CDC chunk-dedup tier) — n_oracle 156->159,
-    # k=ceil(159/50)=4 unchanged, judging horizon r11-3=r08. The five
-    # permanently rows-only queries (bpe_tokenize, quality_model,
-    # distinct_sketch_rollup, audio_spectrogram, length_stats_approx)
-    # hold no window slot by design (COVERAGE.md).
-    # Slots 1-3: the never-driver-green oracle-backed queries (the
+    # four more (the non-broadcast Bloom rung, the IPv6 CIDR
+    # classifier, and the CDC chunk-dedup tier — batch + incremental) —
+    # n_oracle 156->160, k=ceil(160/50)=4 unchanged, judging horizon
+    # r11-3=r08. The five permanently rows-only queries (bpe_tokenize,
+    # quality_model, distinct_sketch_rollup, audio_spectrogram,
+    # length_stats_approx) hold no window slot by design (COVERAGE.md).
+    # Slots 1-4: the never-driver-green oracle-backed queries (the
     # staleness policy REQUIRES never-green queries first).
     "llm_decontaminate_bloom_shuffle", "net_cidr_v6_classify",
-    "llm_cdc_chunk_dedup",
-    # 4-15: the 12 queries whose latest green is r07 — exactly at the
+    "llm_cdc_chunk_dedup", "llm_incremental_cdc_chunks",
+    # 5-16: the 12 queries whose latest green is r07 — exactly at the
     # horizon boundary once CORRECTNESS_r11 lands (11-3=8 > 7), so they
     # MUST take slots this round (the r10 window pre-committed this).
     "readside_q7_latest_per_group", "readside_q8_either_term",
@@ -75,17 +75,18 @@ WINDOW_PRIORITY: list[str] = [
     "rel_semi_anti_customers", "rel_time_to_convert",
     "tpch_q1_pricing_summary", "tpch_q3_top_revenue_orders",
     "tpch_q5ish_revenue_per_region", "tpch_q6_forecast_revenue",
-    # 16-50: 35 of the 44-query r08-latest-green cohort (alphabetical
-    # prefix), which hits the horizon at r12 (12-3=9 > 8). The 9
-    # deferred — rel_unpivot_measures, tpch_q11ish_important_parts,
-    # tpch_q15ish_top_supplier, tpch_q16ish_supplier_variety,
-    # tpch_q17ish_small_quantity_revenue, tpch_q20ish_excess_suppliers,
-    # tpch_q21ish_sole_supplier, tpch_q2ish_min_cost_supplier,
-    # tpch_q9ish_nation_year_profit — stay inside the k=4 horizon
-    # through r11 and MUST take r12 window slots, leaving r12 ~41 free
-    # slots for the alphabetical prefix of the 50-query r09 cohort
-    # (horizon r13; its ~9 leftovers take r13 slots with the r10 cohort
-    # following) — the steady-state 50-slot rotation.
+    # 17-50: 34 of the 44-query r08-latest-green cohort (alphabetical
+    # prefix), which hits the horizon at r12 (12-3=9 > 8). The 10
+    # deferred — rel_spend_deciles, rel_unpivot_measures,
+    # tpch_q11ish_important_parts, tpch_q15ish_top_supplier,
+    # tpch_q16ish_supplier_variety, tpch_q17ish_small_quantity_revenue,
+    # tpch_q20ish_excess_suppliers, tpch_q21ish_sole_supplier,
+    # tpch_q2ish_min_cost_supplier, tpch_q9ish_nation_year_profit —
+    # stay inside the k=4 horizon through r11 and MUST take r12 window
+    # slots, leaving r12 ~40 free slots for the alphabetical prefix of
+    # the 50-query r09 cohort (horizon r13; its ~10 leftovers take r13
+    # slots with the r10 cohort following) — the steady-state 50-slot
+    # rotation.
     "detection_ddos", "host_kcore", "host_triangles",
     "llm_cluster_balanced_sample", "llm_corpus_diff", "llm_dsir_select",
     "llm_embedding_neardup", "llm_exact_dedup", "llm_exact_substr_dedup",
@@ -98,7 +99,7 @@ WINDOW_PRIORITY: list[str] = [
     "rel_cube_mktsegment_year", "rel_funnel_conversion",
     "rel_gapfill_events", "rel_json_props", "rel_moving_order_value",
     "rel_retention_cohorts", "rel_rolling_active_users",
-    "rel_setops_customer_years", "rel_spend_deciles",
+    "rel_setops_customer_years",
 ]
 
 

@@ -1006,6 +1006,147 @@ def compact_exact_substr_index(
     )
 
 
+class CdcIndexState(_ArrivalIndexState):
+    """Streaming CDC duplicated-chunk audit against a GROWING on-disk
+    chunk-fingerprint index — the continuous-crawl form of
+    ``dedup.incremental_cdc_chunks``, completing the content-defined
+    chunking tier's batch + incremental + streaming triple (the same
+    shape every other blocking tier has). Each micro-batch's documents
+    are audited against the indexed corpus' chunk fps AND each other
+    (intra-batch repeats keep the batch-wide first by (id, pos)); ALL
+    of the batch's distinct chunk fps then join the index so later
+    arrivals audit against them. Because
+    ``incremental_cdc_chunks`` equals the batch operator restricted to
+    the delta whenever prior ids precede delta ids, draining an
+    id-ordered stream reproduces the batch audit row-for-row
+    (parity-tested).
+
+    State on disk: one fp per DISTINCT corpus chunk (16 B md5 mode /
+    8 B xxhash mode) under ``chunkfps/batch=<id>`` — retry-safe
+    batch-keyed dirs + the ``_read_prior`` own-batch exclusion; audits
+    land in ``audit/batch=<id>``; alerts = documents with duplicated
+    chunks (durable, ``_record_alerts``). ``ttl_batches`` bounds the
+    index to a recrawl horizon exactly like the ExactSubstr twin
+    (stamped rows, conservative pre-TTL expiry, compaction-time
+    reclamation)."""
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        context: int = 3,
+        divisor: int = 8,
+        hash_mode: str = "md5",
+        auto_compact_dirs: int | None = None,
+        ttl_batches: int | None = None,
+    ):
+        super().__init__(spark, state_dir, auto_compact_dirs)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.context = context
+        self.divisor = divisor
+        self.hash_mode = hash_mode
+        self.ttl_batches = ttl_batches
+        self._last_batch: int | None = None
+
+    _COMPACT = ("chunkfps",)
+
+    def _ttl_floor(self) -> int | None:
+        if self.ttl_batches is None or self._last_batch is None:
+            return None
+        return self._last_batch - self.ttl_batches
+
+    def _read_index(self, batch_id: int):
+        ttl = self.ttl_batches is not None
+        prior = self._read_prior("chunkfps", batch_id, merge_schema=ttl)
+        if prior is None:
+            return None
+        if ttl:
+            if "indexed_at" not in prior.columns:
+                return None  # pre-TTL store: conservatively expired
+            prior = prior.filter(
+                F.col("indexed_at") >= F.lit(batch_id - self.ttl_batches)
+            )
+        return prior.select("chunk_fp")
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._last_batch = batch_id
+        from stream4flow_spark.llmdata.dedup import (
+            cdc_chunk_index,
+            incremental_cdc_chunks,
+        )
+
+        idx = self._read_index(batch_id)
+        if idx is None:
+            fp_type = "string" if self.hash_mode == "md5" else "bigint"
+            idx = self.spark.createDataFrame([], f"chunk_fp {fp_type}")
+        audited = incremental_cdc_chunks(
+            None,
+            batch_df,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            context=self.context,
+            divisor=self.divisor,
+            hash_mode=self.hash_mode,
+            corpus_index=idx,
+        )
+        audited.write.mode("overwrite").parquet(
+            f"{self.state_dir}/audit/batch={batch_id}"
+        )
+        fps_out = cdc_chunk_index(
+            batch_df, self.text_col, self.id_col, self.context,
+            self.divisor, self.hash_mode,
+        )
+        if self.ttl_batches is not None:
+            fps_out = fps_out.select(
+                "*", F.lit(batch_id).cast("long").alias("indexed_at")
+            )
+        fps_out.write.mode("overwrite").parquet(
+            f"{self.state_dir}/chunkfps/batch={batch_id}"
+        )
+        self._record_alerts(
+            batch_id,
+            self.spark.read.parquet(f"{self.state_dir}/audit/batch={batch_id}")
+            .filter(F.col("n_dup_chunks") > 0)
+            .select(self.id_col, "n_dup_chunks", "n_dup_tokens"),
+        )
+        self.maybe_compact()
+
+    def audited(self) -> DataFrame:
+        """Every drained batch's per-document audit rows."""
+        return self.spark.read.parquet(f"{self.state_dir}/audit").drop("batch")
+
+
+def cdc_screen_stream(
+    stream_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Drain ``stream_docs`` (availableNow) through the CDC
+    chunk-fingerprint index loop; returns the completed state (audits +
+    on-disk fp index + durable alerts)."""
+    return _drain(
+        CdcIndexState(stream_docs.sparkSession, state_dir, **kwargs),
+        stream_docs,
+        checkpoint_dir,
+    )
+
+
+def compact_cdc_index(
+    spark, state_dir: str, min_indexed_at: int | None = None
+) -> dict:
+    """Consolidate the CDC chunk-fp index's per-batch dirs (and drop
+    cross-batch duplicate fingerprints); returns {"chunkfps": n_rows}.
+    ``min_indexed_at``: for TTL'd stores — drop rows stamped below the
+    live horizon so manual compaction reclaims expired disk."""
+    return _compact_index(
+        spark, state_dir, ("chunkfps",), min_indexed_at=min_indexed_at
+    )
+
+
 class ContaminationScreenState(_ArrivalIndexState):
     """Two-stage decontamination-on-arrival (r10 verdict item 6) — the
     end-to-end consumer of ``decontaminate.contamination_screen``:

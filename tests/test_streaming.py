@@ -3399,3 +3399,72 @@ def test_stream_two_stage_contamination_matches_exact_path(spark, tmp_path):
 
     # the clean output is exactly the unflagged documents
     assert st.cleaned().count() == n_docs - len(want)
+
+
+def test_stream_cdc_screen_matches_batch_and_ttl(spark, tmp_path):
+    """CDC-on-arrival (CdcIndexState): an id-ordered drain through the
+    growing chunk-fp index must reproduce the BATCH cdc_chunk_dedup
+    audit row-for-row (the incremental parity property), surviving a
+    restart between waves; alerts are the durable duplicated-doc rows;
+    and ttl_batches expires the index so an out-of-horizon copy stops
+    being blamed."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.llmdata.dedup import cdc_chunk_dedup
+    from stream4flow_spark.sources.tables import load_table
+    from stream4flow_spark.streaming.llmingest import (
+        CdcIndexState,
+        cdc_screen_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    pdf = docs.orderBy("doc_id").toPandas()
+    half = len(pdf) // 2
+    src = tmp_path / "docs"
+    src.mkdir()
+    pdf.iloc[:half].to_parquet(str(src / "w0.parquet"), index=False)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return cdc_screen_stream(
+            stream,
+            state_dir=str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            divisor=8,
+        )
+
+    st = run()
+    pdf.iloc[half:].to_parquet(str(src / "w1.parquet"), index=False)
+    st = run()  # RESTART: fp index must have survived on disk
+
+    got = {
+        (r.doc_id, r.n_chunks, r.n_dup_chunks, r.n_dup_tokens)
+        for r in st.audited().collect()
+    }
+    want = {
+        (r.doc_id, r.n_chunks, r.n_dup_chunks, r.n_dup_tokens)
+        for r in cdc_chunk_dedup(docs, divisor=8).collect()
+    }
+    assert got == want
+    # alerts = exactly the documents with duplicated chunks, durable
+    assert {r.doc_id for r in st.alerts} == {
+        d for d, _, ndc, _ in want if ndc > 0
+    }
+
+    # TTL: a copy arriving past the horizon is NOT blamed (the index
+    # expired), and the immediately-next batch still screens (ttl=1)
+    text = " ".join(f"tok{i}" for i in range(24))
+    schema = "doc_id long, text string"
+    st2 = CdcIndexState(spark, str(tmp_path / "ttl"), ttl_batches=1)
+    st2.apply_batch(spark.createDataFrame([(0, text)], schema), 0)
+    st2.apply_batch(spark.createDataFrame([(1, text)], schema), 1)
+    st2.apply_batch(spark.createDataFrame([(2, "filler words only here")], schema), 2)
+    st2.apply_batch(spark.createDataFrame([(3, text)], schema), 3)
+    flagged = {r.doc_id for r in st2.alerts}
+    assert 1 in flagged       # within horizon: blamed
+    assert 3 not in flagged   # index expired by batch 3: passes clean
