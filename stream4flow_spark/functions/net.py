@@ -189,8 +189,16 @@ def ip6_to_words(ip: Column) -> Column:
 def cidr_words_bounds(cidr: str) -> tuple[list[int], list[int]]:
     """An IPv6 CIDR's inclusive (lo, hi) bounds as four big-endian
     32-bit words each (driver-side; the word form ``ip6_to_words``
-    parses to)."""
+    parses to). Raises on an IPv4 CIDR: the word compare would
+    otherwise silently match only ::x.x.x.x-compatible addresses —
+    route v4 prefixes through ``ip_in_cidr``/``ip_in_cidr_any``, which
+    dispatch on the family explicitly."""
     net = ipaddress.ip_network(cidr, strict=False)
+    if net.version != 6:
+        raise ValueError(
+            f"words_in_cidr/cidr_words_bounds need an IPv6 CIDR, got "
+            f"{cidr!r} — use ip_in_cidr/ip_in_cidr_any for IPv4"
+        )
     lo, hi = int(net.network_address), int(net.broadcast_address)
     return (
         [(lo >> (96 - 32 * i)) & 0xFFFFFFFF for i in range(4)],

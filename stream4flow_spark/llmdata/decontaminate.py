@@ -44,7 +44,7 @@ def word_ngrams(text: Column, n: int) -> Column:
 
 def contamination_counts(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -52,6 +52,7 @@ def contamination_counts(
     bloom_prefilter: int | None = None,
     bloom_shards: int = 1,
     bloom_broadcast: bool = True,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-corpus-document count of distinct n-grams that also occur in
     ``benchmark``. Documents with zero overlap are absent from the
@@ -74,7 +75,14 @@ def contamination_counts(
     (needs shards > 1) is the rung past ~10¹⁰ keys: the bitmap stops
     being broadcast at all and the probe becomes a shuffled hash join
     on the shard id (``operators/bloom.py`` sizing discussion /
-    DEPLOY.md table)."""
+    DEPLOY.md table).
+
+    ``bench_grams``: a precomputed (ideally persisted) DISTINCT
+    benchmark gram DataFrame with one ``gram`` column, hashed iff
+    ``hash_grams`` — callers that screen many batches against a FIXED
+    benchmark (``ContaminationScreenState``) pass it so the benchmark's
+    tokenize+explode+distinct runs once per query, not once per batch;
+    ``benchmark`` is ignored when it is given."""
     def grams_of(df: DataFrame, keep_id: bool) -> DataFrame:
         cols = [F.col(id_col)] if keep_id else []
         # tokenize into a real column BEFORE the gram lambdas — an
@@ -92,7 +100,8 @@ def contamination_counts(
         return g
 
     corpus_grams = grams_of(corpus, keep_id=True)
-    bench_grams = grams_of(benchmark, keep_id=False).distinct()
+    if bench_grams is None:
+        bench_grams = grams_of(benchmark, keep_id=False).distinct()
     if bloom_prefilter is not None:
         from stream4flow_spark.operators.bloom import bloom_prune
 

@@ -222,9 +222,14 @@ def bloom_prune(
     past executor budgets somewhere around 10¹⁰ keys (DEPLOY.md sizing
     table). The probe then becomes a SHUFFLED hash join on ``bf_shard``
     (hinted, so AQE cannot demote it back to broadcast): ``big`` pays
-    one exchange keyed by the shard id, but per-task filter memory
-    drops to ~total_bits/shuffle_partitions and the bitmap itself never
-    leaves the cluster. No-false-negatives is unchanged — same bitmap,
+    one exchange keyed by the shard id, and the bitmap never leaves the
+    cluster. SIZE ``shards`` DELIBERATELY in this mode: ``bf_shard``
+    has exactly ``shards`` distinct values, so probe parallelism is
+    capped at ``shards`` tasks and per-task filter memory is
+    ~total_bits/shards (NOT /shuffle_partitions) — set ``shards`` to at
+    least the parallelism you want and so that one shard's bitmap fits
+    a task (e.g. 10¹⁰ keys at 1% fpp ≈ 12 GB total → shards ≥ 256 for
+    ≤ ~48 MB/shard). No-false-negatives is unchanged — same bitmap,
     same probe expression — so downstream exact joins still make the
     composition result-identical."""
     if shards <= 1:

@@ -1196,12 +1196,25 @@ class ContaminationScreenState(_ArrivalIndexState):
         self.id_col = id_col
         from stream4flow_spark.llmdata.decontaminate import (
             benchmark_gram_bitmap,
+            word_ngrams,
         )
 
         self.benchmark = benchmark.persist()
         self._bitmap = benchmark_gram_bitmap(
             benchmark, n, expected_grams, fpp, text_col
         ).persist()
+        # stage-2 artifact, also built ONCE: the exact check's distinct
+        # hashed benchmark grams — without this, contamination_counts
+        # would re-run the benchmark tokenize+explode+distinct every
+        # micro-batch (O(benchmark) per batch, r11 review)
+        self._bench_grams = (
+            benchmark.select(
+                F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+            )
+            .select(F.xxhash64("g").alias("gram"))
+            .distinct()
+            .persist()
+        )
         self.screen_stats: dict[int, tuple[int, int]] = {}
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -1220,16 +1233,20 @@ class ContaminationScreenState(_ArrivalIndexState):
             id_col=self.id_col,
             bitmap=self._bitmap,
         ).persist()
+        # ONE quarantine predicate: the stats count reuses the same
+        # DataFrame the exact stage consumes, so the reported suspect
+        # count can never desync from what stage 2 actually processed
         suspects = screened.filter(
             F.col("n_suspect_grams") >= self.min_overlap
-        ).drop("n_suspect_grams")
+        )
         exact = contamination_counts(
-            suspects,
-            self.benchmark,
+            suspects.drop("n_suspect_grams"),
+            None,
             n=self.n,
             text_col=self.text_col,
             id_col=self.id_col,
             hash_grams=True,
+            bench_grams=self._bench_grams,
         )
         flagged = exact.filter(
             F.col("n_contaminated_grams") >= self.min_overlap
@@ -1240,12 +1257,7 @@ class ContaminationScreenState(_ArrivalIndexState):
         ).write.mode("overwrite").parquet(
             f"{self.state_dir}/clean/batch={batch_id}"
         )
-        self.screen_stats[batch_id] = (
-            screened.count(),
-            screened.filter(
-                F.col("n_suspect_grams") >= self.min_overlap
-            ).count(),
-        )
+        self.screen_stats[batch_id] = (screened.count(), suspects.count())
         while len(self.screen_stats) > self.ALERTS_TAIL_BATCHES:
             self.screen_stats.pop(min(self.screen_stats))
         flagged.unpersist()
@@ -1273,6 +1285,45 @@ def contamination_screen_stream(
         stream_docs,
         checkpoint_dir,
     )
+
+
+def prune_alerts(spark, state_dir: str, keep_last: int) -> int:
+    """Retention for the durable alert stream: delete
+    ``alerts/batch=<id>`` dirs older than the newest ``keep_last``
+    batches; returns the number deleted. The per-batch dirs are
+    append-only forever otherwise — one small parquet dir per
+    micro-batch, which at one batch/minute is ~500k dirs/year, and
+    LISTING (not data size) is what degrades on object stores (the
+    same pathology ``auto_compact_dirs`` bounds for the index dirs).
+    Alerts are never folded by the index compactors on purpose: a
+    compaction crash-window exposes folded rows twice, which the
+    semi-join index consumers tolerate but a COUNTED alert stream must
+    not. Deleting whole old batch dirs has no such window, and the
+    newest dir is always retained so a foreachBatch redelivery still
+    overwrites its own attempt. Ship older alerts to the result store
+    BEFORE pruning if dashboards need full history; after pruning, the
+    ``alerts`` property returns the retained tail only. Apply the same
+    lifecycle thinking to the output dirs (``clean/``, ``audit/``) —
+    they are the product, so their retention belongs to the deployment
+    (DEPLOY.md)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    dirs = _list_fs(spark, f"{state_dir}/alerts/batch=*")
+    ids = sorted(
+        (int(d.rsplit("batch=", 1)[1]), d)
+        for d in dirs
+        if d.rsplit("batch=", 1)[1].lstrip("-").isdigit()
+    )
+    doomed = ids[: max(0, len(ids) - keep_last)]
+    if not doomed:
+        return 0
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    for _, d in doomed:
+        p = path_cls(d)
+        p.getFileSystem(conf).delete(p, True)
+    return len(doomed)
 
 
 def compact_neardup_index(

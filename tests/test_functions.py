@@ -201,3 +201,24 @@ def test_ip6_cidr_column_math_matches_ipaddress_oracle(spark):
     )
     assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
     df.unpersist()
+
+
+def test_words_in_cidr_rejects_ipv4_prefix():
+    """r11 review: the parse-once v6 membership helpers must fail loud
+    on an IPv4 CIDR — the word compare would otherwise silently match
+    only ::x.x.x.x-compatible addresses (wrong classifications, no
+    error). v4 prefixes go through ip_in_cidr/ip_in_cidr_any."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.functions.net import (
+        cidr_words_bounds,
+        words_in_cidr,
+    )
+
+    with pytest.raises(ValueError, match="IPv6"):
+        cidr_words_bounds("10.0.0.0/8")
+    with pytest.raises(ValueError, match="IPv6"):
+        words_in_cidr(F.lit(None).cast("array<bigint>"), "10.0.0.0/8")
+    lo, hi = cidr_words_bounds("fd00::/123")  # v6 still fine
+    assert lo == [0xFD000000, 0, 0, 0] and hi == [0xFD000000, 0, 0, 0x1F]

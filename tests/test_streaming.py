@@ -3468,3 +3468,33 @@ def test_stream_cdc_screen_matches_batch_and_ttl(spark, tmp_path):
     flagged = {r.doc_id for r in st2.alerts}
     assert 1 in flagged       # within horizon: blamed
     assert 3 not in flagged   # index expired by batch 3: passes clean
+
+
+def test_prune_alerts_retains_tail_only(spark, tmp_path):
+    """r11 review: the durable alert stream needs a retention path —
+    prune_alerts deletes all but the newest keep_last batch dirs (the
+    newest always survives, preserving the redelivery-overwrite
+    contract) and the alerts property thereafter returns the retained
+    tail."""
+    from stream4flow_spark.streaming.llmingest import (
+        NeardupIndexState,
+        _list_fs,
+        prune_alerts,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun beside the low wall")
+    nears = [base.replace("today", w) for w in ("tomorrow", "yesterday",
+                                                "tonight")]
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+    st = NeardupIndexState(spark, d, threshold=0.5)
+    st.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+    for b, t in enumerate(nears, start=1):
+        st.apply_batch(spark.createDataFrame([(b, t)], schema), b)
+    assert {r.id for r in st.alerts} == {1, 2, 3}
+
+    assert prune_alerts(spark, d, keep_last=2) == 2  # batches 0, 1 gone
+    assert len(_list_fs(spark, f"{d}/alerts/batch=*")) == 2
+    assert {r.id for r in st.alerts} == {2, 3}
+    assert prune_alerts(spark, d, keep_last=2) == 0  # idempotent
