@@ -203,7 +203,10 @@ def test_ip6_cidr_column_math_matches_ipaddress_oracle(spark):
     df.unpersist()
 
 
-def test_words_in_cidr_rejects_ipv4_prefix():
+def test_words_in_cidr_rejects_ipv4_prefix(spark):
+    # the fixture is unused directly, but F.lit(...).cast(...) below
+    # needs an active SparkContext — without it this test only passes
+    # when ordered after a session-creating one (r11 ADVICE)
     """r11 review: the parse-once v6 membership helpers must fail loud
     on an IPv4 CIDR — the word compare would otherwise silently match
     only ::x.x.x.x-compatible addresses (wrong classifications, no
