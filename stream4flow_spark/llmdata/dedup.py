@@ -1034,8 +1034,12 @@ def incremental_winnow_neardup(
     # it — the corpus never shuffles for the fetch. Checkpoint lazily:
     # candidates now feeds three consumers (two semi-joins + the verify
     # join) and must not re-run the collision join per consumer. At
-    # deployment, bucket the text store by id (sources/bucketing.py) so
-    # the fetch also prunes the SCAN, not just the tokenize.
+    # deployment, store the corpus bucketed by id — either a catalog
+    # bucketed table (sources/bucketing.py) or the id_bucket partition
+    # layout the streaming twin writes (WinnowIndexState.text_buckets,
+    # streaming/llmingest.py) — so the fetch also prunes the SCAN, not
+    # just the tokenize (measured for the streaming store in
+    # tests/test_streaming.py::test_winnow_verify_fetch_prunes_text_store_scan).
     candidates = candidates.localCheckpoint(eager=False)
     gd = delta.join(
         candidates.select(F.col("id_d").alias(id_col)).distinct(),

@@ -72,6 +72,36 @@ def _list_fs(spark, pattern: str) -> list[str]:
     return [str(s.getPath()) for s in statuses]
 
 
+class PreTtlIndexError(RuntimeError):
+    """``ttl_batches`` was enabled over an index store written WITHOUT
+    ``indexed_at`` stamps (TTL flipped on mid-life). The old behavior —
+    silently treating the whole index as expired — was conservative for
+    the STATE-BOUND contract but catastrophic for dedup itself: one
+    batch after an accidental flag flip, every prior document stops
+    screening new arrivals, with no error (r11 verdict item 6). Raising
+    makes the misconfiguration loud; the exception message carries the
+    remediation."""
+
+
+def _require_ttl_stamps(sub: str, df: DataFrame, state_dir: str) -> DataFrame:
+    """Fail loud when a TTL'd read finds no ``indexed_at`` column at all
+    (a pure pre-TTL store). Mixed stores — some stamped files, e.g.
+    after a backfill compaction — pass through: their unstamped rows
+    read NULL under mergeSchema and stay conservatively expired."""
+    if "indexed_at" not in df.columns:
+        raise PreTtlIndexError(
+            f"ttl_batches is enabled but the '{sub}' index at "
+            f"{state_dir} carries no indexed_at stamps — it was written "
+            "before TTL was turned on, so every stored row would "
+            "silently stop screening new arrivals. Either disable "
+            "ttl_batches for this store, or backfill stamps once via "
+            "its compactor's backfill_indexed_at argument (e.g. "
+            "compact_*_index(spark, state_dir, "
+            "backfill_indexed_at=<current batch id>)) and re-enable."
+        )
+    return df
+
+
 class _ArrivalIndexState:
     """Shared mechanics of the on-arrival screening states: per-batch
     alert snapshots keyed by batch_id (a foreachBatch redelivery
@@ -83,7 +113,14 @@ class _ArrivalIndexState:
     preserves the newest batch dir for redelivery, see
     ``_compact_index``). Long-lived
     continuous-trigger deployments should set it (DEPLOY.md sizes the
-    file-listing degradation); tests and short drains leave it off."""
+    file-listing degradation); tests and short drains leave it off.
+
+    ``auto_prune_alerts`` is the symmetric retention knob for the
+    durable alert stream: after each batch's alert write, dirs older
+    than the newest N are deleted (``prune_alerts`` — the newest always
+    survives, so redelivery stays idempotent). Leave it off when a
+    downstream job ships alerts to the result store and prunes
+    manually."""
 
     #: index sub-dirs to compact — overridden per state
     _COMPACT: tuple[str, ...] = ()
@@ -93,10 +130,22 @@ class _ArrivalIndexState:
     #: the most recent batches without a read job)
     ALERTS_TAIL_BATCHES = 16
 
-    def __init__(self, spark, state_dir: str, auto_compact_dirs: int | None = None):
+    #: `alerts` (the COLLECTING property) warns past this many durable
+    #: batch dirs — the read itself is fine as a DataFrame, it's the
+    #: driver-side collect that grows with query lifetime
+    ALERTS_COLLECT_WARN_DIRS = 256
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        auto_compact_dirs: int | None = None,
+        auto_prune_alerts: int | None = None,
+    ):
         self.spark = spark
         self.state_dir = state_dir
         self.auto_compact_dirs = auto_compact_dirs
+        self.auto_prune_alerts = auto_prune_alerts
         self._alerts_by_batch: dict[int, list] = {}
 
     def maybe_compact(self) -> dict | None:
@@ -139,6 +188,27 @@ class _ArrivalIndexState:
         self._alerts_by_batch[batch_id] = flagged.collect()
         while len(self._alerts_by_batch) > self.ALERTS_TAIL_BATCHES:
             self._alerts_by_batch.pop(min(self._alerts_by_batch))
+        if self.auto_prune_alerts is not None:
+            # symmetric with auto_compact_dirs (r11 verdict item 7):
+            # retention runs inside the batch, BEFORE the checkpoint
+            # commits — safe because prune_alerts always retains the
+            # newest dir, so a redelivery still overwrites its own
+            # attempt. Ship older alerts to the result store first if
+            # dashboards need history past the retained tail.
+            prune_alerts(self.spark, self.state_dir, self.auto_prune_alerts)
+
+    def alerts_df(self) -> DataFrame | None:
+        """The durable alert history as a DataFrame (one ``batch``
+        column + the screen's alert columns), or None when no batch has
+        drained yet. THIS is the deployment-scale accessor: it plans a
+        distributed read over ``alerts/batch=*`` and never collects —
+        join it, aggregate it, or ship it to the result store without
+        the driver ever holding the history (r11 verdict item 5: the
+        ``alerts`` property collects everything, which after a year of
+        batches is a driver OOM)."""
+        if not _list_fs(self.spark, f"{self.state_dir}/alerts/batch=*"):
+            return None
+        return self.spark.read.parquet(f"{self.state_dir}/alerts")
 
     @property
     def alerts(self) -> list:
@@ -147,13 +217,31 @@ class _ArrivalIndexState:
         restart (a fresh state object over the same ``state_dir`` sees
         every prior batch's alerts) and each batch counts once even
         after a foreachBatch redelivery (its dir was overwritten).
-        Ordered by (batch, alert columns) for determinism. Driver
-        memory is bounded by the flagged set actually returned, never
-        by the query's lifetime; use ``recent_alerts`` for the in-memory
-        tail without a read job."""
-        if not _list_fs(self.spark, f"{self.state_dir}/alerts/batch=*"):
+        Ordered by (batch, alert columns) for determinism.
+
+        TEST-SCALE convenience: this COLLECTS the entire history into
+        the driver, so its memory is O(alerts over the query lifetime)
+        — a year-long continuous deployment must use ``alerts_df()``
+        (distributed, never collects) or bound the history with
+        ``auto_prune_alerts``/``prune_alerts``; past
+        ``ALERTS_COLLECT_WARN_DIRS`` batch dirs this property warns.
+        Use ``recent_alerts`` for the in-memory tail without a read
+        job."""
+        df = self.alerts_df()
+        if df is None:
             return []
-        df = self.spark.read.parquet(f"{self.state_dir}/alerts")
+        n_dirs = len(_list_fs(self.spark, f"{self.state_dir}/alerts/batch=*"))
+        if n_dirs > self.ALERTS_COLLECT_WARN_DIRS:
+            import warnings
+
+            warnings.warn(
+                f"collecting {n_dirs} alert batches into the driver via "
+                "the alerts property; a long-lived deployment should use "
+                "alerts_df() (distributed) or prune_alerts/"
+                "auto_prune_alerts for retention",
+                ResourceWarning,
+                stacklevel=2,
+            )
         cols = [c for c in df.columns if c != "batch"]
         return [
             r[0]
@@ -171,6 +259,64 @@ class _ArrivalIndexState:
             for b in sorted(self._alerts_by_batch)
             for r in self._alerts_by_batch[b]
         ]
+
+    def _store_bucket(self, col: Column, n_buckets: int) -> Column:
+        """Bucket function for id-partitioned verify stores — the
+        write-time and fetch-time definitions MUST agree, so there is
+        exactly one."""
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+    def _prune_store_to_candidates(
+        self,
+        idx: DataFrame,
+        cand: DataFrame,
+        n_buckets: int | None,
+        cid_col: str = "cid",
+    ) -> DataFrame:
+        """Restrict a verify store's read to the candidates' id_bucket
+        partitions (r11 verdict item 3, generalized r12 to every
+        by-id verify fetch). The bucket list is collected — bounded by
+        n_buckets, and usually far smaller since candidates are few
+        post-threshold — so the filter is a LITERAL isin and the scan
+        prunes STATICALLY at file listing, which a join (runtime-only)
+        can never do for a plain parquet store. Without it the verify
+        side READS the whole archive every micro-batch even though the
+        join only KEEPS candidate rows. No-op for unbucketed legacy
+        stores."""
+        if n_buckets is None or "id_bucket" not in idx.columns:
+            return idx
+        bks = [
+            r.b
+            for r in cand.select(
+                self._store_bucket(F.col(cid_col), n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not bks:
+            # no candidates: skip the store read entirely
+            return idx.filter(F.lit(False))
+        return idx.filter(F.col("id_bucket").isin(bks))
+
+    def _write_store(
+        self,
+        df: DataFrame,
+        path: str,
+        n_buckets: int | None,
+        id_col: str = "id",
+    ) -> None:
+        """Write a verify store's per-batch dir, hash-partitioned by
+        ``id_bucket`` when bucketing is on (the layout
+        ``_prune_store_to_candidates`` prunes; ``_compact_index``
+        preserves it through folds)."""
+        if n_buckets is not None:
+            df = df.withColumn(
+                "id_bucket", self._store_bucket(F.col(id_col), n_buckets)
+            )
+        w = df.write.mode("overwrite")
+        if n_buckets is not None:
+            w = w.partitionBy("id_bucket")
+        w.parquet(path)
 
     def _has_index(self, sub: str) -> bool:
         return bool(_list_fs(self.spark, f"{self.state_dir}/{sub}/batch=*"))
@@ -230,7 +376,13 @@ class NeardupIndexState(_ArrivalIndexState):
     text or shingles, only num_perm longs per doc; (4) append the
     batch's bands + signatures for the NEXT batches. A doc flagged
     near-dup is reported, not indexed (duplicates shouldn't attract
-    future duplicates to themselves).
+    future duplicates to themselves). ``sig_buckets`` (default ON)
+    hash-partitions the signature store by ``id_bucket`` so the verify
+    fetch scan-prunes to the candidates' buckets instead of READING
+    every stored signature each micro-batch — the same layout contract
+    as ``WinnowIndexState.text_buckets``: fixed at the store's first
+    batch, preserved through compaction, ``None`` for stores created
+    before bucketing.
 
     Retry-safe the same way ``streaming/ddos.py`` is: per-batch
     append dirs keyed by batch_id, so foreachBatch redelivery
@@ -244,10 +396,11 @@ class NeardupIndexState(_ArrivalIndexState):
     stamped with its ``indexed_at`` batch id and rows older than
     ``batch_id - ttl_batches`` stop participating in the screen — the
     "duplicate within the recent horizon" semantics (e.g. recrawl
-    windows), with index reads pruned to the live horizon. Rows written
-    before TTL was enabled carry no stamp and are treated as EXPIRED
-    (the conservative reading for a bounded-state contract); enable TTL
-    from the first batch or after a fresh compaction. The read filter
+    windows), with index reads pruned to the live horizon. Enabling TTL
+    over a store written WITHOUT stamps raises ``PreTtlIndexError``
+    (the old silent-expiry reading disabled screening with no error);
+    enable TTL from the first batch, or backfill stamps once via the
+    compactor's ``backfill_indexed_at``. The read filter
     bounds what SCREENS; disk reclamation happens at compaction —
     ``maybe_compact`` passes the live-horizon floor so expired rows are
     dropped from the fold instead of being copied forward forever
@@ -265,10 +418,14 @@ class NeardupIndexState(_ArrivalIndexState):
         rows_per_band: int = 2,
         threshold: float = 0.5,
         max_bucket: int | None = 10_000,
+        sig_buckets: int | None = 64,
         auto_compact_dirs: int | None = None,
+        auto_prune_alerts: int | None = None,
         ttl_batches: int | None = None,
     ):
-        super().__init__(spark, state_dir, auto_compact_dirs)
+        super().__init__(
+            spark, state_dir, auto_compact_dirs, auto_prune_alerts
+        )
         self.text_col = text_col
         self.id_col = id_col
         self.n = n
@@ -276,6 +433,7 @@ class NeardupIndexState(_ArrivalIndexState):
         self.rows_per_band = rows_per_band
         self.threshold = threshold
         self.max_bucket = max_bucket
+        self.sig_buckets = sig_buckets
         self.ttl_batches = ttl_batches
         self._last_batch: int | None = None
 
@@ -303,14 +461,11 @@ class NeardupIndexState(_ArrivalIndexState):
             # crash-looping on the missing side (r10 review)
             return None, None
         if ttl:
-            if (
-                "indexed_at" not in bands.columns
-                or "indexed_at" not in sigs.columns
-            ):
-                # a pre-TTL store has no stamps in ANY file (mergeSchema
-                # saw every footer): conservatively the whole index is
-                # expired under the TTL contract
-                return None, None
+            # a pure pre-TTL store has no stamps in ANY file (mergeSchema
+            # saw every footer): fail loud instead of silently treating
+            # the whole index as expired (r11 verdict item 6)
+            _require_ttl_stamps("bands", bands, self.state_dir)
+            _require_ttl_stamps("sigs", sigs, self.state_dir)
             # live horizon: the previous ttl_batches batches participate
             # (>=, not > — strict compare made ttl_batches=1 expire the
             # IMMEDIATELY preceding batch and disabled screening
@@ -363,11 +518,21 @@ class NeardupIndexState(_ArrivalIndexState):
                 )
                 .select(F.col("d.id").alias("id"), F.col("c.id").alias("cid"))
             )
-        cand = cand.dropDuplicates(["id", "cid"])
+        # lazy checkpoint: cand feeds the bucket collect AND the verify
+        # join — the banded collision join must not re-run per consumer
+        cand = cand.dropDuplicates(["id", "cid"]).localCheckpoint(eager=False)
         # candidate keepers: prior batches' signatures + this batch's own
         # (schemas derive from the batch — no hardcoded id type; the
         # parquet side carries an extra batch partition column, dropped
-        # by the projection)
+        # by the projection). The stored side is scan-pruned to the
+        # candidates' id_bucket partitions first (sig_buckets): the
+        # verify join only KEEPS candidate rows, but without the literal
+        # partition filter it READS the whole signature archive every
+        # micro-batch.
+        if idx_sigs is not None:
+            idx_sigs = self._prune_store_to_candidates(
+                idx_sigs, cand, self.sig_buckets
+            )
         cs_base = sigs if idx_sigs is None else idx_sigs.select(
             "id", *m
         ).unionByName(sigs)
@@ -419,7 +584,7 @@ class NeardupIndexState(_ArrivalIndexState):
             bands_out = bands_out.select("*", stamp)
             sigs_out = sigs_out.select("*", stamp)
         bands_out.write.mode("overwrite").parquet(band_dir)
-        sigs_out.write.mode("overwrite").parquet(sig_dir)
+        self._write_store(sigs_out, sig_dir, self.sig_buckets)
         flagged.unpersist()
         self.maybe_compact()
 
@@ -469,6 +634,27 @@ class SemanticIndexState(_ArrivalIndexState):
     (4) append the batch's buckets + vectors for the NEXT batches. A
     flagged vector is reported, not indexed. Retry-safe via per-batch
     dirs + batch-keyed alert snapshots, like the minhash twin.
+    ``vec_buckets`` (default ON) hash-partitions the vector store by
+    ``id_bucket`` so the exact-cosine fetch scan-prunes to the
+    candidates' buckets instead of READING every stored embedding each
+    micro-batch — on THIS tier the bound matters most in bytes, since
+    a stored vector is ~8·dim B/row (same layout contract as
+    ``WinnowIndexState.text_buckets``: fixed at the first batch,
+    preserved through compaction, ``None`` for pre-bucketing stores).
+
+    ``ttl_batches`` bounds BOTH stores to the recent horizon — the same
+    stamped-rows contract as every other arrival index (r11 verdict
+    item 2: this was the LAST index without horizon bounding, and its
+    per-row state — the embedding vectors — is the heaviest of all
+    five tiers, so an unbounded continuous deployment grows fastest
+    here). Rows stamped ``indexed_at``; vectors older than ``batch_id -
+    ttl_batches`` stop participating in the screen (buckets and vecs
+    share the floor, so a live bucket row's verify vector is always
+    live too); compaction reclaims the dead horizon from disk
+    (``maybe_compact`` passes the live floor). Enabling TTL over an
+    unstamped store raises ``PreTtlIndexError``; enable TTL from the
+    first batch, or backfill via ``compact_semantic_index(...,
+    backfill_indexed_at=...)``.
     """
 
     def __init__(
@@ -482,9 +668,14 @@ class SemanticIndexState(_ArrivalIndexState):
         num_tables: int = 2,
         threshold: float = 0.3,
         max_bucket: int | None = 10_000,
+        vec_buckets: int | None = 64,
         auto_compact_dirs: int | None = None,
+        auto_prune_alerts: int | None = None,
+        ttl_batches: int | None = None,
     ):
-        super().__init__(spark, state_dir, auto_compact_dirs)
+        super().__init__(
+            spark, state_dir, auto_compact_dirs, auto_prune_alerts
+        )
         self.id_col = id_col
         self.vec_col = vec_col
         self.num_planes = num_planes
@@ -492,17 +683,37 @@ class SemanticIndexState(_ArrivalIndexState):
         self.num_tables = num_tables
         self.threshold = threshold
         self.max_bucket = max_bucket
+        self.vec_buckets = vec_buckets
+        self.ttl_batches = ttl_batches
+        self._last_batch: int | None = None
 
     _COMPACT = ("buckets", "vecs")
 
+    def _ttl_floor(self) -> int | None:
+        if self.ttl_batches is None or self._last_batch is None:
+            return None
+        return self._last_batch - self.ttl_batches
+
     def _read_index(self, batch_id: int):
-        buckets = self._read_prior("buckets", batch_id)
-        vecs = self._read_prior("vecs", batch_id)
+        ttl = self.ttl_batches is not None
+        buckets = self._read_prior("buckets", batch_id, merge_schema=ttl)
+        vecs = self._read_prior("vecs", batch_id, merge_schema=ttl)
         if buckets is None or vecs is None:  # half-written = absent
             return None, None
+        if ttl:
+            # pure pre-TTL store: fail loud (r11 verdict item 6)
+            _require_ttl_stamps("buckets", buckets, self.state_dir)
+            _require_ttl_stamps("vecs", vecs, self.state_dir)
+            # >= not >: the immediately preceding batch must screen at
+            # ttl_batches=1 (the boundary the MinHash twin pins);
+            # unstamped rows read NULL and are conservatively expired
+            live = F.col("indexed_at") >= F.lit(batch_id - self.ttl_batches)
+            buckets = buckets.filter(live).drop("indexed_at")
+            vecs = vecs.filter(live).drop("indexed_at")
         return buckets, vecs
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._last_batch = batch_id
         from stream4flow_spark.llmdata.simsearch import (
             cosine,
             sign_lsh_bucket_table,
@@ -543,7 +754,18 @@ class SemanticIndexState(_ArrivalIndexState):
                 )
                 .select(F.col("d.id").alias("id"), F.col("c.id").alias("cid"))
             )
-        cand = cand.dropDuplicates(["id", "cid"])
+        # lazy checkpoint: cand feeds the bucket collect AND the verify
+        # join — the LSH collision join must not re-run per consumer
+        cand = cand.dropDuplicates(["id", "cid"]).localCheckpoint(eager=False)
+        # the stored vectors — the HEAVIEST per-row state of the five
+        # arrival indexes — are scan-pruned to the candidates' id_bucket
+        # partitions (vec_buckets) before the exact-cosine fetch: the
+        # verify join only KEEPS candidate rows, but without the literal
+        # partition filter it READS every stored embedding every batch
+        if idx_vecs is not None:
+            idx_vecs = self._prune_store_to_candidates(
+                idx_vecs, cand, self.vec_buckets
+            )
         cs_base = (
             vecs
             if idx_vecs is None
@@ -568,12 +790,20 @@ class SemanticIndexState(_ArrivalIndexState):
         flagged = flagged.persist()
         self._record_alerts(batch_id, flagged)
         flagged_only_ids = flagged.select("id")
-        buckets.join(flagged_only_ids, "id", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(f"{self.state_dir}/buckets/batch={batch_id}")
-        vecs.join(flagged_only_ids, "id", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(f"{self.state_dir}/vecs/batch={batch_id}")
+        buckets_out = buckets.join(flagged_only_ids, "id", "left_anti")
+        vecs_out = vecs.join(flagged_only_ids, "id", "left_anti")
+        if self.ttl_batches is not None:
+            stamp = F.lit(batch_id).cast("long").alias("indexed_at")
+            buckets_out = buckets_out.select("*", stamp)
+            vecs_out = vecs_out.select("*", stamp)
+        buckets_out.write.mode("overwrite").parquet(
+            f"{self.state_dir}/buckets/batch={batch_id}"
+        )
+        self._write_store(
+            vecs_out,
+            f"{self.state_dir}/vecs/batch={batch_id}",
+            self.vec_buckets,
+        )
         flagged.unpersist()
         self.maybe_compact()
 
@@ -623,15 +853,32 @@ class WinnowIndexState(_ArrivalIndexState):
     ``incremental_winnow_neardup`` documents; ``compact_winnow_index``
     consolidates the per-batch dirs without changing the screen.
 
+    ``text_buckets`` (default ON) bounds the verify fetch's SCAN, not
+    just its tokenization (r11 verdict item 3): text rows are written
+    hash-partitioned by ``id_bucket = pmod(xxhash64(id),
+    text_buckets)``, and each batch's fetch first collects the
+    candidates' distinct buckets (≤ text_buckets values — the
+    candidate set is small post-threshold) and filters the store read
+    on them, so STATIC partition pruning drops every non-candidate
+    bucket's files at the listing. Without it, the left-semi bounds
+    what gets TOKENIZED to O(candidates) but a plain parquet store
+    still READS O(archive) bytes per micro-batch — the dominant verify
+    term on a year-long crawl. Compaction preserves the partitioning.
+    The layout is fixed at the store's first batch: pass
+    ``text_buckets=None`` for stores created before bucketing existed
+    (a mixed flat/bucketed store fails loudly at read with Spark's
+    conflicting-partition-structure error).
+
     ``ttl_batches`` bounds BOTH stores to the recent horizon, exactly
     like the MinHash twin: every fingerprint/text row is stamped with
     its ``indexed_at`` batch id, rows older than ``batch_id -
     ttl_batches`` stop participating in the screen (fps and texts share
     the floor, so a live fingerprint's verify text is always live too),
     and compaction reclaims the dead horizon from disk
-    (``maybe_compact`` passes the live floor). Unstamped pre-TTL rows
-    are conservatively treated as expired — enable TTL from the first
-    batch or after a fresh compaction. With TTL the text store is no
+    (``maybe_compact`` passes the live floor). Enabling TTL over an
+    unstamped store raises ``PreTtlIndexError`` — enable TTL from the
+    first batch, or backfill via ``compact_winnow_index(...,
+    backfill_indexed_at=...)``. With TTL the text store is no
     longer a full corpus archive: point long-retention archival at its
     own sink if you need one.
     """
@@ -650,10 +897,14 @@ class WinnowIndexState(_ArrivalIndexState):
         max_fps_per_doc: int | None = 32,
         max_bucket: int | None = 150,
         hash_mode: str = "rolling",
+        text_buckets: int | None = 64,
         auto_compact_dirs: int | None = None,
+        auto_prune_alerts: int | None = None,
         ttl_batches: int | None = None,
     ):
-        super().__init__(spark, state_dir, auto_compact_dirs)
+        super().__init__(
+            spark, state_dir, auto_compact_dirs, auto_prune_alerts
+        )
         self.text_col = text_col
         self.id_col = id_col
         self.k = k
@@ -664,10 +915,25 @@ class WinnowIndexState(_ArrivalIndexState):
         self.max_fps_per_doc = max_fps_per_doc
         self.max_bucket = max_bucket
         self.hash_mode = hash_mode
+        self.text_buckets = text_buckets
         self.ttl_batches = ttl_batches
         self._last_batch: int | None = None
 
     _COMPACT = ("fps", "texts")
+
+    def _texts_bucket(self, col: Column) -> Column:
+        return self._store_bucket(col, self.text_buckets)
+
+    def _prune_texts_to_candidates(
+        self, idx_texts: DataFrame, cand: DataFrame
+    ) -> DataFrame:
+        """Restrict the text-store read to the candidates' id_bucket
+        partitions — see ``_prune_store_to_candidates`` (this tier is
+        where the bound matters most: the verify store holds full
+        document text)."""
+        return self._prune_store_to_candidates(
+            idx_texts, cand, self.text_buckets
+        )
 
     def _ttl_floor(self) -> int | None:
         if self.ttl_batches is None or self._last_batch is None:
@@ -681,13 +947,10 @@ class WinnowIndexState(_ArrivalIndexState):
         if fps is None or texts is None:  # half-written = absent
             return None, None
         if ttl:
-            if (
-                "indexed_at" not in fps.columns
-                or "indexed_at" not in texts.columns
-            ):
-                # pre-TTL store: conservatively expired (same contract
-                # as the MinHash twin)
-                return None, None
+            # pure pre-TTL store: fail loud (same contract as the
+            # MinHash twin, r11 verdict item 6)
+            _require_ttl_stamps("fps", fps, self.state_dir)
+            _require_ttl_stamps("texts", texts, self.state_dir)
             live = F.col("indexed_at") >= F.lit(batch_id - self.ttl_batches)
             fps = fps.filter(live).drop("indexed_at")
             texts = texts.filter(live).drop("indexed_at")
@@ -747,11 +1010,6 @@ class WinnowIndexState(_ArrivalIndexState):
             .agg(F.count("*").alias("shared_fps"))
             .filter(F.col("shared_fps") >= self.min_shared)
         )
-        ct_base = (
-            texts
-            if idx_texts is None
-            else idx_texts.select("id", "t").unionByName(texts)
-        )
         # Candidate-bounded verify fetch (r10 verdict): semi-join each
         # text source on the candidate ids BEFORE the word_ngrams
         # projection — Catalyst won't defer a projection below a join
@@ -761,9 +1019,20 @@ class WinnowIndexState(_ArrivalIndexState):
         # correctness-neutral (the verify join is inner on the same
         # ids); candidates are few post-threshold, so AQE broadcasts
         # them and the archive never shuffles for the fetch. Lazy
-        # checkpoint: cand now feeds three consumers and must not
+        # checkpoint: cand now feeds four consumers (the bucket
+        # collect, two semi-joins, the verify join) and must not
         # re-run the collision join per consumer.
         cand = cand.localCheckpoint(eager=False)
+        if idx_texts is not None:
+            # r11 verdict item 3: the semi-join bounds the TOKENIZE but
+            # not the SCAN — prune the store read to the candidates'
+            # id_bucket partitions before anything touches it
+            idx_texts = self._prune_texts_to_candidates(idx_texts, cand)
+        ct_base = (
+            texts
+            if idx_texts is None
+            else idx_texts.select("id", "t").unionByName(texts)
+        )
         gd = texts.join(
             cand.select("id").distinct(), "id", "left_semi"
         ).select("id", word_ngrams(F.col("t"), self.n).alias("grams_d"))
@@ -806,8 +1075,10 @@ class WinnowIndexState(_ArrivalIndexState):
         fps_out.write.mode("overwrite").parquet(
             f"{self.state_dir}/fps/batch={batch_id}"
         )
-        texts_out.write.mode("overwrite").parquet(
-            f"{self.state_dir}/texts/batch={batch_id}"
+        self._write_store(
+            texts_out,
+            f"{self.state_dir}/texts/batch={batch_id}",
+            self.text_buckets,
         )
         flagged.unpersist()
         self.maybe_compact()
@@ -830,15 +1101,22 @@ def winnow_screen_stream(
 
 
 def compact_winnow_index(
-    spark, state_dir: str, min_indexed_at: int | None = None
+    spark,
+    state_dir: str,
+    min_indexed_at: int | None = None,
+    backfill_indexed_at: int | None = None,
 ) -> dict:
     """Consolidate the winnow arrival index's per-batch fingerprint +
     text dirs; returns {"fps": n_rows, "texts": n_rows}.
     ``min_indexed_at``: for TTL'd stores — drop rows stamped below the
     live horizon so manual compaction reclaims expired disk, same as
-    the state's own ``maybe_compact``."""
+    the state's own ``maybe_compact``; ``backfill_indexed_at``: one-time
+    stamp backfill when enabling TTL on a pre-TTL store (see
+    ``PreTtlIndexError``)."""
     return _compact_index(
-        spark, state_dir, ("fps", "texts"), min_indexed_at=min_indexed_at
+        spark, state_dir, ("fps", "texts"),
+        min_indexed_at=min_indexed_at,
+        backfill_indexed_at=backfill_indexed_at,
     )
 
 
@@ -877,6 +1155,7 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         bloom_prefilter: int | None = None,
         bloom_shards: int = 16,
         auto_compact_dirs: int | None = None,
+        auto_prune_alerts: int | None = None,
         ttl_batches: int | None = None,
     ):
         """``bloom_prefilter`` = expected distinct grams PER BATCH:
@@ -893,12 +1172,16 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         (the MinHash twin's TTL contract): rows stamped ``indexed_at``,
         grams older than ``batch_id - ttl_batches`` stop cutting later
         arrivals — "repeated within the recrawl window" semantics —
-        and compaction reclaims expired rows from disk. Unstamped
-        pre-TTL rows are conservatively expired; enable TTL from the
-        first batch or after a fresh compaction. The batch-parity
+        and compaction reclaims expired rows from disk. Enabling TTL
+        over an unstamped store raises ``PreTtlIndexError``; enable TTL
+        from the first batch, or backfill via
+        ``compact_exact_substr_index(..., backfill_indexed_at=...)``.
+        The batch-parity
         property (arrival-ordered stream == batch operator) only holds
         for the unbounded default."""
-        super().__init__(spark, state_dir, auto_compact_dirs)
+        super().__init__(
+            spark, state_dir, auto_compact_dirs, auto_prune_alerts
+        )
         self.text_col = text_col
         self.id_col = id_col
         self.min_len = min_len
@@ -920,9 +1203,8 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         if prior is None:
             return None
         if ttl:
-            if "indexed_at" not in prior.columns:
-                # pre-TTL store: conservatively expired
-                return None
+            # pure pre-TTL store: fail loud (r11 verdict item 6)
+            _require_ttl_stamps("grams", prior, self.state_dir)
             prior = prior.filter(
                 F.col("indexed_at") >= F.lit(batch_id - self.ttl_batches)
             )
@@ -995,14 +1277,21 @@ def exact_substr_screen_stream(
 
 
 def compact_exact_substr_index(
-    spark, state_dir: str, min_indexed_at: int | None = None
+    spark,
+    state_dir: str,
+    min_indexed_at: int | None = None,
+    backfill_indexed_at: int | None = None,
 ) -> dict:
     """Consolidate the ExactSubstr gram index's per-batch dirs (and
     drop cross-batch duplicate grams); returns {"grams": n_rows}.
     ``min_indexed_at``: for TTL'd stores — drop rows stamped below the
-    live horizon so manual compaction reclaims expired disk."""
+    live horizon so manual compaction reclaims expired disk;
+    ``backfill_indexed_at``: one-time stamp backfill when enabling TTL
+    on a pre-TTL store (see ``PreTtlIndexError``)."""
     return _compact_index(
-        spark, state_dir, ("grams",), min_indexed_at=min_indexed_at
+        spark, state_dir, ("grams",),
+        min_indexed_at=min_indexed_at,
+        backfill_indexed_at=backfill_indexed_at,
     )
 
 
@@ -1040,9 +1329,12 @@ class CdcIndexState(_ArrivalIndexState):
         divisor: int = 8,
         hash_mode: str = "md5",
         auto_compact_dirs: int | None = None,
+        auto_prune_alerts: int | None = None,
         ttl_batches: int | None = None,
     ):
-        super().__init__(spark, state_dir, auto_compact_dirs)
+        super().__init__(
+            spark, state_dir, auto_compact_dirs, auto_prune_alerts
+        )
         self.text_col = text_col
         self.id_col = id_col
         self.context = context
@@ -1064,8 +1356,8 @@ class CdcIndexState(_ArrivalIndexState):
         if prior is None:
             return None
         if ttl:
-            if "indexed_at" not in prior.columns:
-                return None  # pre-TTL store: conservatively expired
+            # pure pre-TTL store: fail loud (r11 verdict item 6)
+            _require_ttl_stamps("chunkfps", prior, self.state_dir)
             prior = prior.filter(
                 F.col("indexed_at") >= F.lit(batch_id - self.ttl_batches)
             )
@@ -1136,14 +1428,21 @@ def cdc_screen_stream(
 
 
 def compact_cdc_index(
-    spark, state_dir: str, min_indexed_at: int | None = None
+    spark,
+    state_dir: str,
+    min_indexed_at: int | None = None,
+    backfill_indexed_at: int | None = None,
 ) -> dict:
     """Consolidate the CDC chunk-fp index's per-batch dirs (and drop
     cross-batch duplicate fingerprints); returns {"chunkfps": n_rows}.
     ``min_indexed_at``: for TTL'd stores — drop rows stamped below the
-    live horizon so manual compaction reclaims expired disk."""
+    live horizon so manual compaction reclaims expired disk;
+    ``backfill_indexed_at``: one-time stamp backfill when enabling TTL
+    on a pre-TTL store (see ``PreTtlIndexError``)."""
     return _compact_index(
-        spark, state_dir, ("chunkfps",), min_indexed_at=min_indexed_at
+        spark, state_dir, ("chunkfps",),
+        min_indexed_at=min_indexed_at,
+        backfill_indexed_at=backfill_indexed_at,
     )
 
 
@@ -1186,8 +1485,9 @@ class ContaminationScreenState(_ArrivalIndexState):
         fpp: float = 0.01,
         text_col: str = "text",
         id_col: str = "doc_id",
+        auto_prune_alerts: int | None = None,
     ):
-        super().__init__(spark, state_dir)
+        super().__init__(spark, state_dir, auto_prune_alerts=auto_prune_alerts)
         self.n = n
         self.min_overlap = min_overlap
         self.expected_grams = expected_grams
@@ -1327,7 +1627,10 @@ def prune_alerts(spark, state_dir: str, keep_last: int) -> int:
 
 
 def compact_neardup_index(
-    spark, state_dir: str, min_indexed_at: int | None = None
+    spark,
+    state_dir: str,
+    min_indexed_at: int | None = None,
+    backfill_indexed_at: int | None = None,
 ) -> dict:
     """Rewrite the minhash near-dup index's accumulated per-batch dirs
     into one consolidated batch each for bands and signatures (DEPLOY.md:
@@ -1339,14 +1642,29 @@ def compact_neardup_index(
     live horizon (``last_batch - ttl_batches``) so manual compaction
     reclaims expired disk, same as the state's own ``maybe_compact``."""
     return _compact_index(
-        spark, state_dir, ("bands", "sigs"), min_indexed_at=min_indexed_at
+        spark, state_dir, ("bands", "sigs"),
+        min_indexed_at=min_indexed_at,
+        backfill_indexed_at=backfill_indexed_at,
     )
 
 
-def compact_semantic_index(spark, state_dir: str) -> dict:
+def compact_semantic_index(
+    spark,
+    state_dir: str,
+    min_indexed_at: int | None = None,
+    backfill_indexed_at: int | None = None,
+) -> dict:
     """Same consolidation for the SEMANTIC index's bucket + vector
-    dirs; returns {"buckets": n_rows, "vecs": n_rows}."""
-    return _compact_index(spark, state_dir, ("buckets", "vecs"))
+    dirs; returns {"buckets": n_rows, "vecs": n_rows}.
+    ``min_indexed_at``: for TTL'd stores — drop rows stamped below the
+    live horizon so manual compaction reclaims expired disk.
+    ``backfill_indexed_at``: one-time stamp backfill when enabling TTL
+    on a pre-TTL store (see ``PreTtlIndexError``)."""
+    return _compact_index(
+        spark, state_dir, ("buckets", "vecs"),
+        min_indexed_at=min_indexed_at,
+        backfill_indexed_at=backfill_indexed_at,
+    )
 
 
 def _compact_index(
@@ -1354,6 +1672,7 @@ def _compact_index(
     state_dir: str,
     subs: tuple[str, ...],
     min_indexed_at: int | None = None,
+    backfill_indexed_at: int | None = None,
 ) -> dict:
     """Per-batch-dir → single-dir rewrite shared by the arrival
     indexes. Listing and the delete/rename swap go through the Hadoop
@@ -1393,6 +1712,17 @@ def _compact_index(
     filter only bounds what SCREENS; without this, dead rows would be
     copied forward by every compaction forever). Ignored when the
     store carries no ``indexed_at`` column.
+
+    ``backfill_indexed_at``: the one-time remediation for enabling
+    ``ttl_batches`` on a store written before TTL existed (see
+    ``PreTtlIndexError``): every folded row missing a stamp (absent
+    column or NULL) gets ``indexed_at = backfill_indexed_at`` — pass
+    the current batch id so the whole prior corpus enters the horizon
+    as if indexed now. Applied BEFORE the ``min_indexed_at`` filter.
+    Caveat: the newest batch dir is preserved as itself (redelivery
+    safety), so ITS rows stay unstamped until the next compaction
+    folds them — under TTL they read NULL and sit out the screen, a
+    documented one-batch recall gap of the migration.
     """
     out = {}
     jvm = spark._jvm
@@ -1415,13 +1745,29 @@ def _compact_index(
         if latest is not None:
             fold = fold.filter(F.col("batch").cast("string") != str(latest))
         fold = fold.drop("batch")
+        if backfill_indexed_at is not None:
+            stamp = F.lit(backfill_indexed_at).cast("long")
+            if "indexed_at" in fold.columns:
+                fold = fold.withColumn(
+                    "indexed_at", F.coalesce(F.col("indexed_at"), stamp)
+                )
+            else:
+                fold = fold.withColumn("indexed_at", stamp)
         if min_indexed_at is not None and "indexed_at" in fold.columns:
             fold = fold.filter(F.col("indexed_at") >= F.lit(min_indexed_at))
         fold = fold.distinct()
         tmp = f"{state_dir}/__compact_{sub}"
-        fold.coalesce(max(1, fold.rdd.getNumPartitions() // 8)).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        writer = fold.coalesce(
+            max(1, fold.rdd.getNumPartitions() // 8)
+        ).write.mode("overwrite")
+        if "id_bucket" in fold.columns:
+            # a bucketed text store (WinnowIndexState.text_buckets) must
+            # stay bucketed through compaction, or the consolidated dir's
+            # flat layout would (a) break partition discovery against the
+            # remaining bucketed batch dirs and (b) lose the verify
+            # fetch's scan pruning for the whole folded history
+            writer = writer.partitionBy("id_bucket")
+        writer.parquet(tmp)
         path_cls = jvm.org.apache.hadoop.fs.Path
         fs = path_cls(src).getFileSystem(conf)
         dest = f"{src}/batch=compacted-{gen + 1}"

@@ -3498,3 +3498,386 @@ def test_prune_alerts_retains_tail_only(spark, tmp_path):
     assert len(_list_fs(spark, f"{d}/alerts/batch=*")) == 2
     assert {r.id for r in st.alerts} == {2, 3}
     assert prune_alerts(spark, d, keep_last=2) == 0  # idempotent
+
+
+def test_semantic_ttl_boundary_and_disk_reclamation(spark, tmp_path):
+    """r11 verdict item 2: SemanticIndexState was the LAST arrival
+    index without horizon bounding — and its per-row state (embedding
+    vectors) is the heaviest of the five tiers. Same contract as the
+    MinHash/winnow twins: an original that aged out no longer attracts
+    flags (the later copy becomes the new original), ttl=1 keeps the
+    immediately-preceding batch screening, and auto-compaction RECLAIMS
+    expired rows from BOTH stores instead of copying them forward."""
+    from stream4flow_spark.streaming.llmingest import SemanticIndexState
+
+    dim, planes, tables = 8, 2, 8
+    v0 = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    near = [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]    # ~v0 (cos .994)
+    near2 = [0.95, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]  # ~v0 and ~near
+    e = [[1.0 if j == i else 0.0 for j in range(dim)] for i in range(dim)]
+    schema = "vec_id long, embedding array<double>"
+
+    def drain(ttl, dirname):
+        st = SemanticIndexState(
+            spark, str(tmp_path / dirname), num_planes=planes, dim=dim,
+            num_tables=tables, threshold=0.5, ttl_batches=ttl,
+        )
+        waves = [(0, v0), (1, e[4]), (2, e[5]), (3, near), (4, near2)]
+        for b, (i, v) in enumerate(waves):
+            st.apply_batch(spark.createDataFrame([(i, v)], schema), b)
+        return {r.id: r.best_match_id for r in st.alerts}
+
+    # ttl=2: vec 0 (batch 0) is out of horizon by batch 3 -> vec 3
+    # passes clean, becomes the new original; vec 4 flags against 3
+    assert drain(2, "t2") == {4: 3}
+    # no ttl: the original never expires; 3 flags against 0 and is NOT
+    # indexed, so 4 also flags against 0
+    assert drain(None, "tn") == {3: 0, 4: 0}
+
+    # ttl=1 boundary: batch 0's rows must still screen batch 1
+    st = SemanticIndexState(
+        spark, str(tmp_path / "b1"), num_planes=planes, dim=dim,
+        num_tables=tables, threshold=0.5, ttl_batches=1,
+    )
+    st.apply_batch(spark.createDataFrame([(0, v0)], schema), 0)
+    st.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+    assert {(r.id, r.best_match_id) for r in st.alerts} == {(1, 0)}
+
+    # disk reclamation: 5 orthogonal single-vector batches, ttl=2,
+    # auto_compact_dirs=3 — the last compaction's floor (4 - 2 = 2)
+    # prunes batches 0 and 1 from BOTH stores
+    st2 = SemanticIndexState(
+        spark, str(tmp_path / "r"), num_planes=planes, dim=dim,
+        num_tables=tables, threshold=0.5,
+        ttl_batches=2, auto_compact_dirs=3,
+    )
+    for i in range(5):
+        st2.apply_batch(spark.createDataFrame([(i, e[i])], schema), i)
+    for sub in ("buckets", "vecs"):
+        stamps = {
+            r.indexed_at
+            for r in spark.read.parquet(str(tmp_path / "r" / sub)).collect()
+        }
+        assert stamps == {2, 3, 4}, (sub, stamps)
+
+
+def test_ttl_over_pre_ttl_store_fails_loud_everywhere(spark, tmp_path):
+    """r11 verdict item 6: the old behavior — TTL enabled over a store
+    written without indexed_at stamps silently treats the WHOLE index
+    as expired — meant one accidental flag flip stopped every prior
+    document from screening new arrivals, with no error. Every TTL'd
+    arrival index must now raise PreTtlIndexError instead."""
+    import pytest
+
+    from stream4flow_spark.streaming.llmingest import (
+        CdcIndexState,
+        ExactSubstrIndexState,
+        NeardupIndexState,
+        PreTtlIndexError,
+        SemanticIndexState,
+        WinnowIndexState,
+    )
+
+    text = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun near the far wall and gate")
+    doc_schema = "doc_id long, text string"
+    vec_schema = "vec_id long, embedding array<double>"
+    passage = " ".join(f"tok{i}" for i in range(20))
+
+    cases = [
+        (NeardupIndexState, {"threshold": 0.5},
+         lambda i: spark.createDataFrame([(i, text)], doc_schema)),
+        (WinnowIndexState, {"threshold": 0.3},
+         lambda i: spark.createDataFrame([(i, text)], doc_schema)),
+        (ExactSubstrIndexState, {"min_len": 15},
+         lambda i: spark.createDataFrame([(i, passage)], doc_schema)),
+        (CdcIndexState, {},
+         lambda i: spark.createDataFrame([(i, passage)], doc_schema)),
+        (SemanticIndexState, {"num_planes": 2, "dim": 8, "num_tables": 8},
+         lambda i: spark.createDataFrame(
+             [(i, [float(i == j) for j in range(8)])], vec_schema
+         )),
+    ]
+    for cls, kw, mk in cases:
+        d = str(tmp_path / cls.__name__)
+        cls(spark, d, **kw).apply_batch(mk(0), 0)  # pre-TTL batch
+        st = cls(spark, d, ttl_batches=4, **kw)
+        with pytest.raises(PreTtlIndexError, match="backfill_indexed_at"):
+            st.apply_batch(mk(1), 1)
+
+
+def test_backfill_compaction_remediates_pre_ttl_store(spark, tmp_path):
+    """The remediation the PreTtlIndexError message promises: a one-time
+    compact_*_index(..., backfill_indexed_at=<batch>) stamps the folded
+    pre-TTL rows, after which the TTL'd state reads the store and the
+    backfilled originals screen new arrivals again. The newest batch
+    dir is preserved unstamped (redelivery safety) and sits out the
+    screen until the next compaction — the documented one-batch recall
+    gap of the migration."""
+    from stream4flow_spark.streaming.llmingest import (
+        NeardupIndexState,
+        compact_neardup_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun beyond the old mill gate")
+    near = base.replace("today", "tomorrow")
+    filler = ("filler document holding words alpha beta gamma delta "
+              "epsilon zeta eta theta iota kappa")
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+
+    st = NeardupIndexState(spark, d, threshold=0.5)  # pre-TTL era
+    st.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+    st.apply_batch(spark.createDataFrame([(1, filler)], schema), 1)
+
+    # backfill: folded rows (batch 0) get indexed_at=2; batch 1 is the
+    # preserved-newest dir and stays unstamped
+    compact_neardup_index(spark, d, backfill_indexed_at=2)
+
+    st2 = NeardupIndexState(spark, d, threshold=0.5, ttl_batches=4)
+    st2.apply_batch(spark.createDataFrame([(2, near)], schema), 2)
+    assert {(r.id, r.best_match_id) for r in st2.alerts} == {(2, 0)}
+
+
+def test_alerts_df_accessor_and_collect_guard(spark, tmp_path, monkeypatch):
+    """r11 verdict item 5: alerts_df() is the deployment-scale accessor
+    — the durable history as a DataFrame, matching the collecting
+    property row-for-row on a drained stream — and the property itself
+    warns once the durable history outgrows the test-scale collect it
+    was built for."""
+    import warnings
+
+    from stream4flow_spark.streaming.llmingest import NeardupIndexState
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun across the narrow bridge")
+    nears = [base.replace("today", w) for w in ("tomorrow", "yesterday")]
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+    st = NeardupIndexState(spark, d, threshold=0.5)
+    assert st.alerts_df() is None  # nothing drained yet
+    st.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+    for b, t in enumerate(nears, start=1):
+        st.apply_batch(spark.createDataFrame([(b, t)], schema), b)
+
+    df = st.alerts_df()
+    assert "batch" in df.columns
+    got = {(r.id, r.best_match_id) for r in df.collect()}
+    assert got == {(r.id, r.best_match_id) for r in st.alerts} == {
+        (1, 0), (2, 0)
+    }
+
+    # the collecting property warns past the dir budget; alerts_df never
+    monkeypatch.setattr(NeardupIndexState, "ALERTS_COLLECT_WARN_DIRS", 1)
+    with pytest.warns(ResourceWarning, match="alerts_df"):
+        st.alerts
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        st.alerts_df().count()
+
+
+def test_auto_prune_alerts_bounds_history_and_stays_idempotent(
+    spark, tmp_path
+):
+    """r11 verdict item 7: auto_prune_alerts wires the manual
+    prune_alerts into the batch loop — old alert dirs are deleted as
+    the stream drains, the newest retained, and a foreachBatch
+    redelivery of the newest batch still overwrites (not doubles) its
+    own alerts."""
+    from stream4flow_spark.streaming.llmingest import (
+        NeardupIndexState,
+        _list_fs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun behind the tall hedge")
+    nears = [base.replace("today", w) for w in ("tomorrow", "yesterday",
+                                                "tonight")]
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+    st = NeardupIndexState(spark, d, threshold=0.5, auto_prune_alerts=2)
+    st.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+    for b, t in enumerate(nears, start=1):
+        st.apply_batch(spark.createDataFrame([(b, t)], schema), b)
+
+    dirs = _list_fs(spark, f"{d}/alerts/batch=*")
+    assert sorted(p.rsplit("batch=", 1)[1] for p in dirs) == ["2", "3"]
+    assert {(r.id, r.best_match_id) for r in st.alerts} == {(2, 0), (3, 0)}
+
+    # redelivery of the newest batch: alerts unchanged, still 2 dirs
+    st.apply_batch(spark.createDataFrame([(3, nears[2])], schema), 3)
+    assert {(r.id, r.best_match_id) for r in st.alerts} == {(2, 0), (3, 0)}
+    assert len(_list_fs(spark, f"{d}/alerts/batch=*")) == 2
+
+
+def test_winnow_verify_fetch_prunes_text_store_scan(spark, tmp_path):
+    """r11 verdict item 3: the r10 left-semi bounded what the verify
+    TOKENIZES, but the text store was flat parquet, so per-batch verify
+    I/O still READ the whole archive. With text_buckets the store is
+    hash-partitioned by id_bucket and the fetch filters on the
+    candidates' buckets — a LITERAL predicate, so the scan prunes
+    STATICALLY at file listing: measured here as the pruned read
+    touching exactly the candidate bucket's files, not the archive's,
+    while the flags stay identical to the unbucketed layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.streaming.llmingest import WinnowIndexState
+
+    shared = ("the quick brown fox jumps over the lazy dog again and "
+              "again today in the bright morning sun with a long shared run")
+    fillers = [
+        f"archive filler number {i} holding words alpha{i} beta{i} "
+        f"gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i}"
+        for i in range(7)
+    ]
+    near = "other start " + shared + " different tail"
+    schema = "doc_id long, text string"
+
+    def drain(dirname, **kw):
+        st = WinnowIndexState(
+            spark, str(tmp_path / dirname), threshold=0.3, **kw
+        )
+        batches = [(0, "prefix one " + shared + " suffix alpha")] + [
+            (i + 1, t) for i, t in enumerate(fillers)
+        ] + [(100, near)]
+        for b, (i, t) in enumerate(batches):
+            st.apply_batch(spark.createDataFrame([(i, t)], schema), b)
+        return st
+
+    # parity: bucketed and flat layouts flag identically
+    st = drain("bk", text_buckets=8)
+    flat = drain("flat", text_buckets=None)
+    want = {(r.id, r.best_match_id, r.best_jaccard) for r in flat.alerts}
+    assert {(r.id, r.best_match_id, r.best_jaccard)
+            for r in st.alerts} == want == {(100, 0, flat.alerts[0].best_jaccard)}
+
+    # measured scan bound, via the state's own prune method over its
+    # own store read: one candidate (cid=0) -> exactly the files under
+    # that id's bucket partition are touched, out of the whole archive
+    idx_texts = st._read_prior("texts", batch_id=10_000)
+    assert "id_bucket" in idx_texts.columns
+    cand = spark.createDataFrame([(100, 0, 3)], "id long, cid long, shared_fps long")
+    pruned = st._prune_texts_to_candidates(idx_texts, cand)
+    read_files = {
+        r.f for r in pruned.select(
+            F.input_file_name().alias("f")).distinct().collect()
+    }
+    b0 = spark.range(1).select(st._texts_bucket(F.lit(0).cast("long"))).first()[0]
+    bucket_files, all_files = set(), set()
+    for root, _, files in os.walk(str(tmp_path / "bk" / "texts")):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(root, fn)
+            all_files.add(p)
+            if f"id_bucket={b0}" in p:
+                bucket_files.add(p)
+    assert {f.replace("file://", "") for f in read_files} == bucket_files
+    assert len(bucket_files) < len(all_files), (
+        "prune test degenerate: every doc hashed into the candidate's "
+        "bucket"
+    )
+    # the pruned plan carries the partition filter (static pruning,
+    # not a runtime join filter)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "id_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # no candidates -> the store read is skipped entirely
+    empty = st._prune_texts_to_candidates(
+        idx_texts, cand.filter(F.lit(False))
+    )
+    assert empty.count() == 0
+    assert empty.select(F.input_file_name()).distinct().count() == 0
+
+
+def test_sig_and_vec_verify_stores_scan_prune(spark, tmp_path):
+    """r12 generalization of the text-store scan bound: the MinHash
+    tier's signature store and the semantic tier's vector store (the
+    heaviest per-row state of all five) are also verify-side by-id
+    fetches, so they get the same id_bucket layout — flags identical to
+    the flat layout, and the pruned read touches only the candidate
+    bucket's files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stream4flow_spark.streaming.llmingest import (
+        NeardupIndexState,
+        SemanticIndexState,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun beneath the orchard wall")
+    fillers = [
+        f"filler document number {i} holding words alpha{i} beta{i} "
+        f"gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i}"
+        for i in range(5)
+    ]
+    near = base.replace("today", "tomorrow")
+    doc_schema = "doc_id long, text string"
+
+    def drain_nd(dirname, **kw):
+        st = NeardupIndexState(spark, str(tmp_path / dirname),
+                               threshold=0.5, **kw)
+        rows = [(0, base)] + list(enumerate(fillers, start=1)) + [(100, near)]
+        for b, (i, t) in enumerate(rows):
+            st.apply_batch(spark.createDataFrame([(i, t)], doc_schema), b)
+        return st
+
+    st = drain_nd("nd_bk", sig_buckets=8)
+    flat = drain_nd("nd_flat", sig_buckets=None)
+    assert {(r.id, r.best_match_id, r.est_jaccard) for r in st.alerts} == {
+        (r.id, r.best_match_id, r.est_jaccard) for r in flat.alerts
+    } == {(100, 0, flat.alerts[0].est_jaccard)}
+
+    dim, planes, tables = 8, 2, 8
+    v0 = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    vnear = [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    e = [[1.0 if j == i else 0.0 for j in range(dim)] for i in range(dim)]
+    vec_schema = "vec_id long, embedding array<double>"
+
+    def drain_se(dirname, **kw):
+        st = SemanticIndexState(spark, str(tmp_path / dirname),
+                                num_planes=planes, dim=dim,
+                                num_tables=tables, threshold=0.5, **kw)
+        rows = [(0, v0)] + [(i, e[i]) for i in range(2, 6)] + [(100, vnear)]
+        for b, (i, v) in enumerate(rows):
+            st.apply_batch(spark.createDataFrame([(i, v)], vec_schema), b)
+        return st
+
+    se = drain_se("se_bk", vec_buckets=8)
+    se_flat = drain_se("se_flat", vec_buckets=None)
+    assert {(r.id, r.best_match_id, r.cos) for r in se.alerts} == {
+        (r.id, r.best_match_id, r.cos) for r in se_flat.alerts
+    } == {(100, 0, se_flat.alerts[0].cos)}
+
+    # measured scan bound for both stores, via the states' own prune
+    # over their own store reads (candidate cid = 0)
+    cand = spark.createDataFrame([(100, 0)], "id long, cid long")
+    for state, sub, n_bk, root in (
+        (st, "sigs", 8, tmp_path / "nd_bk" / "sigs"),
+        (se, "vecs", 8, tmp_path / "se_bk" / "vecs"),
+    ):
+        idx = state._read_prior(sub, batch_id=10_000)
+        assert "id_bucket" in idx.columns
+        pruned = state._prune_store_to_candidates(idx, cand, n_bk)
+        read_files = {
+            r.f.replace("file://", "")
+            for r in pruned.select(
+                F.input_file_name().alias("f")).distinct().collect()
+        }
+        b0 = spark.range(1).select(
+            state._store_bucket(F.lit(0).cast("long"), n_bk)).first()[0]
+        bucket_files, all_files = set(), set()
+        for rt, _, files in os.walk(str(root)):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(rt, fn)
+                    all_files.add(p)
+                    if f"id_bucket={b0}" in p:
+                        bucket_files.add(p)
+        assert read_files == bucket_files, sub
+        assert len(bucket_files) < len(all_files), sub
