@@ -147,6 +147,7 @@ class _ArrivalIndexState:
         self.auto_compact_dirs = auto_compact_dirs
         self.auto_prune_alerts = auto_prune_alerts
         self._alerts_by_batch: dict[int, list] = {}
+        self._compact_dir_count: int | None = None
 
     def maybe_compact(self) -> dict | None:
         """Run this state's compactor if any sub-dir's batch count has
@@ -157,16 +158,30 @@ class _ArrivalIndexState:
         subs = self._COMPACT
         if self.auto_compact_dirs is None or not subs:
             return None
-        n = max(
-            len(_list_fs(self.spark, f"{self.state_dir}/{s}/batch=*"))
-            for s in subs
-        )
-        if n < self.auto_compact_dirs:
+        # ONE listing to seed, then an in-memory increment per batch:
+        # the guard must not itself pay the O(dirs) listing it exists
+        # to bound — on an object store with thousands of batch dirs,
+        # a per-batch list IS the degradation. Each apply_batch adds
+        # exactly one dir per sub; a redelivered batch overwrites its
+        # dir but still increments, which only compacts one batch
+        # early (harmless). A restart re-seeds from a fresh listing.
+        if self._compact_dir_count is None:
+            self._compact_dir_count = max(
+                len(_list_fs(self.spark, f"{self.state_dir}/{s}/batch=*"))
+                for s in subs
+            )
+        else:
+            self._compact_dir_count += 1
+        if self._compact_dir_count < self.auto_compact_dirs:
             return None
-        return _compact_index(
+        out = _compact_index(
             self.spark, self.state_dir, subs,
             min_indexed_at=self._ttl_floor(),
         )
+        # compaction rewrote the layout (one compacted dir + the
+        # preserved newest) — re-seed from a listing on the next batch
+        self._compact_dir_count = None
+        return out
 
     def _ttl_floor(self) -> int | None:
         """Oldest still-live ``indexed_at`` stamp, or None when the

@@ -3881,3 +3881,43 @@ def test_sig_and_vec_verify_stores_scan_prune(spark, tmp_path):
                         bucket_files.add(p)
         assert read_files == bucket_files, sub
         assert len(bucket_files) < len(all_files), sub
+
+
+def test_auto_compact_guard_counts_in_memory(spark, tmp_path):
+    """The auto-compaction guard must not pay an O(dirs) listing every
+    batch — that listing is the exact degradation auto_compact_dirs
+    exists to bound. It seeds from one listing, increments in memory
+    per batch, and re-seeds only after a compaction rewrites the
+    layout (cadence itself is pinned by the reclamation tests: stamps
+    {2,3,4} after five batches at auto_compact_dirs=3)."""
+    from stream4flow_spark.streaming.llmingest import NeardupIndexState
+
+    schema = "doc_id long, text string"
+    st = NeardupIndexState(
+        spark, str(tmp_path / "nd"), threshold=0.5, auto_compact_dirs=100
+    )
+    for b in range(3):
+        st.apply_batch(
+            spark.createDataFrame(
+                [(b, f"doc number {b} with words alpha{b} beta{b} "
+                     f"gamma{b} delta{b}")], schema
+            ),
+            b,
+        )
+    # seeded at 1 on the first batch, then +1 per batch — no re-listing
+    assert st._compact_dir_count == 3
+
+    st2 = NeardupIndexState(
+        spark, str(tmp_path / "nd2"), threshold=0.5, auto_compact_dirs=2
+    )
+    for b in range(2):
+        st2.apply_batch(
+            spark.createDataFrame(
+                [(b, f"other doc {b} with words kappa{b} lambda{b} "
+                     f"mu{b} nu{b}")], schema
+            ),
+            b,
+        )
+    # the second batch hit the threshold, compacted, and reset the
+    # counter for a fresh seed
+    assert st2._compact_dir_count is None
