@@ -148,6 +148,7 @@ class _ArrivalIndexState:
         self.auto_prune_alerts = auto_prune_alerts
         self._alerts_by_batch: dict[int, list] = {}
         self._compact_dir_count: int | None = None
+        self._index_seen: set[str] = set()
 
     def maybe_compact(self) -> dict | None:
         """Run this state's compactor if any sub-dir's batch count has
@@ -334,7 +335,18 @@ class _ArrivalIndexState:
         w.parquet(path)
 
     def _has_index(self, sub: str) -> bool:
-        return bool(_list_fs(self.spark, f"{self.state_dir}/{sub}/batch=*"))
+        """Existence probe for an index sub-dir. Once a sub-dir exists
+        it never disappears (every batch writes one; compaction always
+        leaves the consolidated + newest dirs), so a positive result is
+        cached and the per-batch existence glob — another O(dirs)
+        listing that grows with the store — is paid once per sub per
+        state object, not once per micro-batch."""
+        if sub in self._index_seen:
+            return True
+        if _list_fs(self.spark, f"{self.state_dir}/{sub}/batch=*"):
+            self._index_seen.add(sub)
+            return True
+        return False
 
     def _read_prior(
         self, sub: str, batch_id: int, merge_schema: bool = False
