@@ -21,6 +21,7 @@ record timestamp, file mtime); tests derive a deterministic one.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -70,6 +71,48 @@ def _list_fs(spark, pattern: str) -> list[str]:
     if statuses is None:
         return []
     return [str(s.getPath()) for s in statuses]
+
+
+def _read_side_file(spark, path: str) -> str | None:
+    """Read a small text side-file via Hadoop FS (HDFS/S3-capable);
+    None when absent — the reader twin of ``export._write_side_file``."""
+    try:
+        jvm = spark._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            out = bytearray()
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                out.append(b)
+            return out.decode("utf-8")
+        finally:
+            stream.close()
+    except AttributeError:  # pragma: no cover - gateway-less session
+        import os
+
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return f.read()
+
+
+class StoreLayoutError(RuntimeError):
+    """The configured ``*_buckets`` disagrees with the id_bucket layout
+    the store was actually written with. The bucket function is baked
+    into the directory layout at write time, so a mismatched fetch
+    filter would select the WRONG partitions and silently drop stored
+    rows from the verify — duplicates would pass unflagged with no
+    error (the same silent-recall-loss class ``PreTtlIndexError``
+    exists to prevent). The layout is a property of the STORE, not the
+    session: each bucketed store records it in a ``<sub>._layout``
+    side-file at first write and every later session must match it."""
 
 
 class PreTtlIndexError(RuntimeError):
@@ -141,14 +184,18 @@ class _ArrivalIndexState:
         state_dir: str,
         auto_compact_dirs: int | None = None,
         auto_prune_alerts: int | None = None,
+        ttl_batches: int | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
         self.auto_compact_dirs = auto_compact_dirs
         self.auto_prune_alerts = auto_prune_alerts
+        self.ttl_batches = ttl_batches
+        self._last_batch: int | None = None
         self._alerts_by_batch: dict[int, list] = {}
         self._compact_dir_count: int | None = None
         self._index_seen: set[str] = set()
+        self._store_buckets: dict[str, int | None] = {}
 
     def maybe_compact(self) -> dict | None:
         """Run this state's compactor if any sub-dir's batch count has
@@ -175,9 +222,20 @@ class _ArrivalIndexState:
             self._compact_dir_count += 1
         if self._compact_dir_count < self.auto_compact_dirs:
             return None
+        floor = self._ttl_floor()
         out = _compact_index(
             self.spark, self.state_dir, subs,
-            min_indexed_at=self._ttl_floor(),
+            min_indexed_at=floor,
+            # NULL stamps can only exist mid-migration (the dir a
+            # backfill compaction preserved as-newest); stamping them
+            # as-if-indexed-now instead of dropping them is what makes
+            # the PreTtlIndexError remediation actually complete — the
+            # r12 review caught that the min_indexed_at filter alone
+            # silently DELETED those rows at the next fold, turning the
+            # documented one-fold recall gap into a permanent one
+            backfill_indexed_at=(
+                self._last_batch if floor is not None else None
+            ),
         )
         # compaction rewrote the layout (one compacted dir + the
         # preserved newest) — re-seed from a listing on the next batch
@@ -186,8 +244,12 @@ class _ArrivalIndexState:
 
     def _ttl_floor(self) -> int | None:
         """Oldest still-live ``indexed_at`` stamp, or None when the
-        state has no TTL — overridden by TTL-capable states."""
-        return None
+        state has no TTL (or nothing drained yet) — ONE implementation
+        for all five TTL-capable states (r12 review: the identical
+        override had been copy-pasted five times)."""
+        if self.ttl_batches is None or self._last_batch is None:
+            return None
+        return self._last_batch - self.ttl_batches
 
     def _record_alerts(self, batch_id: int, flagged: DataFrame) -> None:
         """Durable per-batch alert sink (r10 verdict item 3): alerts
@@ -243,10 +305,12 @@ class _ArrivalIndexState:
         ``ALERTS_COLLECT_WARN_DIRS`` batch dirs this property warns.
         Use ``recent_alerts`` for the in-memory tail without a read
         job."""
-        df = self.alerts_df()
-        if df is None:
-            return []
+        # ONE listing serves both the existence check and the warn
+        # count (alerts_df would list again — r12 review finding 5)
         n_dirs = len(_list_fs(self.spark, f"{self.state_dir}/alerts/batch=*"))
+        if n_dirs == 0:
+            return []
+        df = self.spark.read.parquet(f"{self.state_dir}/alerts")
         if n_dirs > self.ALERTS_COLLECT_WARN_DIRS:
             import warnings
 
@@ -281,6 +345,71 @@ class _ArrivalIndexState:
         write-time and fetch-time definitions MUST agree, so there is
         exactly one."""
         return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+    def _resolve_store_buckets(self, sub: str, configured: int | None) -> int | None:
+        """Resolve the id_bucket layout for a verify store (r12 review
+        findings 1+2). The layout is a property of the STORE: a
+        ``<sub>._layout`` side-file records the bucket count (or
+        ``flat``) at first write, and later sessions must agree —
+
+        - marker present + configured matches → use it;
+        - marker present + configured differs → ``StoreLayoutError``
+          (a mismatched fetch filter silently drops stored rows);
+        - no marker, store ABSENT (fresh) → write the marker with the
+          configured value and use it;
+        - no marker, store EXISTS (written before markers existed) →
+          detect the on-disk layout: flat dirs force ``None`` (writing
+          bucketed dirs into a flat store would crash every later read
+          with Spark's conflicting-directory-structures error — the
+          upgrade trap), bucketed dirs trust the configured count and
+          stamp the marker with it.
+
+        Cached per sub for the state object's lifetime."""
+        if sub in self._store_buckets:
+            return self._store_buckets[sub]
+        from stream4flow_spark.llmdata.export import _write_side_file
+
+        marker = f"{self.state_dir}/{sub}._layout"
+        recorded = _read_side_file(self.spark, marker)
+        if recorded is not None:
+            recorded = recorded.strip()
+            val = None if recorded == "flat" else int(recorded)
+            if val != configured:
+                raise StoreLayoutError(
+                    f"the '{sub}' store at {self.state_dir} was written "
+                    f"with {sub.rstrip('s')}_buckets="
+                    f"{'None (flat)' if val is None else val} but this "
+                    f"session configured {configured}; pass the recorded "
+                    "value (the bucket function is baked into the "
+                    "directory layout) or rebuild the store"
+                )
+        else:
+            batch_dirs = _list_fs(self.spark, f"{self.state_dir}/{sub}/batch=*")
+            if not batch_dirs:
+                val = configured  # fresh store: the knob decides
+            elif _list_fs(self.spark, f"{batch_dirs[0]}/id_bucket=*"):
+                # pre-marker bucketed store: the configured count
+                # produced it, so trust and record it
+                val = configured
+            else:
+                # pre-marker FLAT store: adopt flat instead of writing
+                # a mixed layout that crash-loops every later read
+                if configured is not None:
+                    import warnings
+
+                    warnings.warn(
+                        f"'{sub}' store at {self.state_dir} predates "
+                        "id_bucket layouts and is flat; ignoring "
+                        f"configured buckets={configured} (rebuild the "
+                        "store to adopt scan-pruned fetches)",
+                        stacklevel=2,
+                    )
+                val = None
+            _write_side_file(
+                self.spark, marker, "flat" if val is None else str(val)
+            )
+        self._store_buckets[sub] = val
+        return val
 
     def _prune_store_to_candidates(
         self,
@@ -382,8 +511,18 @@ class _ArrivalIndexState:
             # explicit schema can't replace this because the id column's
             # type derives from the caller's corpus).
             reader = reader.option("mergeSchema", "true")
+        try:
+            df = reader.parquet(f"{self.state_dir}/{sub}")
+        except AnalysisException:
+            # every batch dir is empty: a bucketed write of an empty
+            # micro-batch leaves only _SUCCESS (partitionBy emits no
+            # schema-bearing part file, unlike a flat empty write), so
+            # schema inference has nothing to read. Semantically the
+            # store IS empty — treat as absent instead of crash-looping
+            # the stream (r12 review finding 4).
+            return None
         return (
-            reader.parquet(f"{self.state_dir}/{sub}")
+            df
             .filter(F.col("batch").cast("string") != F.lit(str(batch_id)))
             .drop("batch")
         )
@@ -407,9 +546,9 @@ class NeardupIndexState(_ArrivalIndexState):
     hash-partitions the signature store by ``id_bucket`` so the verify
     fetch scan-prunes to the candidates' buckets instead of READING
     every stored signature each micro-batch — the same layout contract
-    as ``WinnowIndexState.text_buckets``: fixed at the store's first
-    batch, preserved through compaction, ``None`` for stores created
-    before bucketing.
+    as ``WinnowIndexState.text_buckets``: recorded in a store-side
+    marker at first write, mismatches fail loud (``StoreLayoutError``),
+    preserved through compaction, legacy flat stores adopted as flat.
 
     Retry-safe the same way ``streaming/ddos.py`` is: per-batch
     append dirs keyed by batch_id, so foreachBatch redelivery
@@ -451,7 +590,8 @@ class NeardupIndexState(_ArrivalIndexState):
         ttl_batches: int | None = None,
     ):
         super().__init__(
-            spark, state_dir, auto_compact_dirs, auto_prune_alerts
+            spark, state_dir, auto_compact_dirs, auto_prune_alerts,
+            ttl_batches,
         )
         self.text_col = text_col
         self.id_col = id_col
@@ -461,15 +601,8 @@ class NeardupIndexState(_ArrivalIndexState):
         self.threshold = threshold
         self.max_bucket = max_bucket
         self.sig_buckets = sig_buckets
-        self.ttl_batches = ttl_batches
-        self._last_batch: int | None = None
 
     _COMPACT = ("bands", "sigs")
-
-    def _ttl_floor(self) -> int | None:
-        if self.ttl_batches is None or self._last_batch is None:
-            return None
-        return self._last_batch - self.ttl_batches
 
     def _paths(self, batch_id: int) -> tuple[str, str]:
         return (
@@ -519,6 +652,7 @@ class NeardupIndexState(_ArrivalIndexState):
         sigs = minhash_table(sh, self.num_perm)
         m = [f"m{i}" for i in range(self.num_perm)]
 
+        sig_buckets = self._resolve_store_buckets("sigs", self.sig_buckets)
         idx_bands, idx_sigs = self._read_index(batch_id)
         # intra-batch candidates: two near-copies in the SAME micro-batch
         # collide on their own band keys; the later id plays the dup, the
@@ -558,7 +692,7 @@ class NeardupIndexState(_ArrivalIndexState):
         # micro-batch.
         if idx_sigs is not None:
             idx_sigs = self._prune_store_to_candidates(
-                idx_sigs, cand, self.sig_buckets
+                idx_sigs, cand, sig_buckets
             )
         cs_base = sigs if idx_sigs is None else idx_sigs.select(
             "id", *m
@@ -611,7 +745,7 @@ class NeardupIndexState(_ArrivalIndexState):
             bands_out = bands_out.select("*", stamp)
             sigs_out = sigs_out.select("*", stamp)
         bands_out.write.mode("overwrite").parquet(band_dir)
-        self._write_store(sigs_out, sig_dir, self.sig_buckets)
+        self._write_store(sigs_out, sig_dir, sig_buckets)
         flagged.unpersist()
         self.maybe_compact()
 
@@ -666,8 +800,8 @@ class SemanticIndexState(_ArrivalIndexState):
     candidates' buckets instead of READING every stored embedding each
     micro-batch — on THIS tier the bound matters most in bytes, since
     a stored vector is ~8·dim B/row (same layout contract as
-    ``WinnowIndexState.text_buckets``: fixed at the first batch,
-    preserved through compaction, ``None`` for pre-bucketing stores).
+    ``WinnowIndexState.text_buckets``: store-side marker, loud
+    ``StoreLayoutError`` on mismatch, legacy flat stores adopted flat).
 
     ``ttl_batches`` bounds BOTH stores to the recent horizon — the same
     stamped-rows contract as every other arrival index (r11 verdict
@@ -701,7 +835,8 @@ class SemanticIndexState(_ArrivalIndexState):
         ttl_batches: int | None = None,
     ):
         super().__init__(
-            spark, state_dir, auto_compact_dirs, auto_prune_alerts
+            spark, state_dir, auto_compact_dirs, auto_prune_alerts,
+            ttl_batches,
         )
         self.id_col = id_col
         self.vec_col = vec_col
@@ -711,15 +846,8 @@ class SemanticIndexState(_ArrivalIndexState):
         self.threshold = threshold
         self.max_bucket = max_bucket
         self.vec_buckets = vec_buckets
-        self.ttl_batches = ttl_batches
-        self._last_batch: int | None = None
 
     _COMPACT = ("buckets", "vecs")
-
-    def _ttl_floor(self) -> int | None:
-        if self.ttl_batches is None or self._last_batch is None:
-            return None
-        return self._last_batch - self.ttl_batches
 
     def _read_index(self, batch_id: int):
         ttl = self.ttl_batches is not None
@@ -760,6 +888,7 @@ class SemanticIndexState(_ArrivalIndexState):
             F.col(self.vec_col).cast("array<double>").alias("v"),
         )
 
+        vec_buckets = self._resolve_store_buckets("vecs", self.vec_buckets)
         idx_buckets, idx_vecs = self._read_index(batch_id)
         cand = (
             buckets.alias("d")
@@ -791,7 +920,7 @@ class SemanticIndexState(_ArrivalIndexState):
         # partition filter it READS every stored embedding every batch
         if idx_vecs is not None:
             idx_vecs = self._prune_store_to_candidates(
-                idx_vecs, cand, self.vec_buckets
+                idx_vecs, cand, vec_buckets
             )
         cs_base = (
             vecs
@@ -829,7 +958,7 @@ class SemanticIndexState(_ArrivalIndexState):
         self._write_store(
             vecs_out,
             f"{self.state_dir}/vecs/batch={batch_id}",
-            self.vec_buckets,
+            vec_buckets,
         )
         flagged.unpersist()
         self.maybe_compact()
@@ -891,10 +1020,11 @@ class WinnowIndexState(_ArrivalIndexState):
     what gets TOKENIZED to O(candidates) but a plain parquet store
     still READS O(archive) bytes per micro-batch — the dominant verify
     term on a year-long crawl. Compaction preserves the partitioning.
-    The layout is fixed at the store's first batch: pass
-    ``text_buckets=None`` for stores created before bucketing existed
-    (a mixed flat/bucketed store fails loudly at read with Spark's
-    conflicting-partition-structure error).
+    The layout is a property of the STORE, recorded in a
+    ``texts._layout`` side-file at first write: a later session with a
+    different bucket count fails loud (``StoreLayoutError``), and a
+    store created before bucketing existed is adopted as flat with a
+    warning — never a mixed layout.
 
     ``ttl_batches`` bounds BOTH stores to the recent horizon, exactly
     like the MinHash twin: every fingerprint/text row is stamped with
@@ -930,7 +1060,8 @@ class WinnowIndexState(_ArrivalIndexState):
         ttl_batches: int | None = None,
     ):
         super().__init__(
-            spark, state_dir, auto_compact_dirs, auto_prune_alerts
+            spark, state_dir, auto_compact_dirs, auto_prune_alerts,
+            ttl_batches,
         )
         self.text_col = text_col
         self.id_col = id_col
@@ -943,29 +1074,8 @@ class WinnowIndexState(_ArrivalIndexState):
         self.max_bucket = max_bucket
         self.hash_mode = hash_mode
         self.text_buckets = text_buckets
-        self.ttl_batches = ttl_batches
-        self._last_batch: int | None = None
 
     _COMPACT = ("fps", "texts")
-
-    def _texts_bucket(self, col: Column) -> Column:
-        return self._store_bucket(col, self.text_buckets)
-
-    def _prune_texts_to_candidates(
-        self, idx_texts: DataFrame, cand: DataFrame
-    ) -> DataFrame:
-        """Restrict the text-store read to the candidates' id_bucket
-        partitions — see ``_prune_store_to_candidates`` (this tier is
-        where the bound matters most: the verify store holds full
-        document text)."""
-        return self._prune_store_to_candidates(
-            idx_texts, cand, self.text_buckets
-        )
-
-    def _ttl_floor(self) -> int | None:
-        if self.ttl_batches is None or self._last_batch is None:
-            return None
-        return self._last_batch - self.ttl_batches
 
     def _read_index(self, batch_id: int):
         ttl = self.ttl_batches is not None
@@ -1012,6 +1122,7 @@ class WinnowIndexState(_ArrivalIndexState):
             F.col(self.text_col).alias("t"),
         )
 
+        text_buckets = self._resolve_store_buckets("texts", self.text_buckets)
         idx_fps, idx_texts = self._read_index(batch_id)
         # collision rows are NOT de-duplicated before the count — a pair
         # sharing 3 fingerprints must count 3 toward min_shared. Batch
@@ -1054,7 +1165,9 @@ class WinnowIndexState(_ArrivalIndexState):
             # r11 verdict item 3: the semi-join bounds the TOKENIZE but
             # not the SCAN — prune the store read to the candidates'
             # id_bucket partitions before anything touches it
-            idx_texts = self._prune_texts_to_candidates(idx_texts, cand)
+            idx_texts = self._prune_store_to_candidates(
+                idx_texts, cand, text_buckets
+            )
         ct_base = (
             texts
             if idx_texts is None
@@ -1105,7 +1218,7 @@ class WinnowIndexState(_ArrivalIndexState):
         self._write_store(
             texts_out,
             f"{self.state_dir}/texts/batch={batch_id}",
-            self.text_buckets,
+            text_buckets,
         )
         flagged.unpersist()
         self.maybe_compact()
@@ -1207,22 +1320,16 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         property (arrival-ordered stream == batch operator) only holds
         for the unbounded default."""
         super().__init__(
-            spark, state_dir, auto_compact_dirs, auto_prune_alerts
+            spark, state_dir, auto_compact_dirs, auto_prune_alerts,
+            ttl_batches,
         )
         self.text_col = text_col
         self.id_col = id_col
         self.min_len = min_len
         self.bloom_prefilter = bloom_prefilter
         self.bloom_shards = bloom_shards
-        self.ttl_batches = ttl_batches
-        self._last_batch: int | None = None
 
     _COMPACT = ("grams",)
-
-    def _ttl_floor(self) -> int | None:
-        if self.ttl_batches is None or self._last_batch is None:
-            return None
-        return self._last_batch - self.ttl_batches
 
     def _read_index(self, batch_id: int):
         ttl = self.ttl_batches is not None
@@ -1360,22 +1467,16 @@ class CdcIndexState(_ArrivalIndexState):
         ttl_batches: int | None = None,
     ):
         super().__init__(
-            spark, state_dir, auto_compact_dirs, auto_prune_alerts
+            spark, state_dir, auto_compact_dirs, auto_prune_alerts,
+            ttl_batches,
         )
         self.text_col = text_col
         self.id_col = id_col
         self.context = context
         self.divisor = divisor
         self.hash_mode = hash_mode
-        self.ttl_batches = ttl_batches
-        self._last_batch: int | None = None
 
     _COMPACT = ("chunkfps",)
-
-    def _ttl_floor(self) -> int | None:
-        if self.ttl_batches is None or self._last_batch is None:
-            return None
-        return self._last_batch - self.ttl_batches
 
     def _read_index(self, batch_id: int):
         ttl = self.ttl_batches is not None
@@ -1748,8 +1849,13 @@ def _compact_index(
     as if indexed now. Applied BEFORE the ``min_indexed_at`` filter.
     Caveat: the newest batch dir is preserved as itself (redelivery
     safety), so ITS rows stay unstamped until the next compaction
-    folds them — under TTL they read NULL and sit out the screen, a
-    documented one-batch recall gap of the migration.
+    folds them — under TTL they read NULL and sit out the screen until
+    then. That next fold CLOSES the gap: TTL'd auto-compaction always
+    passes ``backfill_indexed_at=last_batch``, so leftover NULL rows
+    are stamped as-if-indexed-now rather than silently deleted by the
+    ``min_indexed_at`` filter (without this, the migration's
+    "one-fold gap" was permanent — r12 review). The stamped rows then
+    age out normally one horizon later.
     """
     out = {}
     jvm = spark._jvm
@@ -1768,7 +1874,13 @@ def _compact_index(
              if i.startswith("compacted-")),
             default=0,
         )
-        fold = spark.read.option("mergeSchema", "true").parquet(src)
+        try:
+            fold = spark.read.option("mergeSchema", "true").parquet(src)
+        except AnalysisException:
+            # all batch dirs empty (bucketed empty writes leave no
+            # schema-bearing files): nothing to fold, nothing to delete
+            out[sub] = 0
+            continue
         if latest is not None:
             fold = fold.filter(F.col("batch").cast("string") != str(latest))
         fold = fold.drop("batch")

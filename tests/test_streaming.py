@@ -3760,12 +3760,13 @@ def test_winnow_verify_fetch_prunes_text_store_scan(spark, tmp_path):
     idx_texts = st._read_prior("texts", batch_id=10_000)
     assert "id_bucket" in idx_texts.columns
     cand = spark.createDataFrame([(100, 0, 3)], "id long, cid long, shared_fps long")
-    pruned = st._prune_texts_to_candidates(idx_texts, cand)
+    pruned = st._prune_store_to_candidates(idx_texts, cand, 8)
     read_files = {
         r.f for r in pruned.select(
             F.input_file_name().alias("f")).distinct().collect()
     }
-    b0 = spark.range(1).select(st._texts_bucket(F.lit(0).cast("long"))).first()[0]
+    b0 = spark.range(1).select(
+        st._store_bucket(F.lit(0).cast("long"), 8)).first()[0]
     bucket_files, all_files = set(), set()
     for root, _, files in os.walk(str(tmp_path / "bk" / "texts")):
         for fn in files:
@@ -3786,8 +3787,8 @@ def test_winnow_verify_fetch_prunes_text_store_scan(spark, tmp_path):
     assert "id_bucket" in plan.split("PartitionFilters", 1)[1][:200]
 
     # no candidates -> the store read is skipped entirely
-    empty = st._prune_texts_to_candidates(
-        idx_texts, cand.filter(F.lit(False))
+    empty = st._prune_store_to_candidates(
+        idx_texts, cand.filter(F.lit(False)), 8
     )
     assert empty.count() == 0
     assert empty.select(F.input_file_name()).distinct().count() == 0
@@ -3921,3 +3922,129 @@ def test_auto_compact_guard_counts_in_memory(spark, tmp_path):
     # the second batch hit the threshold, compacted, and reset the
     # counter for a fresh seed
     assert st2._compact_dir_count is None
+
+
+def test_store_layout_marker_prevents_silent_and_crashing_mismatches(
+    spark, tmp_path
+):
+    """r12 review findings 1+2: the id_bucket layout is a property of
+    the STORE — a `<sub>._layout` marker records it at first write.
+    (a) A later session configuring a DIFFERENT bucket count raises
+    StoreLayoutError instead of silently excluding the candidates'
+    true partitions from the verify read (duplicates would pass
+    unflagged). (b) A store written before bucketing existed (flat, no
+    marker) is adopted as flat with a warning instead of writing a
+    mixed layout that crash-loops every later read. (c) A matching
+    session reads the marker and continues."""
+    import shutil
+
+    from stream4flow_spark.streaming.llmingest import (
+        NeardupIndexState,
+        StoreLayoutError,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun along the river path")
+    near = base.replace("today", "tomorrow")
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+
+    st = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=8)
+    st.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+
+    # (a) mismatched count fails loud before any read or write
+    bad = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=16)
+    with pytest.raises(StoreLayoutError, match="sig_buckets=8"):
+        bad.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+    # flat-vs-bucketed mismatch is equally loud
+    bad2 = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=None)
+    with pytest.raises(StoreLayoutError, match="sig_buckets=8"):
+        bad2.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+
+    # (c) matching session continues and screens across the restart
+    ok = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=8)
+    ok.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+    assert {(r.id, r.best_match_id) for r in ok.alerts} == {(1, 0)}
+
+    # (b) pre-marker FLAT store + bucketed config: adopt flat, warn,
+    # and keep screening — no mixed layout, no crash loop
+    d2 = str(tmp_path / "legacy")
+    legacy = NeardupIndexState(spark, d2, threshold=0.5, sig_buckets=None)
+    legacy.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+    import os
+    os.remove(os.path.join(d2, "sigs._layout"))  # pre-marker era store
+    up = NeardupIndexState(spark, d2, threshold=0.5, sig_buckets=64)
+    with pytest.warns(UserWarning, match="predates id_bucket"):
+        up.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+    assert {(r.id, r.best_match_id) for r in up.alerts} == {(1, 0)}
+    # the adopted layout was recorded: a third session with the
+    # (ignored) bucketed config must ALSO read the store fine
+    up2 = NeardupIndexState(spark, d2, threshold=0.5, sig_buckets=None)
+    up2.apply_batch(spark.createDataFrame([(2, near + " tail")], schema), 2)
+    assert {r.id for r in up2.alerts} >= {1, 2}
+    shutil.rmtree(d2)
+
+
+def test_empty_first_batch_does_not_brick_bucketed_store(spark, tmp_path):
+    """r12 review finding 4: a bucketed write of an EMPTY micro-batch
+    leaves only _SUCCESS (partitionBy emits no schema-bearing part
+    file), so a store whose dirs are all empty used to crash schema
+    inference on the next batch. The read now treats the all-empty
+    store as absent and the stream keeps going."""
+    from stream4flow_spark.streaming.llmingest import NeardupIndexState
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun beside the quiet pond")
+    near = base.replace("today", "tomorrow")
+    schema = "doc_id long, text string"
+    st = NeardupIndexState(
+        spark, str(tmp_path / "nd"), threshold=0.5, sig_buckets=8
+    )
+    st.apply_batch(spark.createDataFrame([], schema), 0)  # empty batch
+    st.apply_batch(spark.createDataFrame([(1, base)], schema), 1)
+    st.apply_batch(spark.createDataFrame([(2, near)], schema), 2)
+    assert {(r.id, r.best_match_id) for r in st.alerts} == {(2, 1)}
+
+
+def test_backfill_migration_gap_closes_at_next_compaction(spark, tmp_path):
+    """r12 review finding 3: the dir a backfill compaction preserves
+    as-newest stays unstamped, and the next TTL'd fold's min_indexed_at
+    filter used to DELETE its NULL rows — making the documented
+    'one-fold recall gap' permanent. TTL'd auto-compaction now passes
+    backfill_indexed_at=last_batch, so those rows are stamped
+    as-if-indexed-now and screen again from the next fold on."""
+    from stream4flow_spark.streaming.llmingest import (
+        NeardupIndexState,
+        compact_neardup_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun over the winter field")
+    near = base.replace("today", "tomorrow")
+    filler = ("filler words rho sigma tau upsilon phi chi psi omega "
+              "plus more padding tokens here")
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+
+    # pre-TTL era: the ORIGINAL lands in the dir that backfill will
+    # preserve as-newest (batch 1)
+    st = NeardupIndexState(spark, d, threshold=0.5)
+    st.apply_batch(spark.createDataFrame([(0, filler)], schema), 0)
+    st.apply_batch(spark.createDataFrame([(1, base)], schema), 1)
+    compact_neardup_index(spark, d, backfill_indexed_at=2)
+
+    # TTL'd era with a wide horizon and auto-compaction every 3 dirs:
+    # batch 2 (filler) triggers nothing; batch 3 triggers the fold that
+    # must STAMP batch 1's NULL rows, not delete them; batch 4's
+    # near-copy must then flag against the migrated original
+    st2 = NeardupIndexState(
+        spark, d, threshold=0.5, ttl_batches=50, auto_compact_dirs=3
+    )
+    st2.apply_batch(
+        spark.createDataFrame([(10, filler + " two")], schema), 2
+    )
+    st2.apply_batch(
+        spark.createDataFrame([(11, filler + " three")], schema), 3
+    )
+    st2.apply_batch(spark.createDataFrame([(2, near)], schema), 4)
+    assert (2, 1) in {(r.id, r.best_match_id) for r in st2.alerts}
