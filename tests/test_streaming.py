@@ -4048,3 +4048,37 @@ def test_backfill_migration_gap_closes_at_next_compaction(spark, tmp_path):
     )
     st2.apply_batch(spark.createDataFrame([(2, near)], schema), 4)
     assert (2, 1) in {(r.id, r.best_match_id) for r in st2.alerts}
+
+
+def test_pre_marker_bucketed_store_trusts_config_and_restamps(
+    spark, tmp_path
+):
+    """The fourth layout-resolution branch: a store written by the
+    short pre-marker era WITH id_bucket dirs has no marker to read —
+    the configured count produced it, so it is trusted and the marker
+    is written, after which a mismatching session fails loud like any
+    marked store."""
+    import os
+
+    from stream4flow_spark.streaming.llmingest import (
+        NeardupIndexState,
+        StoreLayoutError,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun past the harvest barn")
+    near = base.replace("today", "tomorrow")
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+    st = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=8)
+    st.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+    os.remove(os.path.join(d, "sigs._layout"))  # pre-marker era
+
+    re8 = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=8)
+    re8.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+    assert {(r.id, r.best_match_id) for r in re8.alerts} == {(1, 0)}
+    assert os.path.exists(os.path.join(d, "sigs._layout"))  # restamped
+
+    bad = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=16)
+    with pytest.raises(StoreLayoutError, match="sig_buckets=8"):
+        bad.apply_batch(spark.createDataFrame([(2, near)], schema), 2)
