@@ -115,6 +115,20 @@ class StoreLayoutError(RuntimeError):
     side-file at first write and every later session must match it."""
 
 
+class ScreenParamsError(RuntimeError):
+    """The session's index-DEFINING parameters disagree with the ones
+    the store was built with. Parameters like the MinHash permutation
+    count, the winnowing k/window, the CDC divisor, or the ExactSubstr
+    gram length are baked into every stored row — fingerprints computed
+    under different parameters simply never collide with the old ones,
+    so a 'tuned' restart would keep running and silently stop matching
+    everything indexed so far (or, for vector LSH, bucket new arrivals
+    into a disjoint keyspace). Read-time knobs (thresholds, min_shared,
+    bucket caps) are deliberately NOT pinned — changing those is safe.
+    Remediation: restore the recorded parameters, or rebuild the store
+    under the new ones."""
+
+
 class PreTtlIndexError(RuntimeError):
     """``ttl_batches`` was enabled over an index store written WITHOUT
     ``indexed_at`` stamps (TTL flipped on mid-life). The old behavior —
@@ -339,6 +353,58 @@ class _ArrivalIndexState:
             for b in sorted(self._alerts_by_batch)
             for r in self._alerts_by_batch[b]
         ]
+
+    def _screen_params(self) -> dict:
+        """The parameters baked into this state's stored index rows —
+        overridden per state. Empty dict = nothing to pin (e.g. the
+        contamination screen, whose benchmark is rebuilt per object)."""
+        return {}
+
+    def _check_screen_params(self) -> None:
+        """Pin the index-defining parameters to the store (r12, the
+        parameter sibling of the id_bucket layout marker): recorded in
+        a ``_screen_params`` side-file at the store's first batch;
+        every later session must match or ``ScreenParamsError`` is
+        raised BEFORE any read or write. A pre-marker store (built by
+        earlier releases) adopts the current session's values — they
+        produced it in practice — and is stamped. Checked once per
+        state object."""
+        params = self._screen_params()
+        if not params or getattr(self, "_params_checked", False):
+            return
+        import json
+
+        from stream4flow_spark.llmdata.export import _write_side_file
+
+        marker = f"{self.state_dir}/_screen_params"
+        recorded = _read_side_file(self.spark, marker)
+        if recorded is not None:
+            stored = json.loads(recorded)
+            diffs = {
+                k: (stored.get(k), params.get(k))
+                for k in sorted(set(stored) | set(params))
+                if stored.get(k) != params.get(k)
+            }
+            if diffs:
+                raise ScreenParamsError(
+                    f"the index at {self.state_dir} was built with "
+                    "different index-defining parameters than this "
+                    f"session configured: "
+                    + ", ".join(
+                        f"{k}: stored={s!r} configured={c!r}"
+                        for k, (s, c) in diffs.items()
+                    )
+                    + " — rows indexed under the stored parameters can "
+                    "never match this session's fingerprints, so the "
+                    "screen would silently go blind to the whole prior "
+                    "corpus. Restore the recorded parameters or rebuild "
+                    "the store."
+                )
+        else:
+            _write_side_file(
+                self.spark, marker, json.dumps(params, sort_keys=True)
+            )
+        self._params_checked = True
 
     def _store_bucket(self, col: Column, n_buckets: int) -> Column:
         """Bucket function for id-partitioned verify stores — the
@@ -602,6 +668,13 @@ class NeardupIndexState(_ArrivalIndexState):
         self.max_bucket = max_bucket
         self.sig_buckets = sig_buckets
 
+    def _screen_params(self) -> dict:
+        # shingle n, permutation count, and band width define every
+        # stored band key and signature; threshold/max_bucket are
+        # read-time and stay free
+        return {"n": self.n, "num_perm": self.num_perm,
+                "rows_per_band": self.rows_per_band}
+
     _COMPACT = ("bands", "sigs")
 
     def _paths(self, batch_id: int) -> tuple[str, str]:
@@ -638,6 +711,7 @@ class NeardupIndexState(_ArrivalIndexState):
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self._last_batch = batch_id
+        self._check_screen_params()
         from stream4flow_spark.llmdata.dedup import (
             _band_table,
             minhash_table,
@@ -847,6 +921,12 @@ class SemanticIndexState(_ArrivalIndexState):
         self.max_bucket = max_bucket
         self.vec_buckets = vec_buckets
 
+    def _screen_params(self) -> dict:
+        # the hyperplane family (planes x tables at a given dim)
+        # defines every stored bucket key; threshold is read-time
+        return {"num_planes": self.num_planes, "dim": self.dim,
+                "num_tables": self.num_tables}
+
     _COMPACT = ("buckets", "vecs")
 
     def _read_index(self, batch_id: int):
@@ -869,6 +949,7 @@ class SemanticIndexState(_ArrivalIndexState):
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self._last_batch = batch_id
+        self._check_screen_params()
         from stream4flow_spark.llmdata.simsearch import (
             cosine,
             sign_lsh_bucket_table,
@@ -1075,6 +1156,12 @@ class WinnowIndexState(_ArrivalIndexState):
         self.hash_mode = hash_mode
         self.text_buckets = text_buckets
 
+    def _screen_params(self) -> dict:
+        # k-gram length, winnow window, and hash kernel define every
+        # stored fingerprint; min_shared/threshold/caps are read-time
+        return {"k": self.k, "window": self.window,
+                "hash_mode": self.hash_mode}
+
     _COMPACT = ("fps", "texts")
 
     def _read_index(self, batch_id: int):
@@ -1099,6 +1186,7 @@ class WinnowIndexState(_ArrivalIndexState):
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self._last_batch = batch_id
+        self._check_screen_params()
         from pyspark.sql import Window
 
         from stream4flow_spark.llmdata.dedup import (
@@ -1329,6 +1417,11 @@ class ExactSubstrIndexState(_ArrivalIndexState):
         self.bloom_prefilter = bloom_prefilter
         self.bloom_shards = bloom_shards
 
+    def _screen_params(self) -> dict:
+        # the gram hash is over min_len-token windows — a different
+        # min_len never matches any stored gram
+        return {"min_len": self.min_len}
+
     _COMPACT = ("grams",)
 
     def _read_index(self, batch_id: int):
@@ -1346,6 +1439,7 @@ class ExactSubstrIndexState(_ArrivalIndexState):
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self._last_batch = batch_id
+        self._check_screen_params()
         from stream4flow_spark.llmdata.dedup import (
             exact_substr_index,
             incremental_exact_substr,
@@ -1476,6 +1570,12 @@ class CdcIndexState(_ArrivalIndexState):
         self.divisor = divisor
         self.hash_mode = hash_mode
 
+    def _screen_params(self) -> dict:
+        # boundary context/divisor and the fp hash define every stored
+        # chunk fingerprint
+        return {"context": self.context, "divisor": self.divisor,
+                "hash_mode": self.hash_mode}
+
     _COMPACT = ("chunkfps",)
 
     def _read_index(self, batch_id: int):
@@ -1493,6 +1593,7 @@ class CdcIndexState(_ArrivalIndexState):
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self._last_batch = batch_id
+        self._check_screen_params()
         from stream4flow_spark.llmdata.dedup import (
             cdc_chunk_index,
             incremental_cdc_chunks,

@@ -4082,3 +4082,61 @@ def test_pre_marker_bucketed_store_trusts_config_and_restamps(
     bad = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=16)
     with pytest.raises(StoreLayoutError, match="sig_buckets=8"):
         bad.apply_batch(spark.createDataFrame([(2, near)], schema), 2)
+
+
+def test_screen_params_pinned_to_store(spark, tmp_path):
+    """The parameter sibling of the layout marker: index-DEFINING
+    parameters (permutation counts, winnow k/window, CDC divisor,
+    ExactSubstr gram length, LSH plane family) are recorded at the
+    store's first batch — a 'tuned' restart whose fingerprints could
+    never match the stored rows fails loud instead of silently going
+    blind to the whole prior corpus. Read-time knobs (threshold) stay
+    free; a pre-marker store adopts the session's values."""
+    import os
+
+    from stream4flow_spark.streaming.llmingest import (
+        CdcIndexState,
+        NeardupIndexState,
+        ScreenParamsError,
+        WinnowIndexState,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun beyond the cedar grove")
+    near = base.replace("today", "tomorrow")
+    schema = "doc_id long, text string"
+
+    cases = [
+        (NeardupIndexState, {"num_perm": 64}, {"num_perm": 32}, "num_perm"),
+        (WinnowIndexState, {"k": 16}, {"k": 8}, "k"),
+        (CdcIndexState, {"divisor": 8}, {"divisor": 16}, "divisor"),
+    ]
+    for cls, built_kw, tuned_kw, key in cases:
+        d = str(tmp_path / cls.__name__)
+        st = cls(spark, d, **built_kw)
+        st.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+        tuned = cls(spark, d, **tuned_kw)
+        with pytest.raises(ScreenParamsError, match=key):
+            tuned.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+        # matching parameters continue fine across the restart
+        again = cls(spark, d, **built_kw)
+        again.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+
+    # read-time knobs are NOT pinned: a different threshold is fine
+    d = str(tmp_path / "thr")
+    NeardupIndexState(spark, d, threshold=0.5).apply_batch(
+        spark.createDataFrame([(0, base)], schema), 0
+    )
+    st2 = NeardupIndexState(spark, d, threshold=0.9)
+    st2.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+
+    # pre-marker store: adopt the session's values and stamp
+    d = str(tmp_path / "legacy")
+    NeardupIndexState(spark, d).apply_batch(
+        spark.createDataFrame([(0, base)], schema), 0
+    )
+    os.remove(os.path.join(d, "_screen_params"))
+    st3 = NeardupIndexState(spark, d)
+    st3.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+    assert os.path.exists(os.path.join(d, "_screen_params"))
+    assert {(r.id, r.best_match_id) for r in st3.alerts} == {(1, 0)}
