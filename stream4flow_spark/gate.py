@@ -778,8 +778,10 @@ def q_alert_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy per-key report chain (reference ports_scan.py:109-141 and
     twins) oracle-checked against a DuckDB RECURSIVE CTE. The recursive
     WITH is the SQL expression of what the reference's driver dict did —
-    sequential per key, which is exactly why the Spark side is a per-key
-    applyInPandas scan rather than a window function."""
+    sequential per key, which is exactly why the Spark side is a
+    hash-repartition + partition-chained ``mapInPandas`` scan
+    (operators/suppression.py:12-19 — one vectorized call per partition,
+    not one applyInPandas call per key) rather than a window function."""
     import pyspark.sql.functions as F
 
     from stream4flow_spark import schema as S

@@ -9,15 +9,19 @@ single-process.
 
 Here the same semantics is a per-key ordered scan:
 
-- **Batch twin** (this module): hash-repartition by attack key, then ONE
-  ``mapInPandas`` call per partition that chains every key in the
-  partition vectorized (sort once, per-key ``searchsorted`` for report
-  positions, prefix-sum segments for the accumulated totals). The naive
-  alternative — ``applyInPandas`` with one call per key — pays per-group
-  Python/Arrow overhead, which at millions of (src, dst) attack keys is
-  the dominant cost (~10× slower measured at sf0.1). Partition contents
-  are concatenated in memory; alert streams are small relative to flows,
-  and partition count scales them down further.
+- **Batch twin** (this module): hash-repartition by attack key, sort
+  within partitions JVM-side (Tungsten external sort — spillable, so the
+  ordering step never pressures Python memory), then ONE ``mapInPandas``
+  call per partition that streams the sorted Arrow batches and chains
+  key-runs vectorized (per-key ``searchsorted`` for report positions,
+  prefix-sum segments for the accumulated totals). Python holds one
+  Arrow batch plus the carry of the partition's largest SINGLE key-run —
+  never the whole partition (the r12 shape concatenated every batch
+  first, which at an adversarial alerts-per-partition skew is an
+  executor OOM; r12 verdict item 5). The naive alternative —
+  ``applyInPandas`` with one call per key — pays per-group Python/Arrow
+  overhead, which at millions of (src, dst) attack keys is the dominant
+  cost (~10× slower measured at sf0.1).
 - **Streaming twin** (streaming.state): ``applyInPandasWithState`` holding
   (last_report_ts, accumulated totals) per key with a timeout
   ≙ the reference's daily GC (ST2).
@@ -28,6 +32,94 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+
+def _chain_sorted(
+    pdf: "pd.DataFrame",
+    key_cols: list[str],
+    ts_ms_col: str,
+    window_ms: int,
+    sums: list[str],
+    cols: list[str],
+) -> "pd.DataFrame":
+    """The report-chain kernel over a chunk already sorted by
+    (key, ts): per-key ``searchsorted`` report positions + prefix-sum
+    segment totals. A chunk must contain only COMPLETE key-runs — the
+    caller's carry logic guarantees it."""
+    import numpy as np
+
+    n = len(pdf)
+    t = pdf[ts_ms_col].to_numpy()
+    # group boundaries: first row of each key run
+    keyframe = pdf[key_cols]
+    is_start = keyframe.ne(keyframe.shift()).any(axis=1).to_numpy()
+    is_start[0] = True
+    group_starts = np.flatnonzero(is_start)
+    group_ends = np.append(group_starts[1:], n)
+
+    idx_list: list[int] = []
+    seq_list: list[int] = []
+    seg_start_list: list[int] = []
+    for s, e in zip(group_starts, group_ends):
+        i = s
+        seq = 0
+        seg_start = s
+        while i < e:
+            idx_list.append(i)
+            seq_list.append(seq)
+            seg_start_list.append(seg_start)
+            seq += 1
+            i = s + int(np.searchsorted(t[s:e], t[i] + window_ms, side="left"))
+            seg_start = idx_list[-1] + 1
+
+    out = pdf.iloc[idx_list].copy()
+    bounds = np.asarray(idx_list, dtype=np.int64) + 1
+    # a report's segment = (previous report, this report]
+    starts = np.asarray(seg_start_list, dtype=np.int64)
+    for c in sums:
+        cs = np.concatenate(([0], np.cumsum(pdf[c].to_numpy())))
+        out[c] = cs[bounds] - cs[starts]
+    out["report_seq"] = np.asarray(seq_list, dtype=np.int32)
+    return out[cols + ["report_seq"]]
+
+
+def _chunked_chain(
+    batches,
+    key_cols: list[str],
+    ts_ms_col: str,
+    window_ms: int,
+    sums: list[str],
+    cols: list[str],
+):
+    """Stream sorted Arrow batches through the chain kernel holding only
+    the trailing (possibly incomplete) key-run between batches. The
+    input iterator MUST be partition-sorted by (key, ts) — key-runs are
+    then contiguous across batch boundaries, so cutting each batch at
+    the start of its last key value yields complete runs; the remainder
+    carries into the next batch. Memory: one Arrow batch + the largest
+    single key-run, independent of partition size."""
+    import numpy as np
+
+    carry: "pd.DataFrame | None" = None
+    for b in batches:
+        if b.empty:
+            continue
+        if carry is not None:
+            b = pd.concat([carry, b], ignore_index=True)
+            carry = None
+        # cut at the first row of the batch's LAST key value (keys are
+        # contiguous, so everything before the cut is complete runs)
+        neq_last = (b[key_cols] != b[key_cols].iloc[-1]).any(axis=1).to_numpy()
+        nz = np.flatnonzero(neq_last)
+        cut = int(nz[-1]) + 1 if nz.size else 0
+        if cut:
+            yield _chain_sorted(
+                b.iloc[:cut].reset_index(drop=True),
+                key_cols, ts_ms_col, window_ms, sums, cols,
+            )
+        carry = b.iloc[cut:].reset_index(drop=True)
+    if carry is not None and not carry.empty:
+        yield _chain_sorted(carry, key_cols, ts_ms_col, window_ms, sums, cols)
 
 
 def suppress_reports(
@@ -52,50 +144,15 @@ def suppress_reports(
     cols = [f.name for f in alerts.schema.fields]
 
     def run(batches) -> "pd.DataFrame":
-        import numpy as np
-
-        parts = [b for b in batches]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        if pdf.empty:
-            return
-        pdf = pdf.sort_values(
-            key_cols + [ts_ms_col], kind="mergesort", ignore_index=True
+        yield from _chunked_chain(
+            batches, key_cols, ts_ms_col, window_ms, sums, cols
         )
-        n = len(pdf)
-        t = pdf[ts_ms_col].to_numpy()
-        # group boundaries: first row of each key run
-        keyframe = pdf[key_cols]
-        is_start = keyframe.ne(keyframe.shift()).any(axis=1).to_numpy()
-        is_start[0] = True
-        group_starts = np.flatnonzero(is_start)
-        group_ends = np.append(group_starts[1:], n)
 
-        idx_list: list[int] = []
-        seq_list: list[int] = []
-        seg_start_list: list[int] = []
-        for s, e in zip(group_starts, group_ends):
-            i = s
-            seq = 0
-            seg_start = s
-            while i < e:
-                idx_list.append(i)
-                seq_list.append(seq)
-                seg_start_list.append(seg_start)
-                seq += 1
-                i = s + int(np.searchsorted(t[s:e], t[i] + window_ms, side="left"))
-                seg_start = idx_list[-1] + 1
-
-        out = pdf.iloc[idx_list].copy()
-        bounds = np.asarray(idx_list, dtype=np.int64) + 1
-        starts = np.empty_like(bounds)
-        # a report's segment = (previous report, this report]
-        starts[:] = np.asarray(seg_start_list, dtype=np.int64)
-        for c in sums:
-            cs = np.concatenate(([0], np.cumsum(pdf[c].to_numpy())))
-            out[c] = cs[bounds] - cs[starts]
-        out["report_seq"] = np.asarray(seq_list, dtype=np.int32)
-        yield out[cols + ["report_seq"]]
-
-    return alerts.repartition(*key_cols).mapInPandas(run, schema=out_schema)
+    # the (key, ts) ordering the kernel needs is established JVM-side:
+    # sortWithinPartitions is a Tungsten external sort that SPILLS, so
+    # an alert-count skew lands on disk, not on the Python worker heap
+    return (
+        alerts.repartition(*key_cols)
+        .sortWithinPartitions(*key_cols, ts_ms_col)
+        .mapInPandas(run, schema=out_schema)
+    )

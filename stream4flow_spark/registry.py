@@ -48,52 +48,51 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 # listed keep registration order after the pinned prefix, so nothing is
 # ever dropped from ``queries()`` itself.
 WINDOW_PRIORITY: list[str] = [
-    # Round-12 window. Rotation policy (capacity-aware, enforced by
+    # Round-13 window. Rotation policy (capacity-aware, enforced by
     # tests/test_results_store.py::test_window_rotation_staleness_policy):
     # with N oracle-backed queries and 50 slots/round, a full rotation
     # takes k = ceil(N/50) rounds, so any query NOT in this window must
     # have a driver-green row at most k-1 rounds old. n_oracle = 160
-    # (unchanged from r11), k = ceil(160/50) = 4, judging horizon once
-    # CORRECTNESS_r12 lands = r12-3 = r09. The five permanently
+    # (unchanged from r12), k = ceil(160/50) = 4, judging horizon once
+    # CORRECTNESS_r13 lands = r13-3 = r10. The five permanently
     # rows-only queries (bpe_tokenize, quality_model,
     # distinct_sketch_rollup, audio_spectrogram, length_stats_approx)
     # hold no window slot by design (COVERAGE.md). No never-driver-green
-    # oracle queries remain (r11 closed the last four), so the window is
-    # pure refresh.
-    # Slots 1-10: the 10 queries whose latest green is r08 — exactly at
-    # the horizon boundary (12-3=9 > 8), so they MUST take slots this
-    # round (the r11 window pre-committed this).
-    "rel_spend_deciles", "rel_unpivot_measures",
-    "tpch_q11ish_important_parts", "tpch_q15ish_top_supplier",
-    "tpch_q16ish_supplier_variety", "tpch_q17ish_small_quantity_revenue",
-    "tpch_q20ish_excess_suppliers", "tpch_q21ish_sole_supplier",
-    "tpch_q2ish_min_cost_supplier", "tpch_q9ish_nation_year_profit",
-    # Slots 11-50: 40 of the 50-query r09-latest-green cohort
-    # (alphabetical prefix), which hits the horizon at r13 (13-3=10 >
-    # 9). The 10 deferred — rel_grouping_sets_nation_year,
-    # rel_lateral_top_orders, rel_quality_audit, rel_recursive_calendar,
-    # rel_rollup_revenue, rel_snapshot_drift, rel_trailing_week_revenue,
-    # ssh_auth_simple, tls_classification, top_n_host_stats — stay
-    # inside the k=4 horizon through r12 and MUST take r13 window
-    # slots, leaving r13 ~40 free slots for the alphabetical prefix of
-    # the 50-query r10 cohort (its ~10 leftovers take r14 slots with
-    # the r11 cohort following) — the steady-state 50-slot rotation.
-    "alert_suppression", "application_template", "dns_external_resolvers",
-    "dns_open_resolvers", "dns_statistics", "domain_entropy",
-    "host_daily_profile", "host_stats", "iso_timestamps",
-    "llm_ann_ivf_topk", "llm_ann_quantized_topk", "llm_chunk_documents",
-    "llm_corpus_select", "llm_decontaminate_bloom", "llm_dedup_corpus",
-    "llm_dedup_rate_by_source", "llm_embedding_coverage",
-    "llm_embedding_neardup_lsh", "llm_heavy_hitters",
-    "llm_image_phash_neardup", "llm_incremental_exact_substr",
-    "llm_incremental_neardup", "llm_incremental_winnow_neardup",
-    "llm_random_projection", "llm_scene_changes", "llm_segment_dedup",
-    "llm_semantic_dedup", "llm_semantic_dedup_lsh", "llm_source_overlap",
-    "llm_text_clean", "llm_unigram_logprob", "llm_winnow_fingerprints",
-    "llm_winnow_neardup", "pattern_finder", "ports_scan",
-    "protocols_statistics", "readside_q1_range_term",
-    "readside_q2_histogram_terms_sum", "reflect_ddos",
-    "rel_event_sessionization",
+    # oracle queries remain, so the window is pure refresh.
+    # Slots 1-10: the 10 queries whose latest green is r09 — exactly at
+    # the horizon boundary (13-3=10 > 9), so they MUST take slots this
+    # round (the r12 window pre-committed this).
+    "rel_grouping_sets_nation_year", "rel_lateral_top_orders",
+    "rel_quality_audit", "rel_recursive_calendar", "rel_rollup_revenue",
+    "rel_snapshot_drift", "rel_trailing_week_revenue", "ssh_auth_simple",
+    "tls_classification", "top_n_host_stats",
+    # Slots 11-50: 40 of the 50-query r10-latest-green cohort
+    # (alphabetical prefix), which hits the horizon at r14 (14-3=11 >
+    # 10). The 10 deferred — tpch_q10ish_returned_revenue,
+    # tpch_q12ish_shipmode_priority, tpch_q13ish_order_distribution,
+    # tpch_q14ish_promo_share, tpch_q18ish_large_orders,
+    # tpch_q19ish_bracket_revenue, tpch_q22ish_dormant_customers,
+    # tpch_q4ish_priority_check, tpch_q7ish_nation_volume,
+    # tpch_q8ish_market_share — stay inside the k=4 horizon through
+    # r13 and MUST take r14 window slots, leaving r14 ~40 free slots
+    # for the alphabetical prefix of the 50-query r11 cohort (its ~10
+    # leftovers take r15 slots with the r12 cohort following) — the
+    # steady-state 50-slot rotation.
+    "host_pagerank", "llm_ann_cosine_topk", "llm_bm25_topk",
+    "llm_decontaminate", "llm_decontaminate_bloom_sharded",
+    "llm_dedup_components", "llm_dedup_corpus_keeper", "llm_dedup_savings",
+    "llm_embedding_stats", "llm_epoch_upsample", "llm_filter_funnel",
+    "llm_gopher_rules", "llm_hybrid_rrf", "llm_importance_sample",
+    "llm_incremental_dedup", "llm_incremental_exact_substr_bloom",
+    "llm_incremental_semantic_neardup", "llm_knn_label_vote",
+    "llm_length_floor", "llm_minhash_lsh_dedup", "llm_mixture_plan",
+    "llm_mixture_resample", "llm_ngram_novelty", "llm_pack_sequences",
+    "llm_perplexity_buckets", "llm_pii_stats", "llm_prepare_corpus",
+    "llm_repetition", "llm_source_cap", "llm_source_overlap_trigram",
+    "llm_split_drift", "llm_split_leakage", "llm_tfidf_terms",
+    "llm_token_budget", "llm_vocab_growth", "llm_weighted_sample",
+    "readside_q3_global_sums", "readside_q4_per_host_sums",
+    "readside_q5_histogram_multimetric", "readside_q6_top1_per_type",
 ]
 
 

@@ -169,6 +169,14 @@ def test_no_broadcast_hint_on_scale_growing_tables():
         # the contamination screen's 1-row benchmark bitmap — sized by
         # the fpp math, never by the corpus/stream side
         ("decontaminate.py", "bloom_bitmap"),
+        # r13: the arrival screens' flagged-id anti-join side — bounded
+        # by the micro-batch's flag set (ids only, and the same rows
+        # are ALREADY driver-collected by _record_alerts' alert tail),
+        # never by the stored corpus; grows with trigger size, not sf
+        # (the scanner's regex stops at the first close-paren, so the
+        # recorded arg text is the truncated inner call)
+        ("llmingest.py", 'flagged.select("id"'),
+        ("llmingest.py", "flagged.select(self.id_col"),
     }
     root = Path(__file__).resolve().parent.parent / "stream4flow_spark"
     offenders = []

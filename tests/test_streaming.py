@@ -3494,7 +3494,9 @@ def test_prune_alerts_retains_tail_only(spark, tmp_path):
         st.apply_batch(spark.createDataFrame([(b, t)], schema), b)
     assert {r.id for r in st.alerts} == {1, 2, 3}
 
-    assert prune_alerts(spark, d, keep_last=2) == 2  # batches 0, 1 gone
+    # batch 0 flagged nothing so it never wrote an alerts dir (the
+    # r13 clean-batch skip); only batch 1's dir is prunable
+    assert prune_alerts(spark, d, keep_last=2) == 1  # batch 1 gone
     assert len(_list_fs(spark, f"{d}/alerts/batch=*")) == 2
     assert {r.id for r in st.alerts} == {2, 3}
     assert prune_alerts(spark, d, keep_last=2) == 0  # idempotent
@@ -4140,3 +4142,223 @@ def test_screen_params_pinned_to_store(spark, tmp_path):
     st3.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
     assert os.path.exists(os.path.join(d, "_screen_params"))
     assert {(r.id, r.best_match_id) for r in st3.alerts} == {(1, 0)}
+
+
+def test_read_prior_reraises_non_empty_store_analysis_errors():
+    """r12 advice (medium): the empty-store leniency in the index read
+    and compaction is scoped to the ONE error it documents —
+    UNABLE_TO_INFER_SCHEMA from all-empty batch dirs. Every other
+    AnalysisException must PROPAGATE and fail the batch instead of
+    silently disabling screening (the store would read as absent and
+    near-copies would pass unflagged). Unit-level because Spark
+    surfaces the realistic corrupt-layout failures as
+    SparkRuntimeException/Py4JJavaError (which the except clause never
+    caught); the AnalysisException family is what the gate scopes."""
+    from pyspark.errors import AnalysisException
+
+    from stream4flow_spark.streaming.llmingest import (
+        _raise_unless_empty_store,
+    )
+
+    # the documented empty-store error passes the gate (no raise),
+    # whether identified by condition or by message fallback
+    class _WithCond(AnalysisException):
+        def __init__(self, cond, msg):
+            super().__init__(message=msg)
+            self._cond = cond
+
+        def getCondition(self):
+            return self._cond
+
+        def getErrorClass(self):
+            return self._cond
+
+    _raise_unless_empty_store(
+        _WithCond("UNABLE_TO_INFER_SCHEMA",
+                  "[UNABLE_TO_INFER_SCHEMA] Unable to infer schema")
+    )
+    _raise_unless_empty_store(
+        AnalysisException(message="[UNABLE_TO_INFER_SCHEMA] no footer")
+    )
+
+    # ANY other condition re-raises — by condition...
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        _raise_unless_empty_store(
+            _WithCond("PATH_NOT_FOUND", "[PATH_NOT_FOUND] gone")
+        )
+    # ...and by message fallback when no condition is attached
+    with pytest.raises(AnalysisException, match="UNSUPPORTED"):
+        _raise_unless_empty_store(
+            AnalysisException(message="[UNSUPPORTED_OPTION] bad option")
+        )
+
+
+def test_compact_reclaims_all_empty_store_dirs(spark, tmp_path):
+    """r12 advice: when every batch dir is empty (bucketed empty
+    writes), compaction used to report 0 and leave the dirs in place —
+    with auto_compact_dirs set, the guard re-triggered (and re-failed
+    to shrink) every micro-batch forever. The empty-fold path now
+    reclaims the non-newest empty dirs like the normal fold does."""
+    import glob
+    import os
+
+    from stream4flow_spark.streaming.llmingest import (
+        NeardupIndexState,
+        compact_neardup_index,
+    )
+
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+    st = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=8)
+    for b in range(4):  # four all-empty micro-batches accumulate dirs
+        st.apply_batch(spark.createDataFrame([], schema), b)
+    assert len(glob.glob(os.path.join(d, "sigs", "batch=*"))) == 4
+    out = compact_neardup_index(spark, d)
+    assert out == {"bands": 0, "sigs": 0}
+    # the bucketed sigs store hits the empty-inference path: only the
+    # newest dir survives (redelivery safety). The flat bands store's
+    # empty writes DO carry schema, so it folds normally (newest +
+    # one consolidated dir) — both shrink below any compaction guard.
+    left = glob.glob(os.path.join(d, "sigs", "batch=*"))
+    assert [os.path.basename(p) for p in left] == ["batch=3"]
+    bands_left = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(d, "bands", "batch=*"))
+    )
+    assert bands_left == ["batch=3", "batch=compacted-1"]
+    # and the store still works: a real batch pair screens normally
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun behind the old mill")
+    near = base.replace("today", "tomorrow")
+    st.apply_batch(spark.createDataFrame([(1, base)], schema), 4)
+    st.apply_batch(spark.createDataFrame([(2, near)], schema), 5)
+    assert {(r.id, r.best_match_id) for r in st.alerts} == {(2, 1)}
+
+
+def test_markers_over_empty_store_adopt_session_values(spark, tmp_path):
+    """r12 advice: the param/layout pins are written before the first
+    batch's store writes, so a crash inside that first batch leaves
+    markers pinning an EMPTY store. A restart with different settings
+    must not brick on a phantom pin — nothing is indexed, so the new
+    session's values are adopted and re-stamped."""
+    import json
+    import os
+
+    from stream4flow_spark.streaming.llmingest import NeardupIndexState
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun beneath the tall pines")
+    near = base.replace("today", "tomorrow")
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+
+    # simulate the crash window: markers written, no store data landed
+    crashed = NeardupIndexState(spark, d, threshold=0.5,
+                                num_perm=64, sig_buckets=8)
+    crashed._check_screen_params()
+    crashed._resolve_store_buckets("sigs", 8)
+    assert os.path.exists(os.path.join(d, "_screen_params"))
+    assert os.path.exists(os.path.join(d, "sigs._layout"))
+    assert not os.path.exists(os.path.join(d, "sigs"))
+
+    # a restart with DIFFERENT index-defining params and layout runs
+    # fine: the phantom pins are replaced by this session's values...
+    st = NeardupIndexState(spark, d, threshold=0.5,
+                           num_perm=32, sig_buckets=16)
+    st.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+    st.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+    assert {(r.id, r.best_match_id) for r in st.alerts} == {(1, 0)}
+    stamped = json.load(open(os.path.join(d, "_screen_params")))
+    assert stamped["num_perm"] == 32
+    assert open(os.path.join(d, "sigs._layout")).read().strip() == "16"
+
+    # ...and once data exists the pins protect it again as usual
+    from stream4flow_spark.streaming.llmingest import ScreenParamsError
+
+    late = NeardupIndexState(spark, d, threshold=0.5,
+                             num_perm=64, sig_buckets=16)
+    with pytest.raises(ScreenParamsError, match="num_perm"):
+        late.apply_batch(spark.createDataFrame([(2, near)], schema), 2)
+
+
+def test_pre_marker_bucketed_store_layout_cross_check(spark, tmp_path):
+    """r12 advice: the pre-marker bucketed branch used to trust the
+    session's bucket count blind. The on-disk id_bucket values are now
+    cross-checked before stamping: a count smaller than an observed
+    value (pmod never emits >= its modulus) or a flat config over
+    bucketed dirs raises StoreLayoutError instead of silently pruning
+    the wrong partitions at verify time."""
+    import os
+
+    from stream4flow_spark.streaming.llmingest import (
+        NeardupIndexState,
+        StoreLayoutError,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun beside the stone bridge")
+    near = base.replace("today", "tomorrow")
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+    # enough distinct docs that some id_bucket value lands >= 2
+    rows = [(i, f"{base} variant {i}") for i in range(12)]
+    st = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=8)
+    st.apply_batch(spark.createDataFrame(rows, schema), 0)
+    os.remove(os.path.join(d, "sigs._layout"))  # marker lost
+
+    # a session configuring FEWER buckets than an observed dir value
+    # proves the mismatch and fails loud
+    bad = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=2)
+    with pytest.raises(StoreLayoutError, match="inconsistent"):
+        bad.apply_batch(spark.createDataFrame([(100, near)], schema), 1)
+
+    # so does a flat config over visibly bucketed dirs
+    os.path.exists(os.path.join(d, "sigs._layout")) and os.remove(
+        os.path.join(d, "sigs._layout")
+    )
+    flat = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=None)
+    with pytest.raises(StoreLayoutError, match="inconsistent"):
+        flat.apply_batch(spark.createDataFrame([(100, near)], schema), 1)
+
+
+def test_clean_batch_skips_alert_write_but_redelivery_overwrites(
+    spark, tmp_path
+):
+    """r12 verdict item 4 (fixed-cost shave): a batch that flags
+    nothing no longer pays a write job for an empty alerts dir — the
+    dir simply doesn't exist. Correctness guards: (a) the durable
+    history and the collecting property still agree; (b) a redelivery
+    whose EARLIER attempt wrote alerts still overwrites the dir even
+    when the retry flags nothing (threshold is a read-time knob, so a
+    restarted session CAN legitimately flag differently)."""
+    import os
+
+    from stream4flow_spark.streaming.llmingest import (
+        NeardupIndexState,
+        _list_fs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun beyond the gravel road")
+    near = base.replace("today", "tomorrow")
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+    st = NeardupIndexState(spark, d, threshold=0.5)
+    st.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+    # (a) clean batch: NO alerts dir at all, history still consistent
+    assert not _list_fs(spark, f"{d}/alerts/batch=*")
+    assert st.alerts == [] and st.recent_alerts == []
+    assert st.alerts_df() is None
+
+    st.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+    assert [os.path.basename(p).rsplit("=", 1)[1]
+            for p in _list_fs(spark, f"{d}/alerts/batch=*")] == ["1"]
+    assert {(r.id, r.best_match_id) for r in st.alerts} == {(1, 0)}
+
+    # (b) redeliver batch 1 under a stricter read-time threshold: the
+    # retry flags nothing but the stale dir from the first attempt
+    # exists, so it is overwritten (not left lying)
+    strict = NeardupIndexState(spark, d, threshold=0.99)
+    strict.apply_batch(spark.createDataFrame([(1, near)], schema), 1)
+    assert _list_fs(spark, f"{d}/alerts/batch=1")  # dir still there
+    assert strict.alerts == []  # ...but now holds the retry's truth
