@@ -66,8 +66,15 @@ def bloom_words(
     Fully distributed build: explode each key's k bit positions
     (16-byte rows), ``bit_or``-aggregate per 64-bit word index (partial
     aggregation makes the exchange ≤ m/64 rows regardless of key
-    count), then assemble the dense array with a sequence/map lookup in
-    one final 1-row aggregate. The words never exist on the driver.
+    count), densify by left-joining the full word range (empty words →
+    0), then assemble the array as ONE ``array_sort(collect_list)`` —
+    O(w log w). The words never exist on the driver.
+
+    History (r13): the first cut assembled the dense array with
+    ``transform(sequence(...), i -> element_at(map, i))`` — element_at
+    on a Catalyst map is a LINEAR scan, so the 1-row assembly task was
+    O((m/64)²): 200+ s for a 1M-key filter (9.6M bits → 150k words →
+    2×10¹⁰ comparisons) where this shape takes well under a second.
     """
     m, k = bloom_params(expected_items, fpp)
     key = F.col(key_col)
@@ -89,16 +96,16 @@ def bloom_words(
         .groupBy("w")
         .agg(F.bit_or("b").alias("bits"))
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(m // 64 - 1)),
-        lambda i: F.coalesce(F.try_element_at(F.col("__wm"), i.cast("long")), F.lit(0).cast("long")),
+    all_words = keys.sparkSession.range(m // 64).select(F.col("id").alias("w"))
+    filled = all_words.join(bits, "w", "left").select(
+        "w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits")
     )
     return (
-        bits.agg(
-            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("__wm")
+        filled.agg(
+            F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("__s")
         )
         .select(
-            dense.alias("bf_words"),
+            F.transform("__s", lambda x: x["bits"]).alias("bf_words"),
             F.lit(m).alias("bf_m"),
             F.lit(k).alias("bf_k"),
         )
@@ -168,30 +175,28 @@ def bloom_words_sharded(
         .groupBy("bf_shard", "w")
         .agg(F.bit_or("b").alias("bits"))
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(m // 64 - 1)),
-        lambda i: F.coalesce(
-            F.try_element_at(F.col("__wm"), i.cast("long")),
-            F.lit(0).cast("long"),
-        ),
-    )
-    built = (
-        bits.groupBy("bf_shard")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("__wm")
-        )
-        .select("bf_shard", dense.alias("bf_words"))
-    )
-    # left-join against the full shard id range so empty shards carry
-    # an all-zero bitmap instead of being absent (an absent shard would
-    # drop its probe rows at the join — a false negative)
+    # densify against the full (shard × word) grid, then assemble each
+    # shard's array with ONE array_sort(collect_list) — O(w log w) per
+    # shard, not the quadratic map-scan assembly (see bloom_words).
+    # The grid also covers empty shards, which therefore carry an
+    # all-zero bitmap instead of being absent (an absent shard would
+    # drop its probe rows at the join — a false negative).
     spark = keys.sparkSession
-    all_shards = spark.range(shards).select(F.col("id").cast("int").alias("bf_shard"))
-    zero = F.transform(
-        F.sequence(F.lit(0), F.lit(m // 64 - 1)), lambda _: F.lit(0).cast("long")
+    n_words = m // 64
+    grid = spark.range(shards * n_words).select(
+        (F.col("id") / n_words).cast("int").alias("bf_shard"),
+        F.pmod(F.col("id"), F.lit(n_words)).alias("w"),
     )
-    return all_shards.join(built, "bf_shard", "left").select(
-        "bf_shard", F.coalesce("bf_words", zero).alias("bf_words")
+    filled = grid.join(bits, ["bf_shard", "w"], "left").select(
+        "bf_shard", "w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits")
+    )
+    return (
+        filled.groupBy("bf_shard")
+        .agg(F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("__s"))
+        .select(
+            "bf_shard",
+            F.transform("__s", lambda x: x["bits"]).alias("bf_words"),
+        )
     )
 
 

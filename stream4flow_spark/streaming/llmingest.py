@@ -313,12 +313,24 @@ class _ArrivalIndexState:
         no flags and no prior attempt's dir to overwrite costs one FS
         probe instead of a write job. A redelivery whose earlier
         attempt DID write stays correct: the dir exists, so the empty
-        result overwrites it."""
+        result overwrites it.
+
+        The re-ship goes rows → pandas → Arrow createDataFrame: an
+        Arrow LocalRelation stays JVM-side, so the 1-task coalesced
+        write never opens a Python worker (measured 0.24 s; feeding
+        the same rows as a pickled list costs ~5 s — coalesce(1) over
+        a 32-slice parallelized list drains 32 Python worker streams
+        SEQUENTIALLY in the single task)."""
+        import pandas as _pd
+
         rows = flagged.collect()
         alert_dir = f"{self.state_dir}/alerts/batch={batch_id}"
         if rows or _list_fs(self.spark, alert_dir):
+            local = _pd.DataFrame(
+                rows, columns=[f.name for f in flagged.schema.fields]
+            )
             (
-                self.spark.createDataFrame(rows, flagged.schema)
+                self.spark.createDataFrame(local, schema=flagged.schema)
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(alert_dir)
@@ -621,11 +633,19 @@ class _ArrivalIndexState:
         """Write a verify store's per-batch dir, hash-partitioned by
         ``id_bucket`` when bucketing is on (the layout
         ``_prune_store_to_candidates`` prunes; ``_compact_index``
-        preserves it through folds)."""
+        preserves it through folds).
+
+        The rows are shuffled onto their bucket BEFORE ``partitionBy``:
+        without that, every upstream task emits a file per bucket it
+        happens to hold — tasks × n_buckets tiny files per batch dir
+        (measured ~2-4 s of the per-batch fixed cost at toy batches,
+        and a file-count explosion the compactor has to pay for at any
+        batch size). Co-partitioned, the write commits exactly one
+        file per non-empty bucket."""
         if n_buckets is not None:
             df = df.withColumn(
                 "id_bucket", self._store_bucket(F.col(id_col), n_buckets)
-            )
+            ).repartition(n_buckets, F.col("id_bucket"))
         w = df.write.mode("overwrite")
         if n_buckets is not None:
             w = w.partitionBy("id_bucket")
@@ -2152,16 +2172,22 @@ def _compact_index(
             fold = fold.filter(F.col("indexed_at") >= F.lit(min_indexed_at))
         fold = fold.distinct()
         tmp = f"{state_dir}/__compact_{sub}"
-        writer = fold.coalesce(
-            max(1, fold.rdd.getNumPartitions() // 8)
-        ).write.mode("overwrite")
         if "id_bucket" in fold.columns:
             # a bucketed text store (WinnowIndexState.text_buckets) must
             # stay bucketed through compaction, or the consolidated dir's
             # flat layout would (a) break partition discovery against the
             # remaining bucketed batch dirs and (b) lose the verify
-            # fetch's scan pruning for the whole folded history
-            writer = writer.partitionBy("id_bucket")
+            # fetch's scan pruning for the whole folded history.
+            # Repartition onto the bucket first (r13, same as
+            # _write_store): partitionBy over task-scattered buckets
+            # emits tasks x buckets tiny files — the very file-count
+            # growth compaction exists to reverse.
+            fold = fold.repartition(F.col("id_bucket"))
+            writer = fold.write.mode("overwrite").partitionBy("id_bucket")
+        else:
+            writer = fold.coalesce(
+                max(1, fold.rdd.getNumPartitions() // 8)
+            ).write.mode("overwrite")
         writer.parquet(tmp)
         path_cls = jvm.org.apache.hadoop.fs.Path
         fs = path_cls(src).getFileSystem(conf)
