@@ -512,3 +512,38 @@ def test_shuffle_bloom_probe_plans_without_broadcast(spark):
             "broadcast=False probe join is not shuffled-hash: "
             f"{n.nodeName()}"
         )
+
+
+def test_bloom_build_assembles_dense_array_without_map_scan(spark):
+    """r13: the bloom bitmap's dense-array assembly must stay the
+    array_sort(collect_list) shape — the earlier
+    transform(sequence, i -> element_at(map, i)) form is O((m/64)²)
+    in ONE task because element_at on a Catalyst map is a linear
+    scan (202 s at 1M keys, unrunnable at production sizes). Guard
+    the plan, not a timing: no map construction may appear anywhere
+    in either builder's optimized plan, and the build must complete
+    with correct membership semantics."""
+    import pyspark.sql.functions as F
+
+    from stream4flow_spark.operators.bloom import (
+        bloom_params,
+        bloom_words,
+        bloom_words_sharded,
+        might_contain,
+    )
+
+    keys = spark.range(1000).select(F.concat(F.lit("k"), "id").alias("key"))
+    for built in (
+        bloom_words(keys, "key", 100_000, 0.01),
+        bloom_words_sharded(keys, "key", 100_000, 0.01, shards=4),
+    ):
+        plan = built._jdf.queryExecution().optimizedPlan().toString()
+        assert "map_from_entries" not in plan
+        assert "element_at" not in plan
+
+    # membership semantics survive the rewrite: zero false negatives
+    m, k = bloom_params(100_000, 0.01)
+    bf = bloom_words(keys, "key", 100_000, 0.01)
+    probe = keys.crossJoin(F.broadcast(bf).hint("broadcast"))
+    hits = probe.filter(might_contain(F.col("key"), m=m, k=k)).count()
+    assert hits == 1000
