@@ -41,64 +41,75 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 
 
 # The driver verifies the FIRST 50 entries of ``queries()`` per round.
-# With >50 registered queries, this list pins which ones land inside that
-# window: every query that has never had a driver-green CORRECTNESS row
-# comes first; queries already green in multiple prior rounds (r02+r03 for
-# the LLM tier) rotate out, keeping their recorded signal. Names not
-# listed keep registration order after the pinned prefix, so nothing is
-# ever dropped from ``queries()`` itself.
-WINDOW_PRIORITY: list[str] = [
-    # Round-13 window. Rotation policy (capacity-aware, enforced by
-    # tests/test_results_store.py::test_window_rotation_staleness_policy):
-    # with N oracle-backed queries and 50 slots/round, a full rotation
-    # takes k = ceil(N/50) rounds, so any query NOT in this window must
-    # have a driver-green row at most k-1 rounds old. n_oracle = 160
-    # (unchanged from r12), k = ceil(160/50) = 4, judging horizon once
-    # CORRECTNESS_r13 lands = r13-3 = r10. The five permanently
-    # rows-only queries (bpe_tokenize, quality_model,
-    # distinct_sketch_rollup, audio_spectrogram, length_stats_approx)
-    # hold no window slot by design (COVERAGE.md). No never-driver-green
-    # oracle queries remain, so the window is pure refresh.
-    # Slots 1-10: the 10 queries whose latest green is r09 — exactly at
-    # the horizon boundary (13-3=10 > 9), so they MUST take slots this
-    # round (the r12 window pre-committed this).
-    "rel_grouping_sets_nation_year", "rel_lateral_top_orders",
-    "rel_quality_audit", "rel_recursive_calendar", "rel_rollup_revenue",
-    "rel_snapshot_drift", "rel_trailing_week_revenue", "ssh_auth_simple",
-    "tls_classification", "top_n_host_stats",
-    # Slots 11-50: 40 of the 50-query r10-latest-green cohort
-    # (alphabetical prefix), which hits the horizon at r14 (14-3=11 >
-    # 10). The 10 deferred — tpch_q10ish_returned_revenue,
-    # tpch_q12ish_shipmode_priority, tpch_q13ish_order_distribution,
-    # tpch_q14ish_promo_share, tpch_q18ish_large_orders,
-    # tpch_q19ish_bracket_revenue, tpch_q22ish_dormant_customers,
-    # tpch_q4ish_priority_check, tpch_q7ish_nation_volume,
-    # tpch_q8ish_market_share — stay inside the k=4 horizon through
-    # r13 and MUST take r14 window slots, leaving r14 ~40 free slots
-    # for the alphabetical prefix of the 50-query r11 cohort (its ~10
-    # leftovers take r15 slots with the r12 cohort following) — the
-    # steady-state 50-slot rotation.
-    "host_pagerank", "llm_ann_cosine_topk", "llm_bm25_topk",
-    "llm_decontaminate", "llm_decontaminate_bloom_sharded",
-    "llm_dedup_components", "llm_dedup_corpus_keeper", "llm_dedup_savings",
-    "llm_embedding_stats", "llm_epoch_upsample", "llm_filter_funnel",
-    "llm_gopher_rules", "llm_hybrid_rrf", "llm_importance_sample",
-    "llm_incremental_dedup", "llm_incremental_exact_substr_bloom",
-    "llm_incremental_semantic_neardup", "llm_knn_label_vote",
-    "llm_length_floor", "llm_minhash_lsh_dedup", "llm_mixture_plan",
-    "llm_mixture_resample", "llm_ngram_novelty", "llm_pack_sequences",
-    "llm_perplexity_buckets", "llm_pii_stats", "llm_prepare_corpus",
-    "llm_repetition", "llm_source_cap", "llm_source_overlap_trigram",
-    "llm_split_drift", "llm_split_leakage", "llm_tfidf_terms",
-    "llm_token_budget", "llm_vocab_growth", "llm_weighted_sample",
-    "readside_q3_global_sums", "readside_q4_per_host_sums",
-    "readside_q5_histogram_multimetric", "readside_q6_top1_per_type",
-]
+# Which 50 is COMPUTED, not hand-maintained (r13 — the hand-written
+# list was the project's single gate-level point of failure): the 50
+# stalest oracle-backed queries take the slots, stalest-first, so the
+# capacity-aware staleness invariant holds BY CONSTRUCTION forever —
+# with N oracle queries and 50 slots a full rotation takes
+# k = ceil(N/50) rounds, and refreshing the 50 oldest each round means
+# no query's latest driver-green row can ever age past k rounds
+# (enforced independently by
+# tests/test_results_store.py::test_window_rotation_staleness_policy).
+# Never-driver-green queries sort first (latest = -1); ties break
+# alphabetically, which is what makes the rotation deterministic and
+# reviewable. The permanently rows-only queries (no oracle) hold no
+# window slot by design (COVERAGE.md). A red row in the newest
+# CORRECTNESS file leaves that query's latest-green at an older round,
+# so a FAILED window query automatically keeps (or regains) its slot
+# next round — the rotation self-heals.
+_WINDOW_CACHE: list[str] | None = None
+
+
+def _latest_green_rounds() -> dict[str, int]:
+    """Latest driver-green round per query, recomputed from the
+    committed ``CORRECTNESS_r*.json`` artifacts at the repo root —
+    the same green criterion as the staleness-policy test (rows match,
+    hash not False, no error)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+            with open(f) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def window_priority() -> list[str]:
+    """The 50 oracle-backed queries holding this round's driver-verify
+    slots: stalest latest-green first, never-verified before everything,
+    names as the tiebreak. Cached per process (the artifacts don't
+    change mid-run). Falls back to the 50 alphabetically-first oracle
+    queries on a checkout with no CORRECTNESS artifacts."""
+    global _WINDOW_CACHE
+    if _WINDOW_CACHE is None:
+        _load()
+        latest = _latest_green_rounds()
+        oracle = [n for n, s in REGISTRY.items() if s.oracle is not None]
+        _WINDOW_CACHE = sorted(
+            oracle, key=lambda n: (latest.get(n, -1), n)
+        )[:50]
+    return _WINDOW_CACHE
 
 
 def _ordered() -> dict[str, QuerySpec]:
     _load()
-    rank = {name: i for i, name in enumerate(WINDOW_PRIORITY)}
+    rank = {name: i for i, name in enumerate(window_priority())}
     fallback = len(rank)
     names = sorted(
         REGISTRY, key=lambda n: (rank.get(n, fallback), list(REGISTRY).index(n))

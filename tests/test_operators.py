@@ -492,9 +492,10 @@ def test_registry_window_priority_names_are_valid():
     silently reorders the driver's 50-query verification window), with
     no duplicates, and the pinned window must be exactly the driver's
     window size so slot arithmetic stays honest."""
-    from stream4flow_spark.registry import REGISTRY, WINDOW_PRIORITY, queries
+    from stream4flow_spark.registry import REGISTRY, queries, window_priority
 
     queries()
+    WINDOW_PRIORITY = window_priority()
     assert len(WINDOW_PRIORITY) == len(set(WINDOW_PRIORITY))
     unknown = [n for n in WINDOW_PRIORITY if n not in REGISTRY]
     assert not unknown, f"WINDOW_PRIORITY names not in registry: {unknown}"

@@ -87,22 +87,25 @@ def test_compact_results_reduces_files(spark, tmp_path):
 
 
 def test_window_priority_invariants():
-    """The driver verifies the FIRST 50 of queries(); WINDOW_PRIORITY
-    pins them. Guard the invariants a hand-edit can break: exactly 50
-    entries, no duplicates, every name registered, and the pinned list
-    IS the window."""
+    """The driver verifies the FIRST 50 of queries(); window_priority()
+    computes them from the CORRECTNESS artifacts (r13 — stalest-first,
+    no hand-maintained list). Guard the shape invariants: exactly 50
+    entries, no duplicates, every name registered, all oracle-backed,
+    and the computed list IS the window."""
     from stream4flow_spark.registry import (
         REGISTRY,
-        WINDOW_PRIORITY,
         queries,
+        window_priority,
     )
 
     names = list(queries())[:50]
-    assert len(WINDOW_PRIORITY) == 50
-    assert len(set(WINDOW_PRIORITY)) == 50
-    unknown = [n for n in WINDOW_PRIORITY if n not in REGISTRY]
+    window = window_priority()
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    unknown = [n for n in window if n not in REGISTRY]
     assert not unknown, f"window names not in registry: {unknown}"
-    assert names == WINDOW_PRIORITY
+    assert all(REGISTRY[n].oracle is not None for n in window)
+    assert names == window
 
 
 def test_window_rotation_staleness_policy():
@@ -127,8 +130,8 @@ def test_window_rotation_staleness_policy():
 
     from stream4flow_spark.registry import (
         REGISTRY,
-        WINDOW_PRIORITY,
         queries,
+        window_priority,
     )
 
     queries()
@@ -152,7 +155,7 @@ def test_window_rotation_staleness_policy():
     n_oracle = sum(1 for spec in REGISTRY.values() if spec.oracle is not None)
     k = math.ceil(n_oracle / 50)
     horizon = max(rounds) - (k - 1)
-    window = set(WINDOW_PRIORITY)
+    window = set(window_priority())
     going_stale = [
         n
         for n, spec in REGISTRY.items()
