@@ -12,10 +12,13 @@ Every implemented operator/query registers here with:
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger(__name__)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -42,13 +45,13 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 
 # The driver verifies the FIRST 50 entries of ``queries()`` per round.
 # Which 50 is COMPUTED, not hand-maintained (r13 — the hand-written
-# list was the project's single gate-level point of failure): the 50
+# list was the project's single gate-level point of failure): the
 # stalest oracle-backed queries take the slots, stalest-first, so the
 # capacity-aware staleness invariant holds BY CONSTRUCTION forever —
-# with N oracle queries and 50 slots a full rotation takes
-# k = ceil(N/50) rounds, and refreshing the 50 oldest each round means
-# no query's latest driver-green row can ever age past k rounds
-# (enforced independently by
+# with N oracle queries and a guaranteed 50 - MAX_BOOST staleness
+# slots a full rotation takes k = ceil(N/(50 - MAX_BOOST)) rounds, and
+# refreshing the oldest each round means no query's latest driver-green
+# row can ever age past k rounds (enforced independently by
 # tests/test_results_store.py::test_window_rotation_staleness_policy).
 # Never-driver-green queries sort first (latest = -1); ties break
 # alphabetically, which is what makes the rotation deterministic and
@@ -57,21 +60,67 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 # CORRECTNESS file leaves that query's latest-green at an older round,
 # so a FAILED window query automatically keeps (or regains) its slot
 # next round — the rotation self-heals.
+#
+# r14: the rotation is additionally DIFF-AWARE (r13 verdict item 1 —
+# pure staleness left the r13 suppression rewrite driver-unverified
+# until r15): up to MAX_BOOST slots go to oracle-backed queries whose
+# transitive source modules changed in a round NEWER than the query's
+# latest driver-green row, i.e. code the driver's oracle has never
+# seen. Boosted queries displace only window members that are safely
+# inside the staleness horizon, so the k-round bound still holds by
+# construction; the staleness slots shrink to 50 - MAX_BOOST in the
+# worst case, which the invariant above already prices in.
+MAX_BOOST = 10
+
 _WINDOW_CACHE: list[str] | None = None
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git(*args: str) -> str | None:
+    """Run git against the repo root; None when unavailable (an
+    installed, non-checkout deployment) — callers fall back and log."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", _repo_root(), *args],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    return out.stdout if out.returncode == 0 else None
 
 
 def _latest_green_rounds() -> dict[str, int]:
     """Latest driver-green round per query, recomputed from the
-    committed ``CORRECTNESS_r*.json`` artifacts at the repo root —
-    the same green criterion as the staleness-policy test (rows match,
-    hash not False, no error)."""
+    COMMITTED ``CORRECTNESS_r*.json`` artifacts at the repo root — the
+    same green criterion as the staleness-policy test (rows match, hash
+    not False, no error). Pinned to ``git ls-files`` so an uncommitted,
+    partially-written artifact of the in-flight round can never shift
+    the window mid-round (r13 advice); on a non-checkout deployment the
+    disk glob is the fallback, and which source was used is logged."""
     import glob
     import json
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = _repo_root()
+    tracked = _git("ls-files", "--", "CORRECTNESS_r*.json")
+    if tracked is not None:
+        files = [os.path.join(root, f) for f in tracked.split()]
+        source = f"{len(files)} committed artifacts (git ls-files)"
+    else:
+        files = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        source = f"{len(files)} on-disk artifacts (no git — unpinned glob)"
+        log.warning("verify window: falling back to %s", source)
     latest: dict[str, int] = {}
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    for f in files:
         try:
             rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
             with open(f) as fh:
@@ -87,23 +136,248 @@ def _latest_green_rounds() -> dict[str, int]:
             )
             if ok:
                 latest[name] = max(latest.get(name, 0), rnd)
+    log.info("verify window: latest-green computed from %s", source)
     return latest
+
+
+def _module_change_rounds() -> tuple[dict[str, int], int | None]:
+    """(round each ``stream4flow_spark/*.py`` file last changed in,
+    in-flight round number), derived from the git history: driver
+    round-close commits (message ``round N: ...``) delimit rounds — a
+    work commit belongs to the round of the nearest round-close AFTER
+    it in time; a commit newer than every round-close belongs to the
+    in-flight round N_max+1, and so do uncommitted working-tree edits.
+    ``({}, None)`` when git or the round markers are unavailable (the
+    boost then degrades to plain staleness)."""
+    import re
+
+    # unfiltered log: the driver's round-close commits touch only the
+    # root artifacts, so a path-filtered log would drop every round
+    # marker and misnumber all rounds
+    hist = _git("log", "--format=#%H %s", "--name-only")
+    if hist is None:
+        return {}, None
+    # newest-first walk: remember each file's FIRST (latest) commit index
+    file_idx: dict[str, int] = {}
+    verdicts: list[tuple[int, int]] = []  # (commit index, round no)
+    idx = -1
+    for line in hist.splitlines():
+        if line.startswith("#"):
+            idx += 1
+            m = re.match(r"#\S+ round (\d+):", line)
+            if m:
+                verdicts.append((idx, int(m.group(1))))
+        elif line.strip().startswith("stream4flow_spark/"):
+            file_idx.setdefault(line.strip(), idx)
+    if not verdicts:
+        return {}, None
+    current_round = max(r for _, r in verdicts) + 1
+
+    def round_of(i: int) -> int:
+        # newest-first indexing: a commit's closing round-commit is the
+        # nearest one at-or-above it in recency (vi <= i); newer than
+        # every close → in-flight round
+        closing = [(vi, r) for vi, r in verdicts if vi <= i]
+        return max(closing)[1] if closing else current_round
+
+    rounds = {path: round_of(i) for path, i in file_idx.items()}
+    dirty = _git("status", "--porcelain", "--", "stream4flow_spark")
+    for line in (dirty or "").splitlines():
+        path = line[3:].strip().split(" -> ")[-1]
+        if path:
+            rounds[path] = current_round
+    return rounds, current_round
+
+
+def _query_dep_files(fn: QueryFn, _memo: dict | None = None) -> set[str]:
+    """Repo-relative source files the query's pipeline transitively runs
+    through, discovered from the code itself (no hand-maintained list —
+    the r13 lesson): the defining module, every stream4flow_spark
+    callable reachable through the function's globals, and every
+    ``import`` executed inside a visited function body (gate queries
+    import their operators lazily, which globals alone can't see)."""
+    import ast
+    import importlib
+    import inspect
+    import textwrap
+    import types
+
+    files: set[str] = set()
+    seen: set[int] = set()
+    stack: list[object] = [fn]
+
+    import os
+
+    root = _repo_root()
+
+    def add_module(mod_name: str) -> None:
+        if mod_name and mod_name.startswith("stream4flow_spark"):
+            base = mod_name.replace(".", "/")
+            if os.path.isdir(os.path.join(root, base)):
+                files.add(base + "/__init__.py")  # package, not module
+            else:
+                files.add(base + ".py")
+
+    def push(obj: object) -> None:
+        mod = getattr(obj, "__module__", "") or ""
+        if isinstance(obj, types.ModuleType):
+            add_module(obj.__name__)
+        elif callable(obj) and mod.startswith("stream4flow_spark"):
+            add_module(mod)
+            stack.append(obj)
+
+    while stack:
+        f = stack.pop()
+        f = inspect.unwrap(f)
+        code = getattr(f, "__code__", None)
+        if code is None or id(f) in seen:
+            continue
+        seen.add(id(f))
+        add_module(getattr(f, "__module__", "") or "")
+        g = getattr(f, "__globals__", {})
+        names = set(code.co_names)
+        todo = [code]
+        while todo:
+            c = todo.pop()
+            for const in c.co_consts:
+                if isinstance(const, types.CodeType):
+                    names |= set(const.co_names)
+                    todo.append(const)
+        for n in names:
+            if n in g:
+                push(g[n])
+        # in-body imports: resolve what the globals walk can't see
+        try:
+            tree = ast.parse(textwrap.dedent(inspect.getsource(f)))
+        except (OSError, TypeError, SyntaxError):
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(
+                "stream4flow_spark"
+            ):
+                add_module(node.module)
+                try:
+                    mod = importlib.import_module(node.module)
+                except ImportError:
+                    continue
+                for alias in node.names:
+                    push(getattr(mod, alias.name, None))
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    add_module(alias.name)
+    return files
+
+
+def _boosted(
+    latest: dict[str, int], oracle: list[str]
+) -> list[str]:
+    """Oracle-backed queries whose pipeline modules changed RECENTLY
+    (the previous or in-flight round — i.e. since the round-before-last
+    closed) in a round newer than the query's latest driver-green row:
+    code the driver's oracle has not yet exercised and that plain
+    staleness would leave unverified for up to k more rounds.
+    Stalest-first. The recency gate keeps a long-ago edit to a widely
+    shared module from crowding the boost slots forever — older
+    unverified code is the plain rotation's job."""
+    changed, current_round = _module_change_rounds()
+    if not changed or current_round is None:
+        log.warning("verify window: no git round history — diff boost off")
+        return []
+    deps = {n: _query_dep_files(REGISTRY[n].fn) for n in oracle}
+    fanout: dict[str, int] = {}
+    for files in deps.values():
+        for p in files:
+            fanout[p] = fanout.get(p, 0) + 1
+    scored: dict[str, tuple[float, int]] = {}
+    tag_trigger: dict[str, tuple[float, int]] = {}  # tag -> (score, round)
+    for n in oracle:
+        triggers = [
+            p
+            for p in deps[n]
+            if changed.get(p, 0) > latest.get(n, -1)
+            and changed.get(p, 0) >= current_round - 1
+        ]
+        if triggers:
+            # a change to a module only a few queries share is strong
+            # evidence THIS query's execution changed; an edit to a
+            # registration module shared by sixty is weak — rank by the
+            # narrowest triggering module so targeted rewrites win the
+            # capped slots
+            best = min(triggers, key=lambda p: fanout[p])
+            scored[n] = (float(fanout[best]), latest.get(n, -1))
+            for tag in REGISTRY[n].covers.split():
+                cand = (fanout[best] + 0.5, changed[best])
+                if tag not in tag_trigger or cand < tag_trigger[tag]:
+                    tag_trigger[tag] = cand
+    # tag propagation: a query covering the same SURVEY §2 operator as a
+    # directly-triggered query verifies the operator's contract even when
+    # its own pipeline takes a different code path (e.g. the batch twin
+    # of a rewritten streaming kernel) — eligible at a half-step weaker
+    # score than the direct hit. Only SPECIFIC tags propagate (an
+    # operator id covered by a handful of queries); generic ids like a
+    # plain filter or union appear on dozens of queries and would turn
+    # any targeted rewrite into a blanket boost.
+    tag_count: dict[str, int] = {}
+    for n in oracle:
+        for t in REGISTRY[n].covers.split():
+            tag_count[t] = tag_count.get(t, 0) + 1
+    for n in oracle:
+        hits = [
+            tag_trigger[t]
+            for t in REGISTRY[n].covers.split()
+            if t in tag_trigger
+            and tag_count[t] <= 6
+            and tag_trigger[t][1] > latest.get(n, -1)
+        ]
+        if hits:
+            # a weak direct trigger (shared registration module) must not
+            # mask a stronger tag hit — keep the better of the two
+            prop = min(s for s, _ in hits)
+            cur = scored.get(n, (float("inf"), 0))[0]
+            scored[n] = (min(prop, cur), latest.get(n, -1))
+    return [n for n in sorted(scored, key=lambda n: (*scored[n], n))]
 
 
 def window_priority() -> list[str]:
     """The 50 oracle-backed queries holding this round's driver-verify
-    slots: stalest latest-green first, never-verified before everything,
-    names as the tiebreak. Cached per process (the artifacts don't
+    slots: up to MAX_BOOST slots for queries whose code changed since
+    they last went driver-green (diff boost), the rest stalest
+    latest-green first, never-verified before everything, names as the
+    tiebreak. Boosts displace only members safely inside the staleness
+    horizon, so the k = ceil(N/(50-MAX_BOOST)) freshness bound holds by
+    construction. Cached per process (the pinned artifact set doesn't
     change mid-run). Falls back to the 50 alphabetically-first oracle
     queries on a checkout with no CORRECTNESS artifacts."""
+    import math
+
     global _WINDOW_CACHE
     if _WINDOW_CACHE is None:
         _load()
         latest = _latest_green_rounds()
         oracle = [n for n, s in REGISTRY.items() if s.oracle is not None]
-        _WINDOW_CACHE = sorted(
-            oracle, key=lambda n: (latest.get(n, -1), n)
-        )[:50]
+        ranked = sorted(oracle, key=lambda n: (latest.get(n, -1), n))
+        window = ranked[:50]
+        if not latest:
+            log.warning(
+                "verify window: no CORRECTNESS artifacts — alphabetical fallback"
+            )
+            _WINDOW_CACHE = window
+            return _WINDOW_CACHE
+        boost = [n for n in _boosted(latest, oracle) if n not in window][:MAX_BOOST]
+        if boost:
+            k = math.ceil(len(oracle) / (50 - MAX_BOOST))
+            horizon = max(latest.values()) - (k - 1)
+            # displace youngest-first, and never a member the horizon
+            # still needs this round
+            safe = [n for n in reversed(window) if latest.get(n, -1) >= horizon]
+            drop = set(safe[: len(boost)])
+            boost = boost[: len(drop)]
+            window = sorted(
+                [n for n in window if n not in drop] + boost,
+                key=lambda n: (latest.get(n, -1), n),
+            )
+            log.info("verify window: diff boost added %s", boost)
+        _WINDOW_CACHE = window
     return _WINDOW_CACHE
 
 

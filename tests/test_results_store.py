@@ -110,15 +110,17 @@ def test_window_priority_invariants():
 
 def test_window_rotation_staleness_policy():
     """The rotation POLICY itself, not just the list shape — with N
-    oracle-backed queries and a 50-slot driver window, a full rotation
-    takes k = ceil(N/50) rounds, so the tightest satisfiable freshness
-    invariant is: every oracle-backed query is never-verified-and-
-    windowed, or driver-green within the last k rounds, or holds a
-    window slot (so it goes green next round). The r06-era fixed
-    2-round horizon became arithmetically unsatisfiable once N passed
-    100 (the r07 judging run proved it: 133 oracle queries cannot all
-    stay <=2 rounds fresh through 50 slots/round); k self-adjusts as
-    the registry grows. Computed from the committed
+    oracle-backed queries, a 50-slot driver window, and up to MAX_BOOST
+    slots reserved for the diff boost (r14), the guaranteed staleness
+    capacity is 50 - MAX_BOOST slots/round, so a full rotation takes
+    k = ceil(N/(50 - MAX_BOOST)) rounds and the tightest satisfiable
+    freshness invariant is: every oracle-backed query is
+    never-verified-and-windowed, or driver-green within the last k
+    rounds, or holds a window slot (so it goes green next round). The
+    r06-era fixed 2-round horizon became arithmetically unsatisfiable
+    once N passed 100 (the r07 judging run proved it: 133 oracle
+    queries cannot all stay <=2 rounds fresh through 50 slots/round);
+    k self-adjusts as the registry grows. Computed from the committed
     CORRECTNESS_r0*.json files, so this holds BOTH at round close
     (planning the next window) and at judging time (after the round's
     artifact lands) — a draft window that would let a query age past k
@@ -129,6 +131,7 @@ def test_window_rotation_staleness_policy():
     import os
 
     from stream4flow_spark.registry import (
+        MAX_BOOST,
         REGISTRY,
         queries,
         window_priority,
@@ -153,7 +156,7 @@ def test_window_rotation_staleness_policy():
                 latest[name] = max(latest.get(name, 0), r)
     assert rounds, "no CORRECTNESS files — cannot audit the policy"
     n_oracle = sum(1 for spec in REGISTRY.values() if spec.oracle is not None)
-    k = math.ceil(n_oracle / 50)
+    k = math.ceil(n_oracle / (50 - MAX_BOOST))
     horizon = max(rounds) - (k - 1)
     window = set(window_priority())
     going_stale = [
@@ -168,6 +171,43 @@ def test_window_rotation_staleness_policy():
         f"k={k}-round rotation capacity yet hold no window slot: "
         f"{going_stale}"
     )
+
+
+def test_window_diff_boost_is_bounded_and_safe():
+    """The r14 diff boost (r13 verdict item 1 — pure staleness left the
+    r13 suppression rewrite driver-unverified for two rounds): the
+    window may diverge from the plain stalest-50 by at most MAX_BOOST
+    entries; every entry added must be boost-eligible (its code, or an
+    operator contract it shares with changed code, is newer than its
+    latest driver-green row); every entry displaced must still be
+    safely inside the staleness horizon it would need a slot at."""
+    import math
+
+    from stream4flow_spark.registry import (
+        MAX_BOOST,
+        REGISTRY,
+        _boosted,
+        _latest_green_rounds,
+        queries,
+        window_priority,
+    )
+
+    queries()
+    latest = _latest_green_rounds()
+    if not latest:
+        return  # fresh checkout: alphabetical fallback, nothing to audit
+    oracle = [n for n, s in REGISTRY.items() if s.oracle is not None]
+    plain = set(sorted(oracle, key=lambda n: (latest.get(n, -1), n))[:50])
+    window = set(window_priority())
+    added = window - plain
+    displaced = plain - window
+    assert len(added) == len(displaced) <= MAX_BOOST
+    eligible = set(_boosted(latest, oracle))
+    assert added <= eligible, f"non-eligible boosts: {sorted(added - eligible)}"
+    k = math.ceil(len(oracle) / (50 - MAX_BOOST))
+    horizon = max(latest.values()) - (k - 1)
+    unsafe = [n for n in displaced if latest.get(n, -1) < horizon]
+    assert not unsafe, f"boost displaced queries the horizon needs: {unsafe}"
 
 
 def test_doc_counts_match_registry():
