@@ -3603,11 +3603,15 @@ def q_llm_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles) + a partial-agg min(struct) first-occurrence pick +
     a two-events-per-window difference-array coverage cumsum. The
     oracle replays it on raw gram STRINGS — also certifying that the
-    64-bit hash path loses nothing at gate SF."""
+    64-bit hash path loses nothing at gate SF. r14: the gate runs the
+    dup-set Bloom prefilter (the occurrence-side join probe prunes
+    map-side to ~duplicated grams before its exchange — the r13 scale
+    table's steepest grower was this second full-gram exchange); no
+    false negatives, so the oracle is unchanged."""
     from stream4flow_spark.llmdata.dedup import exact_substr_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    return exact_substr_dedup(docs, min_len=15)
+    return exact_substr_dedup(docs, min_len=15, dup_bloom_items=200_000)
 
 
 @register(

@@ -1097,6 +1097,8 @@ def exact_substr_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 15,
+    dup_bloom_items: int | None = None,
+    dup_bloom_shards: int = 1,
 ) -> DataFrame:
     """Cross-document repeated-SUBSTRING removal (ExactSubstr, Lee et
     al. 2021 "Deduplicating Training Data Makes Language Models
@@ -1138,6 +1140,24 @@ def exact_substr_dedup(
 
     Returns (id_col, n_tokens, n_removed, dedup_text) for EVERY input
     document (untouched docs pass through with n_removed = 0).
+
+    ``dup_bloom_items`` (r14, the incremental form's ``bloom_prefilter``
+    transferred to the batch path): the two consumers of the gram
+    derivation exchange DIFFERENT rows — the groupBy ships partial-agg
+    structs (≈ distinct grams per partition), but the occurrence-side
+    join probe re-ships EVERY (id, pos, gh) occurrence row, and
+    Catalyst cannot reuse one exchange for the other. Since the join
+    only keeps occurrences of count>=2 grams — typically a few percent
+    of a real corpus — set ``dup_bloom_items`` ≈ the expected
+    duplicated-distinct-gram count and the probe side is pruned
+    MAP-SIDE against a Bloom bitmap of the dup set before its exchange:
+    probe rows drop from O(all gram occurrences) to O(dup occurrences +
+    fpp·rest) with results IDENTICAL (no false negatives; the exact
+    join drops the fpp survivors), so the gate oracle stays valid. The
+    dup aggregate gains a second consumer (bitmap build + join) and is
+    localCheckpoint'd — it is post-aggregation, O(duplicated grams),
+    the small side by construction. ``dup_bloom_shards`` > 1 switches
+    to the sharded bitmap past one broadcast cell (≥10⁹ dup grams).
     """
     base = _substr_base(df, text_col, id_col)
     toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
@@ -1151,8 +1171,20 @@ def exact_substr_dedup(
         .filter(F.col("c") >= 2)
         .select("gh", "w")
     )
+    probe = grams
+    if dup_bloom_items is not None:
+        from stream4flow_spark.operators.bloom import bloom_prune
+
+        dup = dup.localCheckpoint(eager=False)
+        probe = bloom_prune(
+            grams,
+            dup.select("gh"),
+            "gh",
+            expected_items=dup_bloom_items,
+            shards=dup_bloom_shards,
+        )
     marked = (
-        grams.join(dup, "gh")
+        probe.join(dup, "gh")
         .filter(~((F.col("id") == F.col("w.k")) & (F.col("pos") == F.col("w.p"))))
         .select("id", F.col("pos").alias("s"))
     )

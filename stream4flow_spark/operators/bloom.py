@@ -184,7 +184,9 @@ def bloom_words_sharded(
     spark = keys.sparkSession
     n_words = m // 64
     grid = spark.range(shards * n_words).select(
-        (F.col("id") / n_words).cast("int").alias("bf_shard"),
+        # integer floor-div, not float `/`: a half-ulp rounding at
+        # extreme shards*n_words would route a word to the wrong shard
+        F.expr(f"CAST(id DIV {n_words} AS INT)").alias("bf_shard"),
         F.pmod(F.col("id"), F.lit(n_words)).alias("w"),
     )
     filled = grid.join(bits, ["bf_shard", "w"], "left").select(

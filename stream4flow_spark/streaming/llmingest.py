@@ -73,6 +73,40 @@ def _list_fs(spark, pattern: str) -> list[str]:
     return [str(s.getPath()) for s in statuses]
 
 
+def _driver_side_listing(spark):
+    """Context manager raising ``parallelPartitionDiscovery.threshold``
+    for the duration of an index-store read. The stores are partitioned
+    ``batch=*/id_bucket=*`` — hundreds of tiny leaf dirs — and Spark's
+    default threshold (32 paths) turns EVERY per-batch partition
+    discovery into a distributed listing JOB: task scheduling dwarfs
+    the listing itself (measured 1.14 s/read → 0.075 s at 8 batches ×
+    64 buckets on local FS; this was most of the arrival screens'
+    ~5-6 s/batch fixed cost). Driver-side listing is right for the
+    auto-compacted store shapes; a store that somehow exceeds the
+    raised threshold (tens of thousands of dirs on an object store)
+    still falls back to the distributed job."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def scope():
+        key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        try:
+            old = spark.conf.get(key)
+        except Exception:  # pragma: no cover - gateway-less session
+            yield
+            return
+        if old is not None and int(old) >= 4096:
+            yield
+            return
+        spark.conf.set(key, "4096")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return scope()
+
+
 def _read_side_file(spark, path: str) -> str | None:
     """Read a small text side-file via Hadoop FS (HDFS/S3-capable);
     None when absent — the reader twin of ``export._write_side_file``."""
@@ -237,6 +271,7 @@ class _ArrivalIndexState:
         self._compact_dir_count: int | None = None
         self._index_seen: set[str] = set()
         self._store_buckets: dict[str, int | None] = {}
+        self._store_schemas: dict[str, object] = {}
 
     def maybe_compact(self) -> dict | None:
         """Run this state's compactor if any sub-dir's batch count has
@@ -279,8 +314,14 @@ class _ArrivalIndexState:
             ),
         )
         # compaction rewrote the layout (one compacted dir + the
-        # preserved newest) — re-seed from a listing on the next batch
+        # preserved newest) — re-seed from a listing on the next batch,
+        # and drop the cached store schemas: the consolidated dir is
+        # ``batch=compacted-<gen>``, which turns the inferred partition
+        # column from int to string (a stale int schema would NULL-cast
+        # the compacted dir's value and silently drop the whole
+        # consolidated index from every later read)
         self._compact_dir_count = None
+        self._store_schemas.clear()
         return out
 
     def _ttl_floor(self) -> int | None:
@@ -570,6 +611,35 @@ class _ArrivalIndexState:
                         "no _layout marker to arbitrate; pass the "
                         "count the store was written with or rebuild it"
                     )
+                # the range check is one-directional (r13 advice): a
+                # store written with FEWER buckets than configured
+                # (8-bucket store, 32 configured — max observed 7 < 32)
+                # sails through it, and the verify fetch would then
+                # prune against the wrong modulus and silently drop
+                # stored rows. Recompute the bucket function for a
+                # bounded sample of stored ids and require each to land
+                # in the id_bucket dir it was read from.
+                sample = (
+                    self.spark.read.parquet(f"{self.state_dir}/{sub}")
+                    .select("id", "id_bucket")
+                    .limit(256)
+                )
+                mismatched = sample.filter(
+                    self._store_bucket(F.col("id"), configured)
+                    != F.col("id_bucket").cast("long")
+                ).count()
+                if mismatched:
+                    raise StoreLayoutError(
+                        f"the '{sub}' store at {self.state_dir} has a "
+                        "bucketed id_bucket layout whose on-disk "
+                        "assignments disagree with this session's "
+                        f"configured buckets={configured} for "
+                        f"{mismatched} sampled ids (the store was "
+                        "written with a different bucket count) and "
+                        "carries no _layout marker to arbitrate; pass "
+                        "the count the store was written with or "
+                        "rebuild it"
+                    )
                 val = configured
             else:
                 # pre-marker FLAT store: adopt flat instead of writing
@@ -688,19 +758,35 @@ class _ArrivalIndexState:
         if not self._has_index(sub):
             return None
         reader = self.spark.read
-        if merge_schema:
+        cached = self._store_schemas.get(sub)
+        if cached is not None:
+            # r14 fixed-cost shave: within a state object's lifetime
+            # the store's schema is settled after the first successful
+            # read (this object is the only writer, and it writes one
+            # consistent schema), so later micro-batches reuse it and
+            # skip both schema inference and the mergeSchema
+            # footer-sweep — per-batch re-planning cost that grew with
+            # the store for no information. The parquet reader fills
+            # columns absent from older files with NULL, which is
+            # exactly what mergeSchema produced. Invalidated on
+            # compaction (the partition column's inferred type
+            # changes).
+            reader = reader.schema(cached)
+        elif merge_schema:
             # TTL stores can mix stamped and pre-TTL unstamped batch
             # dirs; without mergeSchema, whether `indexed_at` exists
             # depends on WHICH footer Spark samples — nondeterministic
             # screening (r10 review). Merging makes the column present
             # whenever any file carries it; unstamped rows read NULL.
-            # Cost: a footer-merge over the store's files per batch —
-            # bounded by auto_compact_dirs (set it on TTL'd states; an
-            # explicit schema can't replace this because the id column's
-            # type derives from the caller's corpus).
+            # Cost: a footer-merge over the store's files, paid on the
+            # first read of the state's lifetime (the merged schema is
+            # cached above; an explicit schema can't replace the FIRST
+            # read because the id column's type derives from the
+            # caller's corpus).
             reader = reader.option("mergeSchema", "true")
         try:
-            df = reader.parquet(f"{self.state_dir}/{sub}")
+            with _driver_side_listing(self.spark):
+                df = reader.parquet(f"{self.state_dir}/{sub}")
         except AnalysisException as e:
             # every batch dir is empty: a bucketed write of an empty
             # micro-batch leaves only _SUCCESS (partitionBy emits no
@@ -712,6 +798,15 @@ class _ArrivalIndexState:
             # screen (r12 advice).
             _raise_unless_empty_store(e)
             return None
+        if cached is None:
+            # the store grows monotonically and this session's writes
+            # carry a fixed schema, so a schema observed once (merged,
+            # when merge_schema asked for it) stays valid until
+            # compaction rewrites the layout. A new column this session
+            # writes that the first read predates cannot happen
+            # mid-lifetime: the only such transition (unstamped store
+            # gaining TTL stamps) raises PreTtlIndexError instead.
+            self._store_schemas[sub] = df.schema
         return (
             df
             .filter(F.col("batch").cast("string") != F.lit(str(batch_id)))

@@ -1549,7 +1549,30 @@ def test_exact_substr_dedup_long_run_and_overlap_coverage(spark):
     assert (out[3].n_tokens, out[3].n_removed, out[3].dedup_text) == (0, 0, "")
 
 
-def test_cluster_balanced_sample_caps_dense_regions(spark):
+def test_exact_substr_dup_bloom_prefilter_is_result_identical(spark):
+    """r14 (r13 verdict item 8): ``dup_bloom_items`` prunes the
+    occurrence-side join probe map-side against a Bloom bitmap of the
+    dup-gram set — the second full-gram exchange was the batch path's
+    steepest scale grower. No false negatives means byte-identical
+    output; the pruned plan must actually carry the bitmap probe
+    (might_contain's word-indexing shape) below the join."""
+    from stream4flow_spark.llmdata.dedup import exact_substr_dedup
+
+    passage = " ".join(f"p{i}" for i in range(8))
+    docs = _docs(
+        spark,
+        [
+            f"intro {passage} outro",
+            f"copy starts {passage} copy ends",
+            "completely unrelated text with no duplicated window at all",
+            f"third copy {passage} here too",
+        ],
+    )
+    plain = sorted(map(tuple, exact_substr_dedup(docs, min_len=8).collect()))
+    pruned_df = exact_substr_dedup(docs, min_len=8, dup_bloom_items=1000)
+    assert sorted(map(tuple, pruned_df.collect())) == plain
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "bf_words" in plan  # the broadcast bitmap probe is in place
     """A corpus where one semantic mode owns 90% of the rows: the
     per-cluster cap keeps the mode's share bounded while the sparse
     mode survives whole — the balance no source/quality/token sampler

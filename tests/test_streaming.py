@@ -4085,6 +4085,17 @@ def test_pre_marker_bucketed_store_trusts_config_and_restamps(
     with pytest.raises(StoreLayoutError, match="sig_buckets=8"):
         bad.apply_batch(spark.createDataFrame([(2, near)], schema), 2)
 
+    # r13 advice: the range check alone is one-directional — a session
+    # configuring MORE buckets than the store was written with (8 on
+    # disk, 32 configured; max observed id_bucket 7 < 32) passes it and
+    # would stamp the wrong count, leaving the verify fetch pruning
+    # against the wrong modulus. The sampled re-hash check must catch it.
+    os.remove(os.path.join(d, "sigs._layout"))  # pre-marker era again
+    wider = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=32)
+    with pytest.raises(StoreLayoutError, match="disagree"):
+        wider.apply_batch(spark.createDataFrame([(3, near)], schema), 3)
+    assert not os.path.exists(os.path.join(d, "sigs._layout"))  # unstamped
+
 
 def test_screen_params_pinned_to_store(spark, tmp_path):
     """The parameter sibling of the layout marker: index-DEFINING
