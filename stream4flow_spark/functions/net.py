@@ -108,6 +108,22 @@ _OCT = r"(\d|[1-9]\d{1,2})"
 _QUAD_RE = rf"{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}$"
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for Column trees: evaluate ``value`` once per row and
+    let ``body`` reference it as a lambda variable instead of inlining
+    the whole producing expression at every reference site.
+
+    ``transform(array(v), body)[0]`` — the lambda variable is a real
+    variable in the expression tree, so N references cost N attribute
+    reads at runtime and ~0 bytes in the plan, where plain Column reuse
+    costs N full copies of the subtree (the multiplicative blowup that
+    put ``ip6_to_words`` at ~95 KB per call site, r14). The wrapper adds
+    one single-element array allocation per row. NULL-safe: a NULL
+    ``value`` becomes ``[NULL]``, the body sees NULL — identical to
+    inlining for the pure expressions used here."""
+    return F.get(F.transform(F.array(value), body), F.lit(0))
+
+
 def ip6_to_words(ip: Column) -> Column:
     """IPv6 string → ``array<long>`` of four 32-bit words (big-endian),
     NULL for anything that is not a valid IPv6 address — as PURE Column
@@ -124,66 +140,115 @@ def ip6_to_words(ip: Column) -> Column:
     ordered comparison at ``8000::``; four unsigned-safe 32-bit words
     compare lexicographically with no sign traps.
 
-    Sub-expressions are deliberately referenced at most twice when
-    building the tree (``transform`` over an index sequence instead of
-    eight ``element_at`` pulls): every reference inlines the WHOLE
-    upstream parse expression, and the naive 8× form produced a 4 MiB
-    codegen tree (the [[collapse-project-lambda-inlining]] failure
-    mode, here at construction time rather than via CollapseProject)."""
+    r14: every pipeline stage is ``_let``-bound, so each sub-expression
+    appears ONCE in the tree and evaluates ONCE per row. Plain Column
+    reuse inlines the whole upstream parse at every reference site —
+    multiplicatively: the pre-r14 "referenced at most twice" form still
+    compounded to ~95 KB per call site (~200 KB plans in
+    net_cidr_v6_classify, with every regexp re-evaluated up to 8× per
+    row inside an interpreted projection — higher-order functions are
+    CodegenFallback), and the naive 8× form had produced a 4 MiB tree
+    (the [[collapse-project-lambda-inlining]] failure mode)."""
     # 0) strip one non-empty zone suffix ("fe80::1%eth0"); a bare or
     # repeated '%' stays in the string and fails the v6 regex below
-    ip = F.when(
+    stripped = F.when(
         ip.rlike("^[^%]+%[^%]+$"), F.substring_index(ip, "%", 1)
     ).otherwise(ip)
-    # 1) rewrite an embedded v4 tail to two hex groups
-    o = [F.regexp_extract(ip, _QUAD_RE, i + 1).try_cast("long") for i in range(4)]
-    tail_ok = (
-        ip.rlike(
-            r"^[0-9A-Fa-f:]+:" + r"\.".join([_OCT.replace("(", "(?:")] * 4) + "$"
+
+    _tail_re = (
+        r"^[0-9A-Fa-f:]+:"
+        + r"\.".join([_OCT.replace("(", "(?:")] * 4)
+        + "$"
+    )
+
+    def with_ip(ipv: Column) -> Column:
+        # 1) rewrite an embedded v4 tail to two hex groups
+        octets = F.array(
+            *[
+                F.regexp_extract(ipv, _QUAD_RE, i + 1).try_cast("long")
+                for i in range(4)
+            ]
         )
-        & (o[0] <= 255) & (o[1] <= 255) & (o[2] <= 255) & (o[3] <= 255)
-    )
-    v4val = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
-    norm = F.when(
-        tail_ok,
-        F.concat(
-            F.regexp_replace(ip, r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$", ""),
-            F.format_string(
-                "%x:%x", F.shiftright(v4val, 16), v4val.bitwiseAND(F.lit(65535))
-            ),
-        ),
-    ).when(~ip.contains("."), ip)  # no dot: plain v6 candidate; else NULL
-    # 2) expand `::` by padding zeros between the two halves
-    halves = F.split(norm, "::", -1)
-    left = F.filter(
-        F.split(F.try_element_at(halves, F.lit(1)), ":"), lambda x: x != ""
-    )
-    right = F.when(
-        F.size(halves) == 2,
-        F.filter(
-            F.split(F.try_element_at(halves, F.lit(2)), ":"), lambda x: x != ""
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    total = F.size(left) + F.size(right)
-    ok = norm.rlike(_V6_RE) & (
-        ((F.size(halves) == 2) & (total <= 7))
-        | ((F.size(halves) == 1) & (total == 8))
-    )
-    groups = F.concat(
-        left, F.array_repeat(F.lit("0"), F.lit(8) - total), right
-    )
-    # 3) hex groups → four 32-bit words (conv is gated behind `ok`, so
-    # ANSI mode never sees a non-hex group — CaseWhen branches evaluate
-    # lazily per row); `groups` referenced twice, not eight times
-    words = F.transform(
-        F.sequence(F.lit(0), F.lit(3)),
-        lambda i: (
-            F.conv(F.try_element_at(groups, i * 2 + 1), 16, 10).cast("long")
-            * 65536
-            + F.conv(F.try_element_at(groups, i * 2 + 2), 16, 10).cast("long")
-        ),
-    )
-    return F.when(ok, words)
+
+        def with_octets(o: Column) -> Column:
+            tail_ok = (
+                ipv.rlike(_tail_re)
+                & (o[0] <= 255) & (o[1] <= 255)
+                & (o[2] <= 255) & (o[3] <= 255)
+            )
+            v4val = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+            return F.when(
+                tail_ok,
+                F.concat(
+                    F.regexp_replace(
+                        ipv, r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$", ""
+                    ),
+                    F.format_string(
+                        "%x:%x",
+                        F.shiftright(v4val, 16),
+                        v4val.bitwiseAND(F.lit(65535)),
+                    ),
+                ),
+            ).when(~ipv.contains("."), ipv)  # no dot: plain v6; else NULL
+
+        return _let(octets, with_octets)
+
+    def with_norm(nrm: Column) -> Column:
+        # 2) expand `::` by padding zeros between the two halves
+        def with_halves(h: Column) -> Column:
+            left = F.filter(
+                F.split(F.try_element_at(h, F.lit(1)), ":"), lambda x: x != ""
+            )
+            right = F.when(
+                F.size(h) == 2,
+                F.filter(
+                    F.split(F.try_element_at(h, F.lit(2)), ":"),
+                    lambda x: x != "",
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+            def with_pair(p: Column) -> Column:
+                l, r = p["l"], p["r"]
+
+                def with_total(t: Column) -> Column:
+                    ok = nrm.rlike(_V6_RE) & (
+                        ((F.size(h) == 2) & (t <= 7))
+                        | ((F.size(h) == 1) & (t == 8))
+                    )
+                    groups = F.concat(
+                        l, F.array_repeat(F.lit("0"), F.lit(8) - t), r
+                    )
+
+                    def with_groups(g: Column) -> Column:
+                        # 3) hex groups → four 32-bit words (conv is
+                        # gated behind `ok`, so ANSI mode never sees a
+                        # non-hex group — CaseWhen branches evaluate
+                        # lazily per row)
+                        words = F.transform(
+                            F.sequence(F.lit(0), F.lit(3)),
+                            lambda i: (
+                                F.conv(
+                                    F.try_element_at(g, i * 2 + 1), 16, 10
+                                ).cast("long")
+                                * 65536
+                                + F.conv(
+                                    F.try_element_at(g, i * 2 + 2), 16, 10
+                                ).cast("long")
+                            ),
+                        )
+                        return F.when(ok, words)
+
+                    return _let(groups, with_groups)
+
+                return _let(F.size(l) + F.size(r), with_total)
+
+            return _let(
+                F.struct(left.alias("l"), right.alias("r")), with_pair
+            )
+
+        return _let(F.split(nrm, "::", -1), with_halves)
+
+    return _let(_let(stripped, with_ip), with_norm)
 
 
 def cidr_words_bounds(cidr: str) -> tuple[list[int], list[int]]:

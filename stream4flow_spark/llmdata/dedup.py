@@ -543,15 +543,37 @@ def connected_components(
     Near-dup pairs are only half of dedup — keeper selection must respect
     TRANSITIVE duplication (a~b, b~c ⇒ one keeper for {a,b,c}). Min-label
     propagation: every vertex starts labeled with itself; each round a
-    vertex takes the minimum label in its neighborhood; converges in
-    O(graph diameter) rounds (dup clusters are tiny and dense, so
-    usually 2-3). Each round is two shuffles (join + min-agg) — a
-    driver-side loop over Spark jobs, like any Pregel-style algorithm;
-    the loop carries only a changed-row count to the driver.
+    vertex takes the minimum label in its CLOSED neighborhood (self +
+    neighbors); converges in O(graph diameter) rounds (dup clusters are
+    tiny and dense, so usually 2-3). r14 (guide §2.4 — remove shuffles
+    outright — and §1.2 — the per-round Spark-job count is the wall-clock
+    driver of every iterative pipeline):
+
+    - each round folds the vertex's own label back in with a UNION into
+      the min-aggregate (both branches feed the same partial
+      aggregation) instead of the old second join (labels LEFT JOIN
+      neighbor_min) — one join and one exchange fewer per round;
+    - TWO propagation rounds are composed per materialized block
+      (labels only ever DECREASE, so a block changes nothing iff both
+      its rounds were no-ops — the convergence test is unchanged),
+      halving the localCheckpoint+count job pairs the driver loop pays.
+
+    The edge cache deliberately stays AQE-planned (no manual
+    repartition, no join-strategy hint): at bench scale AQE coalesces
+    the tiny label exchanges and converts the per-round join to a
+    broadcast of the label table; at cluster scale the same plan
+    becomes a shuffled-hash/sort-merge join keyed on ``dst``. A
+    hand-pinned ``repartition("dst")`` cache + SHUFFLE_HASH hint was
+    measured 2-3× SLOWER here (it defeats both AQE rewrites and runs
+    every stage at the static partition count), and the per-round label
+    exchange it saves is vertex-sized, not edge-sized. Self-loop edges
+    were also tried for the own-label fold and rejected: building them
+    re-references the (expensive, deliberately uncached) upstream pair
+    pipeline two extra times during cache materialization.
     """
     # iterative algorithm essentials: the edge set is CACHED (otherwise
     # every iteration recomputes the upstream pair generation — 6× at
-    # sf0.01), and each iteration's labels are localCheckpoint'ed so the
+    # sf0.01), and each block's labels are localCheckpoint'ed so the
     # lineage doesn't grow with the loop.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -561,6 +583,20 @@ def connected_components(
         .distinct()
         .cache()
     )
+
+    def propagate(lbl: DataFrame) -> DataFrame:
+        # min over the CLOSED neighborhood: neighbor labels arrive via
+        # the join, the vertex's own label via the unioned branch —
+        # both are partial-aggregated before the (single) exchange
+        neighbor = edges.join(lbl, edges["dst"] == lbl["id"]).select(
+            F.col("src").alias("id"), "label"
+        )
+        return (
+            neighbor.unionByName(lbl.select("id", "label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+
     # initialize each vertex with min(self, direct neighbors) — the same
     # aggregation a propagation round would compute over self-labels, so
     # this replaces round 1 with ONE groupBy (no join needed yet)
@@ -572,20 +608,10 @@ def connected_components(
     )
     try:
         for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(labels, edges["dst"] == labels["id"])
-                .groupBy("src")
-                .agg(F.min("label").alias("nlabel"))
-            )
             updated = (
-                labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                    ).alias("new_label"),
-                    "label",
-                )
+                propagate(propagate(labels))
+                .withColumnRenamed("label", "new_label")
+                .join(labels, "id")
                 .localCheckpoint(eager=True)
             )
             changed = updated.filter(F.col("new_label") != F.col("label")).count()

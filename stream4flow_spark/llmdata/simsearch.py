@@ -808,31 +808,68 @@ def random_projection(
     The workhorse in front of large-scale ANN: distances are preserved
     within (1±eps) w.h.p. while the vector payload shrinks 8x (here
     64->8), which is the difference between shuffling 256 B and 32 B
-    per row in every downstream block/banded join. Map-only: the
-    projection unrolls into out_dims Column expressions over the scan —
-    zero shuffle, no UDF. Output columns p0..p{k-1}.
+    per row in every downstream block/banded join. Map-only, zero
+    shuffle. Output columns p0..p{k-1}.
+
+    r14 (guide §4.2): the multiply-accumulate runs as ONE Arrow-batched
+    ``mapInPandas`` NumPy kernel instead of out_dims × in_dims unrolled
+    Column terms — the 512-term expression tree compiled a generated
+    method past the JIT's limits and spent seconds in janino per
+    session (46 KB plan) to do 2000 rows of trivial math. The kernel
+    accumulates IN THE SAME ORDER as the old Column fold (acc starts
+    at +0.0, then += v[d]·s_dj·inv for d ascending — each step one IEEE
+    double multiply and add), so sums are bit-identical; rounding stays
+    in Column land (``F.round`` is HALF_UP via BigDecimal — NumPy's
+    half-even would diverge at .5 boundaries).
     """
     import hashlib
     import math
+
+    import numpy as np
 
     def sign(d: int, j: int) -> int:
         h = hashlib.md5(f"{d}-{j}-{salt}".encode()).hexdigest()
         return 1 if h[0] < "8" else -1
 
     inv = 1.0 / math.sqrt(out_dims)
-    v = F.col(vec_col)
-    cols = [
-        # + 0.0 collapses IEEE -0.0 to +0.0 (stringified engine compares)
-        (
-            F.round(
-                sum(
-                    F.element_at(v, d + 1) * F.lit(sign(d, j) * inv)
-                    for d in range(in_dims)
-                ),
-                round_digits,
+    S = np.array(
+        [[sign(d, j) * inv for j in range(out_dims)] for d in range(in_dims)]
+    )  # in_dims × out_dims
+
+    id_t = emb.schema[id_col].dataType.simpleString()
+    raw_cols = [f"__rp{j}" for j in range(out_dims)]
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy())  # n × in_dims
+            acc = np.zeros((len(pdf), out_dims))
+            # ordered accumulation — same IEEE op sequence as the old
+            # Column fold (and the DuckDB oracle's ordered SUM)
+            for d in range(in_dims):
+                acc = acc + V[:, d : d + 1] * S[d]
+            out = {"__id": pdf["__id"].to_numpy()}
+            for j in range(out_dims):
+                out[raw_cols[j]] = acc[:, j]
+            yield pd.DataFrame(out)
+
+    raw = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).mapInPandas(
+        project,
+        f"__id {id_t}, " + ", ".join(f"{c} double" for c in raw_cols),
+    )
+    # + 0.0 collapses IEEE -0.0 to +0.0 (stringified engine compares)
+    return raw.select(
+        F.col("__id").alias(id_col),
+        *[
+            (F.round(F.col(raw_cols[j]), round_digits) + F.lit(0.0)).alias(
+                f"p{j}"
             )
-            + F.lit(0.0)
-        ).alias(f"p{j}")
-        for j in range(out_dims)
-    ]
-    return emb.select(F.col(id_col), *cols)
+            for j in range(out_dims)
+        ],
+    )

@@ -130,24 +130,43 @@ def pagerank(
     share = (
         F.lit(1.0) if weight_col is None else F.col("__w")
     )  # fraction numerator: uniform vs weight-proportional
+    # r14 (guide §2.4): the per-iteration rank refresh used to be a
+    # second join (nodes LEFT JOIN contrib) after the contribution
+    # aggregate; instead each node's row rides INTO the aggregate as a
+    # null-contribution union branch carrying its seed flag, so one
+    # join + one exchange per iteration disappear. The arithmetic is
+    # unchanged bit for bit: in_mass still sums exactly the per-edge
+    # rank*share/deg terms (the union row's NULL is ignored by sum),
+    # and base + damping * in_mass is applied after the aggregate —
+    # the same expression shape the DuckDB oracle replays.
     for _ in range(iterations):
-        contrib = (
-            e_deg.join(
-                ranks.withColumnRenamed("node", "src"), "src"
+        contrib = e_deg.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col(out_col) * share / F.col("deg")).alias("c"),
+            F.lit(None).cast("boolean").alias("__seed"),
+        )
+        present = nodes.select(
+            "node",
+            F.lit(None).cast("double").alias("c"),
+            is_seed.alias("__seed"),
+        )
+        ranks = (
+            contrib.unionByName(present)
+            .groupBy("node")
+            .agg(
+                F.sum("c").alias("in_mass"),
+                F.max("__seed").alias("__s_any"),
             )
             .select(
-                F.col("dst").alias("node"),
-                (F.col(out_col) * share / F.col("deg")).alias("c"),
+                "node",
+                (
+                    F.when(F.col("__s_any"), F.lit(base)).otherwise(F.lit(0.0))
+                    + F.lit(damping)
+                    * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias(out_col),
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_mass"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.when(is_seed, F.lit(base)).otherwise(F.lit(0.0))
-                + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-            ).alias(out_col),
         )
     # same hygiene as the components Pregel loop (llmdata/dedup.py):
     # truncate lineage off the cached edge/node frames, then release
