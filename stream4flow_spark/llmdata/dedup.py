@@ -574,12 +574,25 @@ def connected_components(
     # iterative algorithm essentials: the edge set is CACHED (otherwise
     # every iteration recomputes the upstream pair generation — 6× at
     # sf0.01), and each block's labels are localCheckpoint'ed so the
-    # lineage doesn't grow with the loop.
+    # lineage doesn't grow with the loop. Both edge directions come from
+    # ONE explode over the pair row (r14) — the old two-branch union
+    # referenced ``pairs`` twice, and the cache-materialization job ran
+    # the whole upstream pair pipeline (an LSH/banded join) once per
+    # branch.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("__e")
         )
+        .select("__e.src", "__e.dst")
         .distinct()
         .cache()
     )
@@ -1186,7 +1199,6 @@ def exact_substr_dedup(
     to the sharded bitmap past one broadcast cell (≥10⁹ dup grams).
     """
     base = _substr_base(df, text_col, id_col)
-    toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
     grams = _substr_grams(base, min_len)
     dup = (
         grams.groupBy("gh")
@@ -1214,7 +1226,7 @@ def exact_substr_dedup(
         .filter(~((F.col("id") == F.col("w.k")) & (F.col("pos") == F.col("w.p"))))
         .select("id", F.col("pos").alias("s"))
     )
-    return _substr_rebuild(df, id_col, toks, marked, min_len)
+    return _substr_rebuild(df, id_col, base, marked, min_len)
 
 
 def _substr_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -1249,55 +1261,73 @@ def _substr_grams(base: DataFrame, L: int) -> DataFrame:
 
 
 def _substr_rebuild(
-    df: DataFrame, id_col: str, toks: DataFrame, marked: DataFrame, L: int
+    df: DataFrame, id_col: str, base: DataFrame, marked: DataFrame, L: int
 ) -> DataFrame:
     """Difference-array coverage + per-document rebuild shared by the
     batch and incremental ExactSubstr forms: two (+1/-1) events per
     marked window, cumulative-summed per document; surviving tokens
-    reassemble in one doc-keyed exchange. ``df`` supplies the full id
-    universe (untouched docs pass through with n_removed = 0)."""
-    from pyspark.sql import Window
+    reassemble from the token ARRAY. Untouched docs pass through with
+    n_removed = 0 (``base`` derives from ``df``, so it spans the full
+    id universe; ``id_col`` is assumed unique, as everywhere in the
+    dedup tier).
 
-    events = (
-        marked.select("id", F.col("s").alias("pos"), F.lit(1).alias("d"))
-        .unionByName(
-            marked.select(
-                "id", (F.col("s") + L).alias("pos"), F.lit(-1).alias("d")
+    r14 (guide §4.2/§2.3): the old form posexploded every token into
+    its own row, joined events by (id, pos), ran a per-doc window
+    cumsum (exchange + sort over O(total tokens) rows) and reassembled
+    with array_sort(collect_list(struct)). Now the marked starts
+    aggregate per doc into one (typically tiny) array, join the token
+    arrays once by id, and ONE Arrow-batched kernel does the
+    difference-array cumsum + mask + join per document in NumPy — the
+    text payload crosses once, no token-grain exchange, no window
+    sort. Output values are identical: coverage is the same ±1 prefix
+    sum, and ``" ".join(kept)`` is exactly the old
+    ``array_join(sorted kept, " ")``."""
+    starts = marked.groupBy("id").agg(F.collect_list("s").alias("__starts"))
+    joined = base.join(starts, "id", "left")
+    id_t = base.schema["id"].dataType.simpleString()
+
+    def rebuild(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_tok, n_rem, texts = [], [], []
+            for toks, starts_ in zip(pdf["toks"], pdf["__starts"]):
+                if toks is None:
+                    n_tok.append(0)
+                    n_rem.append(0)
+                    texts.append("")
+                    continue
+                T = len(toks)
+                if starts_ is None or len(starts_) == 0:
+                    n_tok.append(T)
+                    n_rem.append(0)
+                    texts.append(" ".join(toks))
+                    continue
+                s = np.asarray(starts_, dtype=np.int64)
+                delta = np.zeros(T + L + 1, dtype=np.int64)
+                np.add.at(delta, s, 1)
+                np.add.at(delta, s + L, -1)
+                keep = np.cumsum(delta[:T]) == 0
+                n_tok.append(T)
+                n_rem.append(int(T - keep.sum()))
+                texts.append(" ".join(np.asarray(toks, dtype=object)[keep]))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_tokens": pd.array(n_tok, dtype="int64"),
+                    "n_removed": pd.array(n_rem, dtype="int64"),
+                    "dedup_text": texts,
+                }
             )
-        )
-        .groupBy("id", "pos")
-        .agg(F.sum("d").alias("d"))
-    )
-    cov = toks.join(events, ["id", "pos"], "left").withColumn(
-        "c",
-        F.sum(F.coalesce("d", F.lit(0))).over(
-            Window.partitionBy("id").orderBy("pos")
-        ),
-    )
-    reb = cov.groupBy("id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).alias("n_removed"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("c") == 0, F.struct("pos", "tok"))
-                    )
-                ),
-                lambda s: s.tok,
-            ),
-            " ",
-        ).alias("dedup_text"),
-    )
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(reb, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
-            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
-        )
+
+    return joined.mapInPandas(
+        rebuild,
+        f"id {id_t}, n_tokens long, n_removed long, dedup_text string",
+    ).select(
+        F.col("id").alias(id_col), "n_tokens", "n_removed", "dedup_text"
     )
 
 
@@ -1372,7 +1402,6 @@ def incremental_exact_substr(
             raise ValueError("need corpus or corpus_index")
         corpus_index = exact_substr_index(corpus, text_col, id_col, min_len)
     base = _substr_base(delta, text_col, id_col)
-    toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
     grams = _substr_grams(base, min_len)
     corpus_gh = corpus_index.select("gh")
     if bloom_prefilter is not None:
@@ -1416,7 +1445,7 @@ def incremental_exact_substr(
         .select("id", F.col("pos").alias("s"))
     )
     marked = in_corpus.unionByName(in_delta).dropDuplicates(["id", "s"])
-    return _substr_rebuild(delta, id_col, toks, marked, min_len)
+    return _substr_rebuild(delta, id_col, base, marked, min_len)
 
 
 # ------------------------------------------------ content-defined chunking

@@ -41,6 +41,87 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def _pair_dot_norms(paired: DataFrame, id_cols: list[str]) -> DataFrame:
+    """(id_cols..., __dot, __nprod) over a paired-vector frame with
+    ``va``/``vb`` array<double> columns — the exact-cosine verify
+    numerator and denominator, computed by ONE Arrow-batched NumPy
+    kernel instead of per-row interpreted higher-order folds (guide
+    §4.2: zip_with/aggregate lambdas are CodegenFallback, and a banded
+    join feeds this 10-100× more candidate pairs than survivors).
+
+    Bit-compatibility with ``dot``/``norm`` is load-bearing for the
+    oracle hash: the kernel accumulates dimension-by-dimension in
+    ascending order from +0.0 — the same IEEE op sequence as the
+    ``aggregate`` fold — and ``sqrt``/multiply/divide are single ops.
+    NULL or length-mismatched pairs yield NULL (__dot, __nprod), which
+    ``try_divide`` turns into the same NULL cosine the Column fold
+    produced (zip_with pads the shorter array with NULLs, poisoning the
+    fold). Consumers apply try_divide + round in Column land so HALF_UP
+    rounding semantics stay the engine's."""
+    schema = (
+        ", ".join(
+            f"{c} {paired.schema[c].dataType.simpleString()}" for c in id_cols
+        )
+        + ", __dot double, __nprod double"
+    )
+    n_ids = len(id_cols)
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = pdf["va"].to_numpy()
+            B = pdf["vb"].to_numpy()
+            n = len(pdf)
+            dots = np.full(n, np.nan)
+            nprods = np.full(n, np.nan)
+            ok = np.fromiter(
+                (
+                    a is not None and b is not None and len(a) == len(b)
+                    for a, b in zip(A, B)
+                ),
+                dtype=bool,
+                count=n,
+            )
+            idx = np.flatnonzero(ok)
+            if idx.size:
+                lens = np.fromiter(
+                    (len(A[i]) for i in idx), dtype=np.int64, count=idx.size
+                )
+                for ln in np.unique(lens):
+                    sub = idx[lens == ln]
+                    if ln == 0:
+                        dots[sub] = 0.0
+                        nprods[sub] = 0.0
+                        continue
+                    V1 = np.vstack([np.asarray(A[i], dtype=np.float64) for i in sub])
+                    V2 = np.vstack([np.asarray(B[i], dtype=np.float64) for i in sub])
+                    ad = np.zeros(sub.size)
+                    a1 = np.zeros(sub.size)
+                    a2 = np.zeros(sub.size)
+                    # ascending-dimension accumulation from +0.0 — the
+                    # exact fold order of dot()/norm()
+                    for d in range(ln):
+                        x = V1[:, d]
+                        y = V2[:, d]
+                        ad = ad + x * y
+                        a1 = a1 + x * x
+                        a2 = a2 + y * y
+                    dots[sub] = ad
+                    nprods[sub] = np.sqrt(a1) * np.sqrt(a2)
+            out = {c: pdf[c] for c in pdf.columns[:n_ids]}
+            # NaN marks the not-ok rows; the Arrow writer surfaces NaN
+            # float cells as NULL, matching the Column fold's NULL
+            out["__dot"] = dots
+            out["__nprod"] = nprods
+            yield pd.DataFrame(out)
+
+    return paired.select(*id_cols, "va", "vb").mapInPandas(kern, schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -614,19 +695,21 @@ def lsh_bucketed_neighbors(
     )
 
     # payload vectors re-fetched by id ONLY for the exact check — the
-    # candidate join above never shuffles them
+    # candidate join above never shuffles them; the dot/norm arithmetic
+    # runs in the ordered Arrow kernel (_pair_dot_norms), try_divide +
+    # HALF_UP rounding stay Column-side
     vec = F.col(vec_col).cast("array<double>")
     vecs = corpus.select(F.col(id_col).alias("id"), vec.alias("v"))
     va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    raw = _pair_dot_norms(
+        candidates.join(va, "id_a").join(vb, "id_b"), ["id_a", "id_b"]
+    )
+    sim = F.try_divide(F.col("__dot"), F.col("__nprod"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    return (
-        candidates.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", sim.alias("cos"))
-        .filter(F.col("cos") >= threshold)
+    return raw.select("id_a", "id_b", sim.alias("cos")).filter(
+        F.col("cos") >= threshold
     )
 
 
@@ -701,14 +784,14 @@ def incremental_semantic_neardup(
     vec = F.col(vec_col).cast("array<double>")
     vd = delta.select(F.col(id_col).alias("id_d"), vec.alias("va"))
     vc = corpus.select(F.col(id_col).alias("id_c"), vec.alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    raw = _pair_dot_norms(
+        candidates.join(vd, "id_d").join(vc, "id_c"), ["id_d", "id_c"]
+    )
+    sim = F.try_divide(F.col("__dot"), F.col("__nprod"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    verified = (
-        candidates.join(vd, "id_d")
-        .join(vc, "id_c")
-        .select("id_d", "id_c", sim.alias("cos"))
-        .filter(F.col("cos") >= threshold)
+    verified = raw.select("id_d", "id_c", sim.alias("cos")).filter(
+        F.col("cos") >= threshold
     )
     w = Window.partitionBy("id_d").orderBy(
         F.col("cos").desc(), F.col("id_c").asc()

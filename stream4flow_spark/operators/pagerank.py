@@ -77,9 +77,11 @@ def pagerank(
             .filter(F.col("__w") > 0)
         )
         outdeg = e.groupBy("src").agg(F.sum("__w").alias("deg"))
+    # both endpoints from ONE pass over e (explode, not a two-branch
+    # union) so the node-cache materialization never re-derives the
+    # upstream edge pipeline per branch
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
     )
     e_deg = e.join(outdeg, "src").persist()
