@@ -59,6 +59,11 @@ _NESTED_LOOP_OK = {
     # exactly one row by construction (operators/bloom.py), the same
     # scalar-broadcast shape as the BM25/DSIR constants
     "llm_decontaminate_bloom",
+    # r14: the ExactSubstr dup-set Bloom prune reuses exactly that
+    # llm_decontaminate_bloom shape — the dup-gram bitmap is a 1-row
+    # aggregate (array<long> words) cross-join-broadcast into the gram
+    # probe (llmdata/dedup.py exact_substr_dedup, commit 9156fbe)
+    "llm_exact_substr_dedup",
 }
 
 
