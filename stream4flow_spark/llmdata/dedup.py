@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from stream4flow_spark.llmdata.textstats import whitespace_tokens
 
@@ -157,28 +158,82 @@ def minhash_signature(grams: Column, num_perm: int = 64) -> Column:
 def minhash_table(
     shingled: DataFrame, num_perm: int = 64, id_col: str = "id"
 ) -> DataFrame:
-    """(id, m0..m{num_perm-1}) — aggregation-form MinHash over a
-    ``(id, grams)`` table.
+    """(id, m0..m{num_perm-1}) — MinHash signatures over a
+    ``(id, grams)`` table, as ONE map-only Arrow kernel (guide §4.2,
+    §2.1: the r14 rewrite removed the signature stage's shuffle
+    outright).
 
-    explode(shingles) → num_perm xxhash64 columns per shingle →
-    groupBy(id) with flat ``min`` aggregates. One shuffle keyed by id
-    with num_perm-long rows, map-side partial aggregation, whole-stage
-    codegen — versus the scalar form's num_perm full array traversals
-    (and array allocations) per document. Documents with empty shingle
-    sets drop out (same as the scalar form's NULL signatures)."""
-    exploded = shingled.select(F.col(id_col).alias("id"), F.explode("grams").alias("g"))
-    # hash the (variable-length) shingle string ONCE, then derive the
-    # num_perm permutations by hashing the resulting 8-byte long with
-    # per-permutation seeds — string hashing dominates, so this is ~n×
-    # cheaper than xxhash64(g, seed=i) per permutation and equally
-    # independent for banding purposes
-    base = exploded.select("id", F.xxhash64("g").alias("h0"))
-    hashed = base.select(
-        "id", *[F.xxhash64("h0", F.lit(i)).alias(f"h{i}") for i in range(num_perm)]
+    Values are bit-identical to the Column form it replaced
+    (explode → ``xxhash64(g)`` → num_perm × ``xxhash64(h0, i)`` columns
+    → groupBy(id).min): ``llmdata.xxh`` re-implements Spark's XXH64
+    exactly (pinned by tests/test_xxh_bitexact.py against
+    ``F.xxhash64`` on real shingles, plus a whole-table frame-equality
+    test), the string hash reads the UTF-8 bytes zero-copy out of the
+    Arrow list child buffer, NULL grams hash to the seed (42) exactly
+    as ``xxhash64(NULL)`` does, and the per-document minimum is the
+    signed int64 min Spark's ``min(LongType)`` computes. Documents with
+    empty (or NULL) shingle sets drop out, same as explode dropped
+    them.
+
+    Why kernel instead of aggregate: per shingle the old plan paid
+    num_perm JVM hash calls plus a num_perm-column partial aggregate,
+    then exchanged (id, 64×long) rows. The kernel hashes each distinct
+    byte-length group of shingles in whole-array NumPy passes, shares
+    the seed-independent half of the 64 per-permutation hashes, and
+    reduces to per-doc minima with no exchange at all — signatures are
+    born on the partition that holds the document. At 100 TB that
+    deletes a corpus-sized shuffle from every banding pipeline."""
+    from .xxh import xxh64_long_multi_min, xxh64_utf8
+
+    src = shingled.select(F.col(id_col).alias("id"), "grams")
+    out_type = T.StructType(
+        [src.schema.fields[0]]
+        + [T.StructField(f"m{i}", T.LongType(), True) for i in range(num_perm)]
     )
-    return hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
-    )
+    names = ["id"] + [f"m{i}" for i in range(num_perm)]
+
+    def sign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids, lists = batch.column(0), batch.column(1)
+            voff = lists.offsets.to_numpy().astype(np.int64)
+            counts = np.diff(voff)
+            keep = counts > 0
+            if lists.null_count:
+                keep &= np.asarray(pa.compute.is_valid(lists))
+            if not keep.any():
+                continue
+            child = lists.values
+            co = child.offset
+            bufs = child.buffers()
+            odt = np.int64 if pa.types.is_large_string(child.type) else np.int32
+            s_off = np.frombuffer(bufs[1], dtype=odt)[
+                co : co + len(child) + 1
+            ].astype(np.int64)
+            sdata = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            h0 = xxh64_utf8(sdata, s_off[:-1], np.diff(s_off), 42)
+            if child.null_count:
+                # xxhash64(NULL) leaves the hash at its seed
+                h0[~np.asarray(pa.compute.is_valid(child))] = np.uint64(42)
+            lo, hi = int(voff[0]), int(voff[-1])
+            mins = xxh64_long_multi_min(
+                h0[lo:hi], num_perm, voff[:-1][keep] - lo
+            )
+            mask = pa.array(keep)
+            yield pa.RecordBatch.from_arrays(
+                [ids.filter(mask)] + [pa.array(mins[i]) for i in range(num_perm)],
+                names=names,
+            )
+
+    return src.mapInArrow(sign, out_type)
 
 
 def minhash_lsh_dedup(
