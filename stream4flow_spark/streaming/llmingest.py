@@ -806,7 +806,20 @@ class _ArrivalIndexState:
             # writes that the first read predates cannot happen
             # mid-lifetime: the only such transition (unstamped store
             # gaining TTL stamps) raises PreTtlIndexError instead.
-            self._store_schemas[sub] = df.schema
+            # The ``batch`` partition column is pinned to STRING in the
+            # cached copy: a compaction can rename the consolidated dir
+            # to ``batch=compacted-<gen>`` while this object lives (the
+            # module-level compact_*_index functions cannot reach this
+            # cache, unlike maybe_compact), and a cached int partition
+            # type would then either fail the partition-value cast or
+            # NULL it out and silently drop the consolidated index.
+            # The read filter below already compares the string form.
+            from pyspark.sql.types import StringType, StructField, StructType
+            self._store_schemas[sub] = StructType([
+                StructField(f.name, StringType(), True)
+                if f.name == "batch" else f
+                for f in df.schema.fields
+            ])
         return (
             df
             .filter(F.col("batch").cast("string") != F.lit(str(batch_id)))

@@ -4246,6 +4246,44 @@ def test_compact_reclaims_all_empty_store_dirs(spark, tmp_path):
     assert {(r.id, r.best_match_id) for r in st.alerts} == {(2, 1)}
 
 
+def test_external_compaction_mid_lifetime_keeps_consolidated_index(
+    spark, tmp_path
+):
+    """The r14 per-lifetime store-schema cache must survive a
+    module-level compact_*_index call issued while the state object
+    lives (an operator compacting out-of-band): the consolidated dir is
+    ``batch=compacted-<gen>``, and a cached int-typed ``batch``
+    partition column would either fail the partition-value cast or
+    NULL it and silently drop the whole consolidated index. The cache
+    pins ``batch`` to string, so a near-copy arriving after the
+    external compaction still flags against the pre-compaction
+    original."""
+    from stream4flow_spark.streaming.llmingest import (
+        NeardupIndexState,
+        compact_neardup_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "today in the bright morning sun behind the old mill")
+    near = base.replace("today", "tomorrow")
+    schema = "doc_id long, text string"
+    d = str(tmp_path / "nd")
+    st = NeardupIndexState(spark, d, threshold=0.5, sig_buckets=8)
+    st.apply_batch(spark.createDataFrame([(0, base)], schema), 0)
+    # batch 1 READS the stores -> caches their schemas for the lifetime
+    st.apply_batch(
+        spark.createDataFrame(
+            [(1, "totally unrelated text about parquet files and "
+                 "columnar formats for analytics today")], schema
+        ),
+        1,
+    )
+    out = compact_neardup_index(spark, d)  # out-of-band: cache survives
+    assert out["sigs"] == 2
+    st.apply_batch(spark.createDataFrame([(2, near)], schema), 2)
+    assert {(r.id, r.best_match_id) for r in st.alerts} == {(2, 0)}
+
+
 def test_markers_over_empty_store_adopt_session_values(spark, tmp_path):
     """r12 advice: the param/layout pins are written before the first
     batch's store writes, so a crash inside that first batch leaves
