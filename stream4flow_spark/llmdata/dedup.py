@@ -665,33 +665,48 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
 
+    def _label_sum(lbl: DataFrame):
+        # convergence metric: labels only ever DECREASE (min over a set
+        # containing the old label), so sum(label) over the fixed vertex
+        # set changes iff ANY label changed — the block-level test is
+        # exact without joining new labels against old ones (r14: the
+        # old per-block `new != old` count paid an id-join plus a SECOND
+        # driver job; this aggregate is the same action that materializes
+        # the lazy checkpoint, so each block is ONE job). decimal(38,0)
+        # keeps the sum exact ~19 digits past long ids at any row count
+        # that fits a cluster.
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
     # initialize each vertex with min(self, direct neighbors) — the same
     # aggregation a propagation round would compute over self-labels, so
-    # this replaces round 1 with ONE groupBy (no join needed yet)
+    # this replaces round 1 with ONE groupBy (no join needed yet).
+    # Checkpoints are LAZY: the _label_sum aggregate is the action that
+    # materializes each one, so init and every block cost one driver job.
     labels = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("min_dst"))
         .select("id", F.least(F.col("id"), F.col("min_dst")).alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     try:
+        prev_sum = _label_sum(labels)
         for _ in range(max_iter):
-            updated = (
-                propagate(propagate(labels))
-                .withColumnRenamed("label", "new_label")
-                .join(labels, "id")
-                .localCheckpoint(eager=True)
+            updated = propagate(propagate(labels)).localCheckpoint(
+                eager=False
             )
-            changed = updated.filter(F.col("new_label") != F.col("label")).count()
+            new_sum = _label_sum(updated)
             # superseded checkpoint blocks would otherwise pile up in the
             # BlockManager for the session's lifetime (localCheckpoint is
             # RDD-level storage that catalog.clearCache never touches;
             # the leak measured 2-3× inflation on later same-session
             # queries in an 81-query bench sequence)
             labels.unpersist()
-            labels = updated.select("id", F.col("new_label").alias("label"))
-            if changed == 0:
+            labels = updated
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
     finally:
         edges.unpersist()
     return labels.select("id", F.col("label").alias("component"))
