@@ -250,6 +250,25 @@ def test_connected_components_handcrafted_graph(spark):
     }
 
 
+def test_connected_components_long_chain_and_empty(spark):
+    """r14 internals pin: the loop's convergence test is a monotone
+    label-sum over lazily-checkpointed blocks (one driver job each).
+    A 33-vertex path graph needs many propagation blocks (label 0
+    travels the whole chain), exercising multi-block convergence, the
+    checkpoint unpersist cycle, and the final-block equality; the empty
+    graph exercises the NULL-sum short-circuit."""
+    from stream4flow_spark.llmdata.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "id_a long, id_b long"
+    )
+    cc = {r.id: r.component for r in connected_components(chain).collect()}
+    assert cc == {i: 0 for i in range(33)}
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).collect() == []
+
+
 def test_hash_split_deterministic_and_proportional(spark):
     from stream4flow_spark.llmdata.sampling import hash_split
     from stream4flow_spark.sources.tables import load_table
