@@ -655,58 +655,59 @@ def connected_components(
     def propagate(lbl: DataFrame) -> DataFrame:
         # min over the CLOSED neighborhood: neighbor labels arrive via
         # the join, the vertex's own label via the unioned branch —
-        # both are partial-aggregated before the (single) exchange
+        # both are partial-aggregated before the (single) exchange.
+        # ``__old`` (the vertex's label at block start) rides through
+        # as the single non-NULL value on the own-label row (neighbor
+        # rows carry NULL, min() ignores them), so the block's
+        # convergence test needs no join of new labels against old —
+        # and it is type-agnostic (ids may be strings).
+        old_t = lbl.schema["__old"].dataType
         neighbor = edges.join(lbl, edges["dst"] == lbl["id"]).select(
-            F.col("src").alias("id"), "label"
+            F.col("src").alias("id"),
+            "label",
+            F.lit(None).cast(old_t).alias("__old"),
         )
         return (
-            neighbor.unionByName(lbl.select("id", "label"))
+            neighbor.unionByName(lbl.select("id", "label", "__old"))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min("__old").alias("__old"),
+            )
         )
-
-    def _label_sum(lbl: DataFrame):
-        # convergence metric: labels only ever DECREASE (min over a set
-        # containing the old label), so sum(label) over the fixed vertex
-        # set changes iff ANY label changed — the block-level test is
-        # exact without joining new labels against old ones (r14: the
-        # old per-block `new != old` count paid an id-join plus a SECOND
-        # driver job; this aggregate is the same action that materializes
-        # the lazy checkpoint, so each block is ONE job). decimal(38,0)
-        # keeps the sum exact ~19 digits past long ids at any row count
-        # that fits a cluster.
-        return lbl.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
 
     # initialize each vertex with min(self, direct neighbors) — the same
     # aggregation a propagation round would compute over self-labels, so
-    # this replaces round 1 with ONE groupBy (no join needed yet).
-    # Checkpoints are LAZY: the _label_sum aggregate is the action that
-    # materializes each one, so init and every block cost one driver job.
+    # this replaces round 1 with ONE groupBy (no join needed yet)
     labels = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("min_dst"))
         .select("id", F.least(F.col("id"), F.col("min_dst")).alias("label"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     try:
-        prev_sum = _label_sum(labels)
         for _ in range(max_iter):
-            updated = propagate(propagate(labels)).localCheckpoint(
+            # block checkpoints are LAZY: the changed-count aggregate is
+            # the action that materializes them, so every two-round
+            # block costs exactly ONE driver job (r14 — the old eager
+            # checkpoint + separate count paid two, plus an id-join of
+            # new labels against old for the comparison)
+            seeded = labels.withColumn("__old", F.col("label"))
+            updated = propagate(propagate(seeded)).localCheckpoint(
                 eager=False
             )
-            new_sum = _label_sum(updated)
+            changed = updated.agg(
+                F.sum((F.col("label") != F.col("__old")).cast("long"))
+            ).collect()[0][0]
             # superseded checkpoint blocks would otherwise pile up in the
             # BlockManager for the session's lifetime (localCheckpoint is
             # RDD-level storage that catalog.clearCache never touches;
             # the leak measured 2-3× inflation on later same-session
             # queries in an 81-query bench sequence)
             labels.unpersist()
-            labels = updated
-            if new_sum == prev_sum:
+            labels = updated.select("id", "label")
+            if not changed:
                 break
-            prev_sum = new_sum
     finally:
         edges.unpersist()
     return labels.select("id", F.col("label").alias("component"))

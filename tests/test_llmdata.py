@@ -268,6 +268,14 @@ def test_connected_components_long_chain_and_empty(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).collect() == []
 
+    # ids are NOT required to be numeric (label_propagation's test graph
+    # and callers use strings) — the convergence metric must not cast
+    strs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    cc2 = {r.id: r.component for r in connected_components(strs).collect()}
+    assert cc2 == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
 
 def test_hash_split_deterministic_and_proportional(spark):
     from stream4flow_spark.llmdata.sampling import hash_split
