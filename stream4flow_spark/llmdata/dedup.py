@@ -140,6 +140,29 @@ def _cap_buckets(
         .drop("__rn")
     )
 
+def _null_slot_starts(voff, lists):
+    """Segment starts for an Arrow ListArray, with null slots PROVEN
+    empty. The ``reduceat`` segmentation both signature kernels use
+    assumes a null list slot spans zero child elements — true for every
+    Spark-produced batch, but Arrow permits null slots with non-equal
+    offsets (undefined child values), which would silently leak garbage
+    elements into the preceding document's aggregate. Assert instead of
+    guessing: foreign batches that violate it fail loudly."""
+    import numpy as np
+    import pyarrow as pa
+
+    if lists.null_count:
+        counts = np.diff(voff)
+        nulls = ~np.asarray(pa.compute.is_valid(lists))
+        if counts[nulls].any():
+            raise ValueError(
+                "ListArray has null slots with non-zero extent — "
+                "not a Spark-produced batch; reduceat segmentation "
+                "would be incorrect"
+            )
+    return voff[:-1]
+
+
 def minhash_signature(grams: Column, num_perm: int = 64) -> Column:
     """MinHash signature: per permutation i, min over shingles of
     xxhash64(shingle, seed=i). Empty shingle set → NULL signature.
@@ -201,6 +224,7 @@ def minhash_table(
                 continue
             ids, lists = batch.column(0), batch.column(1)
             voff = lists.offsets.to_numpy().astype(np.int64)
+            _null_slot_starts(voff, lists)  # assert null slots are empty
             counts = np.diff(voff)
             keep = counts > 0
             if lists.null_count:
@@ -384,46 +408,127 @@ def simhash_table(
       value-for-value — feature hashing changes which grams collide, not
       the algorithm, exactly like ``dsir._bucket``'s dual mode. Halves
       stay below 2^32, so no sign/overflow divergence between engines.
+
+    r15 (guide §4.2, §2.1 — same treatment ``minhash_table`` got in
+    r14): ONE map-only Arrow kernel instead of
+    explode → per-gram hash → 64-column partial aggregate → id-keyed
+    exchange. The signature is born on the partition that holds the
+    document, deleting the exchange and the 64-``sum`` aggregate
+    outright. Values are bit-identical to the Column form it replaced:
+
+    - ``"xx"`` reuses the pinned ``llmdata.xxh`` XXH64 (seed 42, the
+      ``xxhash64`` default); null grams hashed NULL in the old form
+      (the ``isNotNull`` guard) and are skipped here the same way.
+    - ``"md5"`` feeds each gram's UTF-8 bytes to ``hashlib.md5`` — the
+      identical digest Spark's ``md5()`` computes —  and reads
+      ``(h1 << 32) | h2`` straight off the first 8 digest bytes
+      (big-endian), which is exactly ``conv(substring(hex,1,8),16,10)``
+      / ``conv(substring(hex,9,8),16,10)``; bit j of that uint64 IS the
+      old ``shiftright(half, j%32) & 1``.
+    - votes are integer sums (``2·popcount_j − n_valid_grams``), exact;
+      bit j of ``sh`` set iff votes > 0, packed little-endian so j=63
+      lands on the int64 sign bit exactly as ``_sh_from_votes`` did.
+    - documents with no/NULL shingle sets (or all-NULL grams) emit
+      ``sh = 0`` — what the old explode_outer + ``coalesce(sum, 0)``
+      produced.
+
+    One row out per row in (``minhash_table``'s contract too): callers
+    pass unique document ids, which is what the old ``groupBy(id)`` made
+    observable. Pinned against the Column form by
+    tests/test_llmdata.py::test_simhash_kernel_matches_column_form.
     """
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g"),
-    )
-    if hash_mode == "xx":
-        # xxhash64(NULL) would return the seed, not NULL — guard so docs
-        # with no shingles (explode_outer null) still hash to 0
-        hashed = exploded.select(
-            "id", F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("h")
-        )
-
-        def bit(j: int) -> Column:
-            return F.shiftright(F.col("h"), j).bitwiseAND(1)
-
-    elif hash_mode == "md5":
-        d = F.md5(F.col("g"))  # md5(NULL) is NULL — no guard needed
-        hashed = exploded.select(
-            "id",
-            F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("h2"),
-        )
-
-        def bit(j: int) -> Column:
-            half = F.col("h2") if j < 32 else F.col("h1")
-            return F.shiftright(half, j % 32).bitwiseAND(1)
-
-    else:
+    if hash_mode not in ("xx", "md5"):
         raise ValueError(f"unknown hash_mode: {hash_mode!r}")
-    votes = hashed.groupBy("id").agg(
-        *[
-            F.coalesce(F.sum(bit(j) * 2 - 1), F.lit(0))
-            .cast("long")
-            .alias(f"v{j}")
-            for j in range(64)
-        ]
+    src = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(F.col(text_col), n).alias("grams"),
     )
-    return votes.select(
-        "id", _sh_from_votes([F.col(f"v{j}") for j in range(64)]).alias("sh")
+    out_type = T.StructType(
+        [src.schema.fields[0], T.StructField("sh", T.LongType(), False)]
     )
+
+    def sign(batches):
+        import hashlib
+        import numpy as np
+        import pyarrow as pa
+
+        from .xxh import xxh64_utf8
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids, lists = batch.column(0), batch.column(1)
+            voff = lists.offsets.to_numpy().astype(np.int64)
+            _null_slot_starts(voff, lists)  # assert null slots are empty
+            counts = np.diff(voff)
+            if lists.null_count:
+                counts = np.where(
+                    np.asarray(pa.compute.is_valid(lists)), counts, 0
+                )
+            sh = np.zeros(batch.num_rows, dtype=np.int64)
+            keep = counts > 0
+            lo, hi = int(voff[0]), int(voff[-1])
+            if keep.any() and hi > lo:
+                child = lists.values
+                co = child.offset
+                bufs = child.buffers()
+                odt = (
+                    np.int64
+                    if pa.types.is_large_string(child.type)
+                    else np.int32
+                )
+                s_off = np.frombuffer(bufs[1], dtype=odt)[
+                    co : co + len(child) + 1
+                ].astype(np.int64)
+                sdata = (
+                    np.frombuffer(bufs[2], dtype=np.uint8)
+                    if bufs[2] is not None
+                    else np.empty(0, dtype=np.uint8)
+                )
+                if hash_mode == "xx":
+                    g64 = xxh64_utf8(
+                        sdata, s_off[lo:hi], s_off[lo + 1 : hi + 1] - s_off[lo:hi], 42
+                    )
+                else:
+                    md5 = hashlib.md5
+                    mv = memoryview(sdata)
+                    digs = b"".join(
+                        [
+                            md5(mv[s_off[i] : s_off[i + 1]]).digest()[:8]
+                            for i in range(lo, hi)
+                        ]
+                    )
+                    g64 = (
+                        np.frombuffer(digs, dtype=">u8")
+                        .astype(np.uint64)
+                    )
+                # bit j of g64 == the Column form's per-gram bit j for
+                # both modes; one uint8 bit-plane, votes per doc via
+                # segmented sums (int64 accumulator — no uint8 overflow)
+                bits = np.unpackbits(
+                    g64.view(np.uint8).reshape(-1, 8),
+                    axis=1,
+                    bitorder="little",
+                )
+                nval = counts
+                if child.null_count:
+                    valid = np.asarray(pa.compute.is_valid(child))[lo:hi]
+                    bits[~valid] = 0  # NULL gram: hash is NULL, no vote
+                    vstarts = voff[:-1][keep] - lo
+                    nval = np.zeros(batch.num_rows, dtype=np.int64)
+                    nval[keep] = np.add.reduceat(
+                        valid.astype(np.int64), vstarts
+                    )
+                starts = voff[:-1][keep] - lo
+                sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+                votes = 2 * sums - nval[keep][:, None]
+                packed = np.packbits(votes > 0, axis=1, bitorder="little")
+                sh[keep] = np.ascontiguousarray(packed).view("<u8").ravel().view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sh)], names=["id", "sh"]
+            )
+
+    return src.mapInArrow(sign, out_type)
 
 
 def simhash_dedup(
@@ -612,6 +717,12 @@ def connected_components(
       (labels only ever DECREASE, so a block changes nothing iff both
       its rounds were no-ops — the convergence test is unchanged),
       halving the localCheckpoint+count job pairs the driver loop pays.
+      ``max_iter`` therefore bounds two-round BLOCKS since r14: up to
+      ``2 * max_iter`` propagation rounds run before the loop gives up
+      (a strictly larger reach than the old per-round bound — halving
+      the loop bound instead would change results on graphs of diameter
+      > max_iter, so the parameter's unit is redocumented, not the
+      loop).
 
     The edge cache deliberately stays AQE-planned (no manual
     repartition, no join-strategy hint): at bench scale AQE coalesces
@@ -687,14 +798,24 @@ def connected_components(
     )
     try:
         for _ in range(max_iter):
-            # block checkpoints are LAZY: the changed-count aggregate is
-            # the action that materializes them, so every two-round
-            # block costs exactly ONE driver job (r14 — the old eager
-            # checkpoint + separate count paid two, plus an id-join of
-            # new labels against old for the comparison)
+            # Block checkpoints are EAGER again (r15). r14 made them
+            # lazy so the changed-count aggregate doubled as the
+            # materializing action (one driver job per block instead of
+            # two) — but the driver's r14 bench measured the two CC
+            # headline queries SLOWER (components 4.69→8.80 s), and the
+            # r15 bisect reproduced it: alternating eager/lazy A/B runs
+            # put eager ahead on every min and median (components
+            # 4.08/4.34 vs 4.33/5.14 min/med s, semantic_dedup
+            # 3.28/3.94 vs 3.99/6.72). The ~0.19 s/block job the lazy
+            # form saves is smaller than whatever the agg-materialized
+            # cache costs at execution time, so the measured winner
+            # stands. The r14 join-free convergence test is kept: the
+            # ``__old`` column threaded through the propagate
+            # aggregates still makes the changed-count a cheap scan of
+            # the (now already materialized) checkpoint — no id-join.
             seeded = labels.withColumn("__old", F.col("label"))
             updated = propagate(propagate(seeded)).localCheckpoint(
-                eager=False
+                eager=True
             )
             changed = updated.agg(
                 F.sum((F.col("label") != F.col("__old")).cast("long"))

@@ -82,6 +82,83 @@ def test_simhash_md5_mode_same_semantics_as_xx(spark):
         simhash_dedup(df, hash_mode="fnv").collect()
 
 
+def _simhash_column_form(df, n=3, hash_mode="xx"):
+    """The pre-r15 Column implementation of simhash_table, kept as the
+    bit-exactness reference for the Arrow kernel (explode_outer →
+    per-gram hash → 64-sum aggregate → vote fold)."""
+    from stream4flow_spark.llmdata.dedup import _sh_from_votes, word_ngrams
+
+    exploded = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode_outer(word_ngrams(F.col("text"), n)).alias("g"),
+    )
+    if hash_mode == "xx":
+        hashed = exploded.select(
+            "id", F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("h")
+        )
+
+        def bit(j):
+            return F.shiftright(F.col("h"), j).bitwiseAND(1)
+
+    else:
+        d = F.md5(F.col("g"))
+        hashed = exploded.select(
+            "id",
+            F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(d, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+
+        def bit(j):
+            half = F.col("h2") if j < 32 else F.col("h1")
+            return F.shiftright(half, j % 32).bitwiseAND(1)
+
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.coalesce(F.sum(bit(j) * 2 - 1), F.lit(0))
+            .cast("long")
+            .alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    return votes.select(
+        "id", _sh_from_votes([F.col(f"v{j}") for j in range(64)]).alias("sh")
+    )
+
+
+def test_simhash_kernel_matches_column_form(spark):
+    """r15 kernel gate: the mapInArrow simhash signature must reproduce
+    the old explode+aggregate Column form BIT FOR BIT in both hash
+    modes — fixture documents plus adversarial shapes (no shingles,
+    empty text, NULL text, non-ASCII, single repeated gram)."""
+    from stream4flow_spark.llmdata.dedup import simhash_table
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    extra = spark.createDataFrame(
+        [
+            (100001, "one two"),            # fewer words than n → no grams
+            (100002, ""),                   # empty text
+            (100003, None),                 # NULL text
+            (100004, "naïve café über — naïve café über — naïve café über"),
+            (100005, "a b c a b c a b c"),  # repeated grams
+            (100006, "x y z"),              # exactly one gram
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(extra)
+    for mode in ("xx", "md5"):
+        want = {
+            r.id: r.sh for r in _simhash_column_form(df, hash_mode=mode).collect()
+        }
+        got = {
+            r.id: r.sh
+            for r in simhash_table(df, hash_mode=mode).collect()
+        }
+        assert got == want, f"simhash kernel diverges in mode {mode!r}"
+
+
 def test_cosine_topk_identity_and_orthogonal(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
