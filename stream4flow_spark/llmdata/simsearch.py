@@ -928,12 +928,25 @@ def random_projection(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.vstack(pdf["__v"].to_numpy())  # n × in_dims
-            acc = np.zeros((len(pdf), out_dims))
-            # ordered accumulation — same IEEE op sequence as the old
-            # Column fold (and the DuckDB oracle's ordered SUM)
-            for d in range(in_dims):
-                acc = acc + V[:, d : d + 1] * S[d]
+            # NULL / too-short vectors produced NULL p-columns in the
+            # old Column form (element_at past the end is NULL and
+            # poisons the fold); mask them to NaN — the Arrow writer
+            # turns float NaN into NULL — instead of letting vstack
+            # crash the executor on ragged input (r15, ADVICE)
+            vals = pdf["__v"].to_numpy()
+            ok = np.array(
+                [v is not None and len(v) >= in_dims for v in vals],
+                dtype=bool,
+            )
+            acc = np.full((len(pdf), out_dims), np.nan)
+            if ok.any():
+                V = np.vstack([v[:in_dims] for v in vals[ok]])  # k × in_dims
+                a = np.zeros((int(ok.sum()), out_dims))
+                # ordered accumulation — same IEEE op sequence as the old
+                # Column fold (and the DuckDB oracle's ordered SUM)
+                for d in range(in_dims):
+                    a = a + V[:, d : d + 1] * S[d]
+                acc[ok] = a
             out = {"__id": pdf["__id"].to_numpy()}
             for j in range(out_dims):
                 out[raw_cols[j]] = acc[:, j]

@@ -17,19 +17,18 @@ All arithmetic is ``np.uint64`` with wraparound (Java ``long``
 semantics); callers reinterpret as int64 (``.view(np.int64)``) where
 Spark's LongType values are needed.
 
-One constant is RECOVERED, not transcribed: measuring this engine's
-``xxhash64`` against the published XXH64 algorithm showed every value
-diverging, and probing the running JVM (reflective calls into the
-loaded hash class) isolated the difference to a single multiplicative
-prime — this build ships a perturbed ``PRIME64_2``. Rather than pin
-that build-specific constant, ``_recover_prime2()`` derives it at
-import by algebraically inverting one pinned probe value,
-``xxhash64(CAST(0 AS BIGINT))``: with v=0 the input mix vanishes, so
-the probe is ``fmix(rotl27(seed+P5+8)·P1 + P4)`` and every fmix step
-is invertible (xor-shift is a bijection, the primes are odd). On a
-stock Spark the same derivation yields the textbook prime, so the
-module is portable across engines; ``tests/test_xxh_bitexact.py``
-re-validates the whole family against the live engine either way.
+``PRIME64_2`` is DERIVED at import rather than transcribed — a
+portability/self-check mechanism, not evidence of a non-standard
+engine: ``_recover_prime2()`` algebraically inverts one pinned probe
+value, ``xxhash64(CAST(0 AS BIGINT))`` (with v=0 the input mix
+vanishes, so the probe is ``fmix(rotl27(seed+P5+8)·P1 + P4)`` and
+every fmix step is invertible — xor-shift is a bijection, the primes
+are odd). Against this Spark build the pinned probe equals stock
+XXH64's ``hashLong(0, 42)`` and the derivation resolves to the
+textbook constant ``0xC2B2AE3D27D4EB4F`` (verified numerically); if an
+engine ever shipped a perturbed prime, the same derivation would
+recover it, and ``tests/test_xxh_bitexact.py`` re-validates the whole
+family against the live engine either way.
 
 Scale note: hashing here is per-partition map work on data already in
 Arrow buffers — zero-copy reads of the UTF-8 child buffer of a
