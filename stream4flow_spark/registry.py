@@ -70,7 +70,15 @@ def register(name: str, covers: str = "", oracle: str | None = None):
 # inside the staleness horizon, so the k-round bound still holds by
 # construction; the staleness slots shrink to 50 - MAX_BOOST in the
 # worst case, which the invariant above already prices in.
-MAX_BOOST = 10
+#
+# r15 (verdict item 3): 10 → 16. The r14 kernel rewrites touched ~16
+# query paths and MAX_BOOST=10 left llm_minhash_lsh_dedup,
+# llm_semantic_dedup(_lsh), llm_dedup_corpus_keeper, llm_dedup_savings
+# and host_pagerank driver-unverified for a round. 16 is free under the
+# staleness invariant: k = ceil(165/(50-16)) = 5, the same bound as
+# ceil(165/(50-10)) = 5 — more boost capacity costs nothing until the
+# slots drop below 33.
+MAX_BOOST = 16
 
 _WINDOW_CACHE: list[str] | None = None
 
@@ -363,13 +371,23 @@ def window_priority() -> list[str]:
             )
             _WINDOW_CACHE = window
             return _WINDOW_CACHE
-        boost = [n for n in _boosted(latest, oracle) if n not in window][:MAX_BOOST]
+        affected = _boosted(latest, oracle)
+        boost = [n for n in affected if n not in window][:MAX_BOOST]
         if boost:
             k = math.ceil(len(oracle) / (50 - MAX_BOOST))
             horizon = max(latest.values()) - (k - 1)
             # displace youngest-first, and never a member the horizon
-            # still needs this round
+            # still needs this round. r15: among equally-safe members,
+            # displace NON-diff-affected ones first — a boost slot that
+            # evicts a window member whose own code changed since its
+            # last driver-green row would un-verify exactly the kind of
+            # query the boost exists to verify (r14's MAX_BOOST bump
+            # alone did that to the semantic/neardup kernel queries).
+            affected_set = set(affected)
             safe = [n for n in reversed(window) if latest.get(n, -1) >= horizon]
+            safe = [n for n in safe if n not in affected_set] + [
+                n for n in safe if n in affected_set
+            ]
             drop = set(safe[: len(boost)])
             boost = boost[: len(drop)]
             window = sorted(
