@@ -157,8 +157,22 @@ def main() -> int:
     if write_sidecar:
         with open(sidecar, "w") as f:
             json.dump(
-                {"sf": sf_val, "total_sec": sidecar_total,
-                 "queries": sidecar_queries},
+                {
+                    # BENCH-artifact shape (r14 verdict item 4): the
+                    # driver's PERF ingester reads plain
+                    # ``{"queries": {...}}`` maps, which stopped fitting
+                    # the ~2000-char stdout tail at ~140 queries — the
+                    # sidecar doubles as the full-precision,
+                    # summary-shaped record so per-query comparison
+                    # needs no qz decoder
+                    "metric": "gate_queries_total_wall",
+                    "value": sidecar_total,
+                    "unit": "sec",
+                    "sf": sf_val,
+                    "n_queries": len(sidecar_queries),
+                    "total_sec": sidecar_total,
+                    "queries": sidecar_queries,
+                },
                 f, indent=1, sort_keys=True)
 
     slowest = dict(
@@ -198,6 +212,11 @@ def main() -> int:
     # deciseconds → no map (sidecar still has full precision)
     compact = dict(separators=(",", ":"))
     for attempt in (
+        # the driver contract names a plain "queries" map in the summary
+        # line — emit it whenever it fits the tail window (filtered runs,
+        # small registries); the full 165-query registry falls through to
+        # the compressed qz encodings + the sidecar
+        {**base, "queries": timings},
         {**base, "slowest5": slowest, "qz_unit": "cs", "qz": _qz(100), "qn": _qn()},
         {**base, "qz_unit": "cs", "qz": _qz(100), "qn": _qn()},
         {**base, "qz_unit": "ds", "qz": _qz(10), "qn": _qn()},
