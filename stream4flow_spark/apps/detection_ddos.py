@@ -125,7 +125,18 @@ def ddos_window_aggregate(
         F.sum("c.out").alias("out"),
         F.collect_set("c.attacker").alias("__bucket_set"),
     )
-    return stage1.groupBy("window_start_ms", "host").agg(
+    # repartition by host BEFORE the merge: hash(host) satisfies the
+    # ClusteredDistribution of groupBy(window, host) (partitioning keys
+    # are a subset of the grouping keys), and it is exactly the
+    # partitioning ddos_score's host-keyed RANGE window needs — so the
+    # merge aggregate and the window share ONE exchange instead of the
+    # attacker sets crossing hashpartitioning(window, host) and then
+    # hashpartitioning(host) back to back (guide §2.4; r15 before-plan
+    # showed 3 exchanges, each carrying the attacker payload). Stage 1
+    # keeps its own (window, host, salt) exchange so collect_set still
+    # partial-aggregates map-side — shuffling raw contributions on host
+    # alone would move strictly more bytes (guide §2.3).
+    return stage1.repartition("host").groupBy("window_start_ms", "host").agg(
         F.sum("inc").alias("inc"),
         F.sum("out").alias("out"),
         # buckets are attacker-derived, hence disjoint: flatten, no re-dedup

@@ -50,10 +50,25 @@ def dns_statistics(
         F.col(S.DNS_FLAGS).alias("flags"),
     )
 
+    # materialize the CIDR predicates as projected columns: inlined as
+    # Column trees they are re-evaluated per fan-out arm inside the
+    # explode (src 3x, dst 2x — each evaluation is an rlike + 4
+    # split/try_cast passes over the ip string; the r15 before-plan
+    # shows the whole subtree copied into every Generate branch). A
+    # projected alias is computed once per row and referenced by
+    # attribute from the generator (guide §1.2 step 2 — same
+    # multiplicative-inlining fix as net_cidr_v6_classify's _let, but
+    # codegen-friendly: a plain Project, no interpreted HOF).
+    dns = dns.withColumns(
+        {
+            "src_local": ip_in_cidr(F.col("src_ip"), local_cidr),
+            "dst_local": ip_in_cidr(F.col("dst_ip"), local_cidr),
+        }
+    )
+    src_local = F.col("src_local")
+    dst_local = F.col("dst_local")
     is_q = dns_is_query(F.col("flags"))
     is_r = dns_is_response(F.col("flags"))
-    src_local = ip_in_cidr(F.col("src_ip"), local_cidr)
-    dst_local = ip_in_cidr(F.col("dst_ip"), local_cidr)
     not_filtered = ~is_domain_in_list(F.col("domain"), filtered_domains or [])
 
     def stat(tag: str, cond: Column, key: Column) -> Column:

@@ -49,14 +49,21 @@ def ip4_to_long(ip: Column) -> Column:
     pushed toward the scan — the reference instead re-built a netaddr
     ``IPNetwork`` per record (host_stats.py:152, an anti-optimization).
     """
-    parts = F.split(ip, r"\.")
     # try_cast: non-IPv4 strings (e.g. IPv6) yield NULL instead of an ANSI
     # cast error (spark.sql.ansi.enabled is on by default in Spark 4).
-    return (
-        parts.getItem(0).try_cast("long") * 16777216
-        + parts.getItem(1).try_cast("long") * 65536
-        + parts.getItem(2).try_cast("long") * 256
-        + parts.getItem(3).try_cast("long")
+    # r15: the split is _let-bound — referenced as plain Column reuse it
+    # was inlined (and re-evaluated) once per octet, and when callers
+    # apply this to a DERIVED ip column the whole producing expression
+    # was copied into each of the four split sites (host_stats' pushed
+    # filter carried ~16 copies of the synthetic-src_ip CASE).
+    return _let(
+        F.split(ip, r"\."),
+        lambda parts: (
+            parts.getItem(0).try_cast("long") * 16777216
+            + parts.getItem(1).try_cast("long") * 65536
+            + parts.getItem(2).try_cast("long") * 256
+            + parts.getItem(3).try_cast("long")
+        ),
     )
 
 
@@ -74,12 +81,22 @@ def ip_in_cidr(ip: Column, cidr: str) -> Column:
     SURVEY.md §7.2). The CIDR is folded to two literal longs at plan time.
     """
     lo, hi = cidr_range(cidr)
-    n = ip4_to_long(ip)
     # Guard: only dotted-quads convert; anything else → NULL. coalesce
     # pins NULL to false so the predicate is also usable as a projection.
-    return F.coalesce(
-        ip.rlike(r"^\d+\.\d+\.\d+\.\d+$") & n.between(F.lit(lo), F.lit(hi)),
-        F.lit(False),
+    # r15: ``ip`` is _let-bound — the predicate references it twice
+    # (rlike + the numeric conversion) and ``between`` references the
+    # converted value twice more; on derived ip columns each reference
+    # inlined the whole producing expression (multiplicative blowup,
+    # same fix as ip6_to_words).
+    return _let(
+        ip,
+        lambda v: F.coalesce(
+            v.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+            & _let(
+                ip4_to_long(v), lambda n: n.between(F.lit(lo), F.lit(hi))
+            ),
+            F.lit(False),
+        ),
     )
 
 

@@ -570,10 +570,21 @@ def simhash_dedup(
         ).alias("cv"),
     ).select("id", "sh", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
     chunked = _cap_buckets(chunked, ["chunk", "val"], max_bucket)
+    # materialize the capped (id, sh, chunk, val) rows ONCE (narrow —
+    # two longs + two ints per row). Both self-join branches otherwise
+    # re-execute the signature stage, and with the r15 Arrow kernel
+    # that means two Python stages per action with unknown stats below
+    # the join — measured pathologically unstable (md5-mode full query
+    # 5.6–31.0 s/rep un-materialized vs 1.76–1.88 s warm with the
+    # eager checkpoint; old Column form for reference: 4.7 s min).
+    # localCheckpoint, not persist: an InMemoryRelation here blocks
+    # AQE's runtime join planning (the documented cache_intermediate
+    # trap), while the checkpointed RDD scan carries exact stats.
+    chunked = chunked.localCheckpoint(eager=True)
     if cache_intermediate:
-        # self-join branches otherwise each recompute the 64-sum
-        # simhash aggregate; (id, sh, chunk, val) rows are narrow
-        chunked = chunked.persist()
+        # superseded by the unconditional checkpoint above; kept so
+        # existing call sites keep working
+        pass
     a = chunked.alias("a")
     b = chunked.alias("b")
     pairs = (

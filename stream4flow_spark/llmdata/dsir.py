@@ -38,7 +38,7 @@ SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: in-task unigram + bigram array from a lowercased text column
@@ -125,20 +125,28 @@ def dsir_weights(
         F.sum(F.when(F.col("tgt"), F.col("dcnt")).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("tgt"), F.col("dcnt")).otherwise(0)).alias("cr"),
     )
-    totals = counts.agg(
-        F.sum("ct").cast("double").alias("nt"),
-        F.sum("cr").cast("double").alias("nr"),
-    )
     s, sb = float(smoothing), float(smoothing) * n_buckets
-    lam = (
-        counts.crossJoin(F.broadcast(totals))  # 1-row scalar totals
-        .select(
-            "b",
-            (
-                F.log((F.col("ct") + s) / (F.col("nt") + sb))
-                - F.log((F.col("cr") + s) / (F.col("nr") + sb))
-            ).alias("lam"),
-        )
+    # corpus totals as an UNPARTITIONED window sum over counts, not a
+    # crossJoin with a separate 1-row aggregate: the scalar-totals
+    # branch re-derived the whole explode+hash gram pipeline a second
+    # time (the r15 before-plan shows three full document scans; guide
+    # §2.4). The window moves exactly the <= n_buckets count rows to
+    # one partition — constant-size by construction — and the integer
+    # sums are exact, so nt/nr (and every lam) are bit-identical to the
+    # crossJoin form.
+    w_all = Window.partitionBy()
+    lam = counts.select(
+        "b",
+        (
+            F.log(
+                (F.col("ct") + s)
+                / (F.sum("ct").over(w_all).cast("double") + sb)
+            )
+            - F.log(
+                (F.col("cr") + s)
+                / (F.sum("cr").over(w_all).cast("double") + sb)
+            )
+        ).alias("lam"),
     )
     return (
         per_db.filter(~F.col("tgt"))

@@ -99,10 +99,14 @@ def triangle_count(
     membership doesn't care about order, so the canonicalizing
     array_sort pass over every triangle row is skipped."""
     tri = _triangles_oriented(edges, src_col, dst_col)
-    corners = (
-        tri.select(F.col("u").alias("host"))
-        .unionAll(tri.select(F.col("v").alias("host")))
-        .unionAll(tri.select(F.col("w").alias("host")))
+    # one explode, not a 3-way union: each union branch re-executes the
+    # whole wedge join + closing semi-join over the checkpointed edge
+    # frame (the r15 before-plan shows the BHJ pair THREE times), so the
+    # most expensive join in the operator ran 3x per action. explode
+    # enumerates the same three corners from ONE pass (guide §2.4 —
+    # same device host_pagerank's node set uses since r14).
+    corners = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("host")
     )
     return corners.groupBy("host").agg(F.count("*").alias("n_triangles"))
 

@@ -367,6 +367,11 @@ _GLOBAL_WINDOW_OK = {
     # r7: mixture-plan's share denominator — a whole-frame window over
     # per-SOURCE aggregate rows (bounded by source count, never corpus)
     "llm_mixture_plan",
+    # r15: DSIR's corpus totals — a whole-frame sum over the per-bucket
+    # LM counts, <= n_buckets (4096) rows by construction; replaced a
+    # crossJoin-with-scalar-aggregate that re-derived the entire
+    # explode+hash gram pipeline a second time
+    "llm_dsir_select",
     # (rel_funnel_conversion and llm_hybrid_rrf dropped in r7: the
     # doctor now walks each Window's actual input spine, and neither
     # has a data-sized global window — funnel's windows partition by
