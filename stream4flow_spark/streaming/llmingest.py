@@ -1064,12 +1064,32 @@ class NeardupIndexState(_ArrivalIndexState):
             stamp = F.lit(batch_id).cast("long").alias("indexed_at")
             bands_out = bands_out.select("*", stamp)
             sigs_out = sigs_out.select("*", stamp)
-        bands_out.write.mode("overwrite").parquet(band_dir)
-        self._write_store(sigs_out, sig_dir, sig_buckets)
+        _parallel_writes(
+            lambda: bands_out.write.mode("overwrite").parquet(band_dir),
+            lambda: self._write_store(sigs_out, sig_dir, sig_buckets),
+        )
         flagged.unpersist()
         bands.unpersist()
         sigs.unpersist()
         self.maybe_compact()
+
+
+
+def _parallel_writes(*thunks) -> None:
+    """Run independent per-batch store writes as concurrent Spark jobs
+    (guide §2.6): the writes touch different dirs and source from
+    already-derived (usually persisted) batch tables, so the second
+    job's tasks back-fill the first's straggler tail instead of
+    waiting behind it. Interleaved 12-wave neardup drain A/B (r15):
+    sequential 44.3/48.1 vs concurrent 42.1/44.7 min/med s. Exceptions
+    propagate via result(); crash semantics are unchanged because every
+    reader already treats a half-written batch dir pair as absent."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
 
 
 def _drain(state, stream_docs: DataFrame, checkpoint_dir: str):
@@ -1288,13 +1308,15 @@ class SemanticIndexState(_ArrivalIndexState):
             stamp = F.lit(batch_id).cast("long").alias("indexed_at")
             buckets_out = buckets_out.select("*", stamp)
             vecs_out = vecs_out.select("*", stamp)
-        buckets_out.write.mode("overwrite").parquet(
-            f"{self.state_dir}/buckets/batch={batch_id}"
-        )
-        self._write_store(
-            vecs_out,
-            f"{self.state_dir}/vecs/batch={batch_id}",
-            vec_buckets,
+        _parallel_writes(
+            lambda: buckets_out.write.mode("overwrite").parquet(
+                f"{self.state_dir}/buckets/batch={batch_id}"
+            ),
+            lambda: self._write_store(
+                vecs_out,
+                f"{self.state_dir}/vecs/batch={batch_id}",
+                vec_buckets,
+            ),
         )
         flagged.unpersist()
         buckets.unpersist()
@@ -1563,13 +1585,15 @@ class WinnowIndexState(_ArrivalIndexState):
             stamp = F.lit(batch_id).cast("long").alias("indexed_at")
             fps_out = fps_out.select("*", stamp)
             texts_out = texts_out.select("*", stamp)
-        fps_out.write.mode("overwrite").parquet(
-            f"{self.state_dir}/fps/batch={batch_id}"
-        )
-        self._write_store(
-            texts_out,
-            f"{self.state_dir}/texts/batch={batch_id}",
-            text_buckets,
+        _parallel_writes(
+            lambda: fps_out.write.mode("overwrite").parquet(
+                f"{self.state_dir}/fps/batch={batch_id}"
+            ),
+            lambda: self._write_store(
+                texts_out,
+                f"{self.state_dir}/texts/batch={batch_id}",
+                text_buckets,
+            ),
         )
         flagged.unpersist()
         dfps.unpersist()
@@ -1723,9 +1747,6 @@ class ExactSubstrIndexState(_ArrivalIndexState):
             bloom_prefilter=self.bloom_prefilter,
             bloom_shards=self.bloom_shards,
         )
-        cleaned.write.mode("overwrite").parquet(
-            f"{self.state_dir}/clean/batch={batch_id}"
-        )
         # index the batch's ORIGINAL grams (uncut text): the first copy
         # keeps its full text, so later arrivals must dedup against it
         grams_out = exact_substr_index(
@@ -1735,8 +1756,13 @@ class ExactSubstrIndexState(_ArrivalIndexState):
             grams_out = grams_out.select(
                 "*", F.lit(batch_id).cast("long").alias("indexed_at")
             )
-        grams_out.write.mode("overwrite").parquet(
-            f"{self.state_dir}/grams/batch={batch_id}"
+        _parallel_writes(
+            lambda: cleaned.write.mode("overwrite").parquet(
+                f"{self.state_dir}/clean/batch={batch_id}"
+            ),
+            lambda: grams_out.write.mode("overwrite").parquet(
+                f"{self.state_dir}/grams/batch={batch_id}"
+            ),
         )
         # durable + bounded: one row per document that lost tokens,
         # derived from the batch's already-written clean dir
@@ -1878,9 +1904,6 @@ class CdcIndexState(_ArrivalIndexState):
             hash_mode=self.hash_mode,
             corpus_index=idx,
         )
-        audited.write.mode("overwrite").parquet(
-            f"{self.state_dir}/audit/batch={batch_id}"
-        )
         fps_out = cdc_chunk_index(
             batch_df, self.text_col, self.id_col, self.context,
             self.divisor, self.hash_mode,
@@ -1889,8 +1912,13 @@ class CdcIndexState(_ArrivalIndexState):
             fps_out = fps_out.select(
                 "*", F.lit(batch_id).cast("long").alias("indexed_at")
             )
-        fps_out.write.mode("overwrite").parquet(
-            f"{self.state_dir}/chunkfps/batch={batch_id}"
+        _parallel_writes(
+            lambda: audited.write.mode("overwrite").parquet(
+                f"{self.state_dir}/audit/batch={batch_id}"
+            ),
+            lambda: fps_out.write.mode("overwrite").parquet(
+                f"{self.state_dir}/chunkfps/batch={batch_id}"
+            ),
         )
         self._record_alerts(
             batch_id,
