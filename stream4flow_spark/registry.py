@@ -198,12 +198,21 @@ def _module_change_rounds() -> tuple[dict[str, int], int | None]:
 
 
 def _query_dep_files(fn: QueryFn, _memo: dict | None = None) -> set[str]:
-    """Repo-relative source files the query's pipeline transitively runs
-    through, discovered from the code itself (no hand-maintained list —
-    the r13 lesson): the defining module, every stream4flow_spark
-    callable reachable through the function's globals, and every
-    ``import`` executed inside a visited function body (gate queries
-    import their operators lazily, which globals alone can't see)."""
+    """Back-compat wrapper: just the file half of ``_query_deps``."""
+    return _query_deps(fn)[0]
+
+
+def _query_deps(fn: QueryFn) -> tuple[set[str], set[tuple[str, str]]]:
+    """(files, symbols) the query's pipeline transitively runs through,
+    discovered from the code itself (no hand-maintained list — the r13
+    lesson): the defining module, every stream4flow_spark callable
+    reachable through the function's globals, and every ``import``
+    executed inside a visited function body (gate queries import their
+    operators lazily, which globals alone can't see). ``symbols`` is
+    the set of (repo-relative file, top-level def/class name) pairs of
+    every reachable callable — the r15 granularity the diff boost needs
+    to tell a targeted rewrite inside a widely-shared module from an
+    edit to something the query never calls."""
     import ast
     import importlib
     import inspect
@@ -211,6 +220,7 @@ def _query_dep_files(fn: QueryFn, _memo: dict | None = None) -> set[str]:
     import types
 
     files: set[str] = set()
+    symbols: set[tuple[str, str]] = set()
     seen: set[int] = set()
     stack: list[object] = [fn]
 
@@ -218,13 +228,18 @@ def _query_dep_files(fn: QueryFn, _memo: dict | None = None) -> set[str]:
 
     root = _repo_root()
 
-    def add_module(mod_name: str) -> None:
+    def mod_file(mod_name: str) -> str | None:
         if mod_name and mod_name.startswith("stream4flow_spark"):
             base = mod_name.replace(".", "/")
             if os.path.isdir(os.path.join(root, base)):
-                files.add(base + "/__init__.py")  # package, not module
-            else:
-                files.add(base + ".py")
+                return base + "/__init__.py"  # package, not module
+            return base + ".py"
+        return None
+
+    def add_module(mod_name: str) -> None:
+        p = mod_file(mod_name)
+        if p:
+            files.add(p)
 
     def push(obj: object) -> None:
         mod = getattr(obj, "__module__", "") or ""
@@ -232,6 +247,10 @@ def _query_dep_files(fn: QueryFn, _memo: dict | None = None) -> set[str]:
             add_module(obj.__name__)
         elif callable(obj) and mod.startswith("stream4flow_spark"):
             add_module(mod)
+            qn = getattr(obj, "__qualname__", "") or ""
+            p = mod_file(mod)
+            if p and qn:
+                symbols.add((p, qn.split(".")[0]))
             stack.append(obj)
 
     while stack:
@@ -273,7 +292,108 @@ def _query_dep_files(fn: QueryFn, _memo: dict | None = None) -> set[str]:
             elif isinstance(node, ast.Import):
                 for alias in node.names:
                     add_module(alias.name)
-    return files
+    return files, symbols
+
+
+def _changed_symbols(current_round: int) -> dict[tuple[str, str], int]:
+    """(file, top-level symbol) → round it last changed in, for the two
+    rounds the diff boost looks at (the previous close→close delta and
+    the in-flight worktree delta). Symbols come from mapping ``git diff
+    -U0`` hunk line ranges to the enclosing top-level def/class (both
+    diff sides, so a deleted function still marks its old name);
+    module-level lines map to the sentinel ``"*"`` (whole file).
+    Files whose contents can't be parsed on either side degrade to
+    ``"*"`` rather than disappearing. Empty dict when git is
+    unavailable — callers then fall back to file-level triggers."""
+    import ast
+    import re
+
+    hist = _git("log", "--format=%H %s")
+    if hist is None:
+        return {}
+    closes: dict[int, str] = {}
+    for line in hist.splitlines():
+        m = re.match(r"(\S+) round (\d+):", line)
+        if m:
+            closes.setdefault(int(m.group(2)), m.group(1))
+    prev, before = closes.get(current_round - 1), closes.get(current_round - 2)
+    ranges: list[tuple[int, str, str | None]] = []
+    if prev is not None:
+        ranges.append((current_round, prev, None))  # close → worktree
+        if before is not None:
+            ranges.append((current_round - 1, before, prev))
+    out: dict[tuple[str, str], int] = {}
+
+    def spans(src: str | None) -> list[tuple[int, int, str]] | None:
+        if src is None:
+            return None
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            return None
+        return [
+            (node.lineno, node.end_lineno or node.lineno, node.name)
+            for node in tree.body
+            if isinstance(
+                node,
+                (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+            )
+        ]
+
+    def mark(path: str, side_spans, lo: int, n: int, rnd: int) -> None:
+        if n <= 0:
+            return
+        hi = lo + n - 1
+        if side_spans is None:
+            out[(path, "*")] = max(out.get((path, "*"), 0), rnd)
+            return
+        hit = False
+        for s_lo, s_hi, name in side_spans:
+            if lo <= s_hi and hi >= s_lo:
+                out[(path, name)] = max(out.get((path, name), 0), rnd)
+                hit = True
+        if not hit:
+            out[(path, "*")] = max(out.get((path, "*"), 0), rnd)
+
+    import os
+
+    root = _repo_root()
+    for rnd, old, new in ranges:
+        diff = (
+            _git("diff", "-U0", old, "--", "stream4flow_spark/")
+            if new is None
+            else _git("diff", "-U0", old, new, "--", "stream4flow_spark/")
+        )
+        if diff is None:
+            return {}
+        path = None
+        old_spans = new_spans = None
+        for line in diff.splitlines():
+            if line.startswith("+++ b/"):
+                path = line[6:].strip()
+                if not path.endswith(".py"):
+                    path = None
+                    continue
+                old_src = _git("show", f"{old}:{path}")
+                if new is None:
+                    try:
+                        new_src = open(os.path.join(root, path)).read()
+                    except OSError:
+                        new_src = None
+                else:
+                    new_src = _git("show", f"{new}:{path}")
+                old_spans, new_spans = spans(old_src), spans(new_src)
+            elif path and line.startswith("@@"):
+                m = re.match(
+                    r"@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@", line
+                )
+                if not m:
+                    continue
+                ol, oc = int(m.group(1)), int(m.group(2) or "1")
+                nl, nc = int(m.group(3)), int(m.group(4) or "1")
+                mark(path, old_spans, ol, oc, rnd)
+                mark(path, new_spans, nl, nc, rnd)
+    return out
 
 
 def _boosted(
@@ -291,30 +411,58 @@ def _boosted(
     if not changed or current_round is None:
         log.warning("verify window: no git round history — diff boost off")
         return []
-    deps = {n: _query_dep_files(REGISTRY[n].fn) for n in oracle}
-    fanout: dict[str, int] = {}
-    for files in deps.values():
+    # r15: FUNCTION-level triggers. File-level granularity made a
+    # targeted rewrite inside a widely-shared module (dedup.py, 31
+    # dependent queries) rank below any incidental edit to a narrow one,
+    # which left the r14 kernel queries (components, minhash_lsh,
+    # keeper, savings) out of the r15 window while tag-propagated
+    # bystanders got slots. A query now triggers on a changed top-level
+    # SYMBOL it actually reaches, ranked by how many queries share that
+    # symbol; module-level edits (the "*" sentinel) and a git failure
+    # degrade to the old file-level trigger.
+    sym_changed = _changed_symbols(current_round)
+    deps = {n: _query_deps(REGISTRY[n].fn) for n in oracle}
+    ffan: dict[str, int] = {}
+    sfan: dict[tuple[str, str], int] = {}
+    for files, syms in deps.values():
         for p in files:
-            fanout[p] = fanout.get(p, 0) + 1
+            ffan[p] = ffan.get(p, 0) + 1
+        for s in syms:
+            sfan[s] = sfan.get(s, 0) + 1
     scored: dict[str, tuple[float, int]] = {}
     tag_trigger: dict[str, tuple[float, int]] = {}  # tag -> (score, round)
     for n in oracle:
-        triggers = [
-            p
-            for p in deps[n]
-            if changed.get(p, 0) > latest.get(n, -1)
-            and changed.get(p, 0) >= current_round - 1
-        ]
-        if triggers:
-            # a change to a module only a few queries share is strong
-            # evidence THIS query's execution changed; an edit to a
-            # registration module shared by sixty is weak — rank by the
-            # narrowest triggering module so targeted rewrites win the
-            # capped slots
-            best = min(triggers, key=lambda p: fanout[p])
-            scored[n] = (float(fanout[best]), latest.get(n, -1))
+        files, syms = deps[n]
+        # (score, change round) per trigger; lower score = narrower =
+        # stronger evidence THIS query's execution changed
+        cands: list[tuple[float, int]] = []
+        if sym_changed:
+            for (p, s), rnd in sym_changed.items():
+                if rnd > latest.get(n, -1) and rnd >= current_round - 1:
+                    if s == "*":
+                        if p in files:
+                            cands.append((float(ffan[p]), rnd))
+                    elif (p, s) in syms:
+                        cands.append((float(sfan[(p, s)]), rnd))
+        else:
+            for p in files:
+                if (
+                    changed.get(p, 0) > latest.get(n, -1)
+                    and changed.get(p, 0) >= current_round - 1
+                ):
+                    cands.append((float(ffan[p]), changed[p]))
+        if cands:
+            best, best_rnd = min(cands)
+            scored[n] = (best, latest.get(n, -1))
+            # r15: a tag hit is CORROBORATION, not execution — it must
+            # not outrank any query that actually runs changed code. The
+            # old +0.5 half-step let a narrow trigger's tag-sharers
+            # (score ~1.5) crowd out direct hits on a shared kernel
+            # function (score ~8-10); +20.5 keeps propagation behind
+            # every realistic symbol-direct score while still ahead of
+            # the widest module-level registration hits
             for tag in REGISTRY[n].covers.split():
-                cand = (fanout[best] + 0.5, changed[best])
+                cand = (best + 20.5, best_rnd)
                 if tag not in tag_trigger or cand < tag_trigger[tag]:
                     tag_trigger[tag] = cand
     # tag propagation: a query covering the same SURVEY §2 operator as a
