@@ -419,8 +419,9 @@ def simhash_table(
     - ``"xx"`` reuses the pinned ``llmdata.xxh`` XXH64 (seed 42, the
       ``xxhash64`` default); null grams hashed NULL in the old form
       (the ``isNotNull`` guard) and are skipped here the same way.
-    - ``"md5"`` feeds each gram's UTF-8 bytes to ``hashlib.md5`` — the
-      identical digest Spark's ``md5()`` computes —  and reads
+    - ``"md5"`` hashes each gram's UTF-8 bytes with the vectorized
+      RFC 1321 MD5 in ``llmdata.md5v`` (pinned against ``hashlib.md5``,
+      the identical digest Spark's ``md5()`` computes) and reads
       ``(h1 << 32) | h2`` straight off the first 8 digest bytes
       (big-endian), which is exactly ``conv(substring(hex,1,8),16,10)``
       / ``conv(substring(hex,9,8),16,10)``; bit j of that uint64 IS the
@@ -448,10 +449,10 @@ def simhash_table(
     )
 
     def sign(batches):
-        import hashlib
         import numpy as np
         import pyarrow as pa
 
+        from .md5v import md5_prefix8
         from .xxh import xxh64_utf8
 
         for batch in batches:
@@ -490,17 +491,14 @@ def simhash_table(
                         sdata, s_off[lo:hi], s_off[lo + 1 : hi + 1] - s_off[lo:hi], 42
                     )
                 else:
-                    md5 = hashlib.md5
-                    mv = memoryview(sdata)
-                    digs = b"".join(
-                        [
-                            md5(mv[s_off[i] : s_off[i + 1]]).digest()[:8]
-                            for i in range(lo, hi)
-                        ]
-                    )
-                    g64 = (
-                        np.frombuffer(digs, dtype=">u8")
-                        .astype(np.uint64)
+                    # r15: vectorized MD5 (llmdata.md5v) instead of a
+                    # per-gram hashlib loop — identical
+                    # first-8-digest-bytes big-endian uint64 (pinned in
+                    # tests/test_md5_bitexact.py), ~2-3x the throughput
+                    # at shingle sizes, and the SCALE.md 100x cell's
+                    # documented next lever
+                    g64 = md5_prefix8(
+                        sdata, s_off[lo:hi], s_off[lo + 1 : hi + 1] - s_off[lo:hi]
                     )
                 # bit j of g64 == the Column form's per-gram bit j for
                 # both modes; one uint8 bit-plane, votes per doc via

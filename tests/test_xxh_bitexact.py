@@ -3,11 +3,11 @@
 The MinHash signature kernel (dedup.minhash_table) only preserves query
 results if every hash it computes equals what the Column form computed —
 banding keys and candidate sets replay this arithmetic. These tests
-compare the NumPy kernels against the LIVE engine (not against a
-transcription of the algorithm): this build's xxhash64 was measured to
-deviate from published XXH64 in one multiplicative constant, which
-xxh.py recovers at import from a pinned probe (see its docstring). If
-the engine's hash family ever drifts again, these fail loudly.
+compare the NumPy kernels against the LIVE engine (not only against a
+transcription of the algorithm): xxh.py re-derives PRIME64_2 at import
+from a pinned probe as a portability/self-check mechanism — on this
+build it resolves to the textbook constant (see its docstring). If the
+engine's hash family ever drifts, these fail loudly.
 """
 
 from __future__ import annotations
