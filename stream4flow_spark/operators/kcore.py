@@ -65,14 +65,20 @@ def kcore(
             e = nxt
     else:
         e = e.localCheckpoint(eager=True)
-        # the final frame stays checkpointed for the consumer
+        # the final frame stays checkpointed for the consumer. The
+        # previous round's edge count is threaded through the loop (r15,
+        # guide §1.2): re-counting the already-counted frame cost one
+        # extra driver job per peel round for a value the last round
+        # computed.
+        n_prev = e.count()
         for _ in range(max_rounds):
             nxt = _peel_once(e, k).localCheckpoint(eager=True)
-            n_prev, n_now = e.count(), nxt.count()
+            n_now = nxt.count()
             e.unpersist()
             e = nxt
             if n_now == n_prev or n_now == 0:
                 break
+            n_prev = n_now
     return degrees(e).select(
         F.col("n").alias("host"), F.col("deg").alias("core_degree")
     )

@@ -1137,6 +1137,29 @@ def test_kcore_converges_through_deep_peel_cascades(spark):
     assert core == {f"p{i}" for i in range(10, 21)}
 
 
+def test_kcore_default_loop_one_count_action_per_round(spark, monkeypatch):
+    """r15: the convergence loop threads the previous round's edge
+    count instead of re-counting the already-counted frame — exactly
+    ONE count action per peel round (plus the initial count), pinned by
+    instrumenting DataFrame.count on a graph with a known peel depth."""
+    from stream4flow_spark.operators.kcore import kcore
+
+    # an 8-edge path peels one layer per round from each end:
+    # 8 -> 6 -> 4 -> 2 -> 0 edges = 4 rounds, loop exits on n_now == 0
+    path = [(f"p{i}", f"p{i+1}") for i in range(8)]
+    e = spark.createDataFrame(path, "src string, dst string")
+    cls = type(e)  # Spark 4: the classic DataFrame subclass owns count()
+    calls = []
+    orig = cls.count
+    monkeypatch.setattr(cls, "count", lambda self: (calls.append(1), orig(self))[1])
+    result = kcore(e, k=2)
+    n_loop_counts = len(calls)
+    assert orig(result) == 0
+    # 1 initial + 4 rounds; the pre-r15 loop re-counted the previous
+    # frame every round (2/round -> 8 here)
+    assert n_loop_counts == 5, f"{n_loop_counts} count actions in the loop"
+
+
 def test_bloom_no_false_negatives_and_fpp_bound(spark):
     """operators/bloom.py invariants: every true member passes the
     probe (the property that keeps exact oracles valid through the
